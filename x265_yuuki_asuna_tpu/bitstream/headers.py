@@ -1,0 +1,285 @@
+"""Parameter-set and slice-header syntax writers (spec 7.3.2-7.3.6).
+
+Reference behavior studied (not copied):
+  /root/reference/source/encoder/entropy.cpp codeVPS/codeSPS/codePPS/
+  codeProfileTier/codeSliceHeader, sei.cpp.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from .bitio import (BitWriter, wrap_nal, NAL_VPS, NAL_SPS, NAL_PPS,
+                    NAL_IDR_W_RADL, NAL_PREFIX_SEI, NAL_SUFFIX_SEI)
+
+
+@dataclass
+class ProfileTierLevel:
+    profile_idc: int = 1          # Main
+    tier_flag: int = 0
+    level_idc: int = 120          # level 4.0 (x30)
+    progressive_source: int = 1
+    interlaced_source: int = 0
+    non_packed: int = 1
+    frame_only: int = 1
+    intra_constraint: int = 0
+    bit_depth_constraint: int = 8
+    chroma_constraint: int = 1
+
+
+@dataclass
+class SPSInfo:
+    width: int = 0                  # coded luma width (CTU multiple here)
+    height: int = 0
+    conf_win: Tuple[int, int, int, int] = (0, 0, 0, 0)  # l, r, t, b (luma px)
+    chroma_format_idc: int = 1
+    bit_depth: int = 8
+    log2_max_poc_lsb: int = 8
+    log2_min_cb: int = 3
+    log2_diff_max_min_cb: int = 3
+    log2_min_tb: int = 2
+    log2_diff_max_min_tb: int = 3
+    max_transform_hierarchy_depth_inter: int = 0
+    max_transform_hierarchy_depth_intra: int = 0
+    amp_enabled: int = 0
+    sao_enabled: int = 0
+    temporal_mvp: int = 0
+    strong_intra_smoothing: int = 1
+    max_dec_pic_buffering: int = 1
+    num_reorder_pics: int = 0
+    ptl: ProfileTierLevel = field(default_factory=ProfileTierLevel)
+    # VUI
+    sar_idc: int = 0
+    sar_wh: Tuple[int, int] = (0, 0)
+    video_full_range: int = 0
+    timing_info: Optional[Tuple[int, int]] = None  # (num_units_in_tick, time_scale)
+
+    @property
+    def ctb_log2(self) -> int:
+        return self.log2_min_cb + self.log2_diff_max_min_cb
+
+
+@dataclass
+class PPSInfo:
+    sign_hiding: int = 0
+    init_qp: int = 26
+    constrained_intra: int = 0
+    transform_skip: int = 0
+    cu_qp_delta: int = 0
+    diff_cu_qp_delta_depth: int = 0
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    weighted_pred: int = 0
+    weighted_bipred: int = 0
+    transquant_bypass: int = 0
+    entropy_coding_sync: int = 0    # WPP
+    loop_filter_across_slices: int = 1
+    deblocking_disabled: int = 0
+    beta_offset_div2: int = 0
+    tc_offset_div2: int = 0
+
+
+def _profile_tier_level(bw: BitWriter, ptl: ProfileTierLevel, max_sub_layers: int = 1):
+    bw.write_bits(0, 2)                      # general_profile_space
+    bw.write_flag(ptl.tier_flag)             # general_tier_flag
+    bw.write_bits(ptl.profile_idc, 5)        # general_profile_idc
+    for j in range(32):
+        bw.write_flag(1 if j == ptl.profile_idc else 0)  # compatibility flags
+    bw.write_flag(ptl.progressive_source)
+    bw.write_flag(ptl.interlaced_source)
+    bw.write_flag(ptl.non_packed)
+    bw.write_flag(ptl.frame_only)
+    bw.write_bits(0, 16)                     # reserved_zero_44bits
+    bw.write_bits(0, 16)
+    bw.write_bits(0, 12)
+    bw.write_bits(ptl.level_idc, 8)          # general_level_idc
+    assert max_sub_layers == 1
+
+
+def write_vps(sps: SPSInfo) -> bytes:
+    bw = BitWriter()
+    bw.write_bits(0, 4)          # vps_video_parameter_set_id
+    bw.write_bits(3, 2)          # vps_reserved_three_2bits
+    bw.write_bits(0, 6)          # vps_reserved_zero_6bits (max_layers_minus1)
+    bw.write_bits(0, 3)          # vps_max_sub_layers_minus1
+    bw.write_flag(1)             # vps_temporal_id_nesting_flag
+    bw.write_bits(0xFFFF, 16)    # vps_reserved_0xffff_16bits
+    _profile_tier_level(bw, sps.ptl)
+    bw.write_flag(1)             # vps_sub_layer_ordering_info_present_flag
+    bw.write_ue(sps.max_dec_pic_buffering - 1)
+    bw.write_ue(sps.num_reorder_pics)
+    bw.write_ue(0 + 1)           # vps_max_latency_increase_plus1
+    bw.write_bits(0, 6)          # vps_max_layer_id
+    bw.write_ue(0)               # vps_num_layer_sets_minus1
+    bw.write_flag(0)             # vps_timing_info_present_flag
+    bw.write_flag(0)             # vps_extension_flag
+    bw.rbsp_trailing_bits()
+    return wrap_nal(NAL_VPS, bw.get_bytes())
+
+
+def write_sps(sps: SPSInfo) -> bytes:
+    bw = BitWriter()
+    bw.write_bits(0, 4)          # sps_video_parameter_set_id
+    bw.write_bits(0, 3)          # sps_max_sub_layers_minus1
+    bw.write_flag(1)             # sps_temporal_id_nesting_flag
+    _profile_tier_level(bw, sps.ptl)
+    bw.write_ue(0)               # sps_seq_parameter_set_id
+    bw.write_ue(sps.chroma_format_idc)
+    if sps.chroma_format_idc == 3:
+        bw.write_flag(0)         # separate_colour_plane_flag
+    bw.write_ue(sps.width)
+    bw.write_ue(sps.height)
+    l, r, t, b = sps.conf_win
+    enabled = any((l, r, t, b))
+    bw.write_flag(enabled)
+    if enabled:
+        hs = 1 if sps.chroma_format_idc in (1, 2) else 0
+        vs = 1 if sps.chroma_format_idc == 1 else 0
+        bw.write_ue(l >> hs)
+        bw.write_ue(r >> hs)
+        bw.write_ue(t >> vs)
+        bw.write_ue(b >> vs)
+    bw.write_ue(sps.bit_depth - 8)
+    bw.write_ue(sps.bit_depth - 8)
+    bw.write_ue(sps.log2_max_poc_lsb - 4)
+    bw.write_flag(1)             # sps_sub_layer_ordering_info_present_flag
+    bw.write_ue(sps.max_dec_pic_buffering - 1)
+    bw.write_ue(sps.num_reorder_pics)
+    bw.write_ue(0 + 1)           # sps_max_latency_increase_plus1
+    bw.write_ue(sps.log2_min_cb - 3)
+    bw.write_ue(sps.log2_diff_max_min_cb)
+    bw.write_ue(sps.log2_min_tb - 2)
+    bw.write_ue(sps.log2_diff_max_min_tb)
+    bw.write_ue(sps.max_transform_hierarchy_depth_inter)
+    bw.write_ue(sps.max_transform_hierarchy_depth_intra)
+    bw.write_flag(0)             # scaling_list_enabled_flag
+    bw.write_flag(sps.amp_enabled)
+    bw.write_flag(sps.sao_enabled)
+    bw.write_flag(0)             # pcm_enabled_flag
+    bw.write_ue(0)               # num_short_term_ref_pic_sets
+    bw.write_flag(0)             # long_term_ref_pics_present_flag
+    bw.write_flag(sps.temporal_mvp)
+    bw.write_flag(sps.strong_intra_smoothing)
+    vui_present = sps.timing_info is not None or sps.sar_idc or sps.video_full_range
+    bw.write_flag(1 if vui_present else 0)
+    if vui_present:
+        _write_vui(bw, sps)
+    bw.write_flag(0)             # sps_extension_present_flag
+    bw.rbsp_trailing_bits()
+    return wrap_nal(NAL_SPS, bw.get_bytes())
+
+
+def _write_vui(bw: BitWriter, sps: SPSInfo):
+    if sps.sar_idc:
+        bw.write_flag(1)
+        bw.write_bits(sps.sar_idc, 8)
+        if sps.sar_idc == 255:
+            bw.write_bits(sps.sar_wh[0], 16)
+            bw.write_bits(sps.sar_wh[1], 16)
+    else:
+        bw.write_flag(0)
+    bw.write_flag(0)             # overscan_info_present_flag
+    if sps.video_full_range:
+        bw.write_flag(1)         # video_signal_type_present_flag
+        bw.write_bits(5, 3)      # video_format unknown
+        bw.write_flag(1)         # video_full_range_flag
+        bw.write_flag(0)         # colour_description_present_flag
+    else:
+        bw.write_flag(0)
+    bw.write_flag(0)             # chroma_loc_info_present_flag
+    bw.write_flag(0)             # neutral_chroma_indication_flag
+    bw.write_flag(0)             # field_seq_flag
+    bw.write_flag(0)             # frame_field_info_present_flag
+    bw.write_flag(0)             # default_display_window_flag
+    if sps.timing_info:
+        bw.write_flag(1)
+        bw.write_bits(sps.timing_info[0], 32)
+        bw.write_bits(sps.timing_info[1], 32)
+        bw.write_flag(0)         # poc_proportional_to_timing_flag
+        bw.write_flag(0)         # vui_hrd_parameters_present_flag
+    else:
+        bw.write_flag(0)
+    bw.write_flag(0)             # bitstream_restriction_flag
+
+
+def write_pps(pps: PPSInfo) -> bytes:
+    bw = BitWriter()
+    bw.write_ue(0)               # pps_pic_parameter_set_id
+    bw.write_ue(0)               # pps_seq_parameter_set_id
+    bw.write_flag(0)             # dependent_slice_segments_enabled_flag
+    bw.write_flag(0)             # output_flag_present_flag
+    bw.write_bits(0, 3)          # num_extra_slice_header_bits
+    bw.write_flag(pps.sign_hiding)
+    bw.write_flag(0)             # cabac_init_present_flag
+    bw.write_ue(0)               # num_ref_idx_l0_default_active_minus1
+    bw.write_ue(0)               # num_ref_idx_l1_default_active_minus1
+    bw.write_se(pps.init_qp - 26)
+    bw.write_flag(pps.constrained_intra)
+    bw.write_flag(pps.transform_skip)
+    bw.write_flag(pps.cu_qp_delta)
+    if pps.cu_qp_delta:
+        bw.write_ue(pps.diff_cu_qp_delta_depth)
+    bw.write_se(pps.cb_qp_offset)
+    bw.write_se(pps.cr_qp_offset)
+    bw.write_flag(0)             # pps_slice_chroma_qp_offsets_present_flag
+    bw.write_flag(pps.weighted_pred)
+    bw.write_flag(pps.weighted_bipred)
+    bw.write_flag(pps.transquant_bypass)
+    bw.write_flag(0)             # tiles_enabled_flag
+    bw.write_flag(pps.entropy_coding_sync)
+    bw.write_flag(pps.loop_filter_across_slices)
+    deblock_params_present = pps.deblocking_disabled or pps.beta_offset_div2 or pps.tc_offset_div2
+    bw.write_flag(1 if deblock_params_present else 0)
+    if deblock_params_present:
+        bw.write_flag(0)         # deblocking_filter_override_enabled_flag
+        bw.write_flag(pps.deblocking_disabled)
+        if not pps.deblocking_disabled:
+            bw.write_se(pps.beta_offset_div2)
+            bw.write_se(pps.tc_offset_div2)
+    bw.write_flag(0)             # pps_scaling_list_data_present_flag
+    bw.write_flag(0)             # lists_modification_present_flag
+    bw.write_ue(0)               # log2_parallel_merge_level_minus2
+    bw.write_flag(0)             # slice_segment_header_extension_present_flag
+    bw.write_flag(0)             # pps_extension_present_flag
+    bw.rbsp_trailing_bits()
+    return wrap_nal(NAL_PPS, bw.get_bytes())
+
+
+def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
+                       slice_qp: int, *, nal_type: int = NAL_IDR_W_RADL,
+                       poc: int = 0, sao_luma: int = 0, sao_chroma: int = 0,
+                       first_slice: bool = True, slice_addr: int = 0,
+                       slice_addr_bits: int = 0,
+                       num_entry_points: int = 0,
+                       deblocking_disabled: Optional[bool] = None) -> BitWriter:
+    """Returns a BitWriter positioned after byte_alignment() — ready for the
+    caller to append CABAC slice data. slice_type: 0=B 1=P 2=I."""
+    bw = BitWriter()
+    bw.write_flag(1 if first_slice else 0)
+    if nal_type >= 16 and nal_type <= 23:    # IRAP
+        bw.write_flag(0)                     # no_output_of_prior_pics_flag
+    bw.write_ue(0)                           # slice_pic_parameter_set_id
+    if not first_slice:
+        bw.write_bits(slice_addr, slice_addr_bits)
+    bw.write_ue(slice_type)
+    if nal_type not in (19, 20):             # not IDR
+        bw.write_bits(poc & ((1 << sps.log2_max_poc_lsb) - 1), sps.log2_max_poc_lsb)
+        bw.write_flag(0)                     # short_term_ref_pic_set_sps_flag
+        # st_ref_pic_set(): handled by caller for inter slices (TODO inter)
+        raise NotImplementedError("non-IDR slices need an RPS writer")
+    if sps.sao_enabled:
+        bw.write_flag(sao_luma)
+        if sps.chroma_format_idc != 0:
+            bw.write_flag(sao_chroma)
+    bw.write_se(slice_qp - pps.init_qp)
+    if deblocking_disabled is not None and deblocking_disabled != pps.deblocking_disabled:
+        # would need deblocking_filter_override_enabled_flag in PPS
+        raise NotImplementedError
+    if pps.entropy_coding_sync:
+        bw.write_ue(num_entry_points)
+        # offsets appended by caller via write_entry_points()
+    # byte_alignment(): alignment_bit_equal_to_one, then zero bits to boundary
+    bw.write_bits(1, 1)
+    bw.write_align_zero()
+    return bw
