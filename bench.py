@@ -1,0 +1,100 @@
+"""Benchmark: all-intra encode throughput on the current JAX device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the reference x265 (C-only build, no asm — nasm is not in this
+image) measured locally on the same clip/settings, cached in
+.bench_baseline.json. vs_baseline > 1.0 means faster than the reference.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+W, H, FRAMES, QP = 1280, 720, 16, 32
+CACHE = os.path.join(REPO, ".bench_baseline.json")
+REF_BIN = os.path.join(REPO, ".ref_build", "x265")
+
+
+def synth_clip(n, w, h, seed=7):
+    """Moderately complex synthetic content (gradients + moving texture)."""
+    rng = np.random.default_rng(seed)
+    base = (np.add.outer(np.arange(h), np.arange(w)) % 256).astype(np.uint8)
+    tex = rng.integers(0, 32, (h, w)).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        y = (base + np.roll(tex, i * 3, axis=1) + i * 2).astype(np.uint8)
+        u = ((base[::2, ::2] // 2) + i).astype(np.uint8)
+        v = ((255 - base[::2, ::2]) // 2).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def measure_reference(frames):
+    """Encode the same clip with the reference x265 CLI (all-intra CQP)."""
+    if not os.path.exists(REF_BIN):
+        return None
+    yuv = os.path.join("/tmp", "bench_in.yuv")
+    with open(yuv, "wb") as f:
+        for y, u, v in frames:
+            f.write(y.tobytes())
+            f.write(u.tobytes())
+            f.write(v.tobytes())
+    t0 = time.time()
+    r = subprocess.run(
+        [REF_BIN, "--input", yuv, "--input-res", f"{W}x{H}", "--fps", "25",
+         "--qp", str(QP), "--keyint", "1", "--preset", "ultrafast",
+         "--frame-threads", "1", "--pools", "2", "--log-level", "error",
+         "-o", "/tmp/bench_ref.hevc"],
+        capture_output=True, text=True, timeout=600)
+    dt = time.time() - t0
+    if r.returncode != 0:
+        return None
+    return len(frames) / dt
+
+
+def main():
+    frames = synth_clip(FRAMES, W, H)
+
+    # baseline (cached — the C-only reference is slow; measure once)
+    baseline_fps = None
+    if os.path.exists(CACHE):
+        try:
+            baseline_fps = json.load(open(CACHE)).get("ref_intra_720p_fps")
+        except Exception:
+            pass
+    if baseline_fps is None:
+        baseline_fps = measure_reference(frames)
+        if baseline_fps:
+            json.dump({"ref_intra_720p_fps": baseline_fps}, open(CACHE, "w"))
+
+    from x265_yuuki_asuna_tpu.models.encoder_top import IntraEncoderSession
+    sess = IntraEncoderSession(W, H, qp=QP, cu_size=16, hash_sei=False)
+
+    # warmup / compile
+    y, u, v = frames[0]
+    sess.encode_frame(y, u, v)
+
+    t0 = time.time()
+    total_bits = 0
+    for (y, u, v) in frames:
+        fr = sess.encode_frame(y, u, v)
+        total_bits += fr.bits
+    dt = time.time() - t0
+    fps = len(frames) / dt
+
+    result = {
+        "metric": "intra_720p_fps",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / baseline_fps, 3) if baseline_fps else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

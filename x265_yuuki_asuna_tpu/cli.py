@@ -1,0 +1,109 @@
+"""Command-line encoder (reference analog: source/x265.cpp + x265cli.cpp).
+
+Usage:
+    python -m x265_yuuki_asuna_tpu.cli input.y4m -o out.hevc [--qp N] [--ctu N]
+    python -m x265_yuuki_asuna_tpu.cli in.yuv --input-res WxH --fps 25 -o out.hevc
+
+Round-1 scope: all-intra CQP (BASELINE config[0]); options accepted through
+the full param parser so the CLI surface matches the reference's names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .models.encoder_top import IntraEncoderSession
+from .utils import io as IO
+from .utils import param as P
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="x265-tpu", add_help=True)
+    ap.add_argument("input", help="input .y4m or raw .yuv")
+    ap.add_argument("-o", "--output", required=True, help="output Annex-B .hevc")
+    ap.add_argument("--input-res", default=None, help="WxH (raw yuv input)")
+    ap.add_argument("--fps", default="25")
+    ap.add_argument("--qp", type=int, default=32)
+    ap.add_argument("--ctu", type=int, default=16, choices=[16, 32])
+    ap.add_argument("--frames", "-f", type=int, default=0, help="max frames")
+    ap.add_argument("--preset", default="medium")
+    ap.add_argument("--recon", default=None, help="write recon yuv")
+    ap.add_argument("--no-hash", action="store_true", help="skip hash SEI")
+    ap.add_argument("--csv", default=None)
+    args, extra = ap.parse_known_args(argv)
+
+    # full param surface (extra "--name=value" pairs go through param_parse)
+    prm = P.param_default_preset(args.preset)
+    for opt in extra:
+        if not opt.startswith("--"):
+            print(f"unknown arg {opt}", file=sys.stderr)
+            return 1
+        name, _, val = opt[2:].partition("=")
+        try:
+            P.param_parse(prm, name, val if val else None)
+        except P.ParamError as e:
+            print(f"x265-tpu: {e}", file=sys.stderr)
+            return 1
+
+    try:
+        if args.input.endswith(".y4m"):
+            reader = IO.open_input(args.input)
+        else:
+            if not args.input_res:
+                print("raw yuv input needs --input-res WxH", file=sys.stderr)
+                return 1
+            w, h = (int(x) for x in args.input_res.lower().split("x"))
+            fps = args.fps
+            num, den = (int(x) for x in fps.split("/")) if "/" in fps else (int(float(fps)), 1)
+            reader = IO.open_input(args.input, w, h, (num, den))
+    except (OSError, ValueError) as e:
+        print(f"x265-tpu: cannot open input: {e}", file=sys.stderr)
+        return 1
+    info = reader.info
+
+    sess = IntraEncoderSession(info.width, info.height, qp=args.qp,
+                               cu_size=args.ctu,
+                               fps=(info.fps_num, info.fps_denom),
+                               hash_sei=not args.no_hash)
+    out = IO.RawBitstreamWriter(args.output)
+    out.write(sess.headers())
+    recon_writer = IO.YUVWriter(args.recon) if args.recon else None
+
+    csv_lines = ["pos, qp, bits, psnr_y"] if args.csv else None
+    n = 0
+    total_bits = 0
+    t0 = time.time()
+    for y, u, v in IO.PrefetchReader(reader):
+        fr = sess.encode_frame(y, u, v, poc=n)
+        out.write(fr.nals)
+        total_bits += fr.bits
+        if recon_writer:
+            recon_writer.write_frame(*fr.recon)
+        if csv_lines is not None:
+            csv_lines.append(f"{n}, {args.qp}, {fr.bits}, {fr.psnr_y:.4f}")
+        n += 1
+        elapsed = time.time() - t0
+        print(f"\r[{n} frames, {n / max(elapsed, 1e-9):.2f} fps, "
+              f"{total_bits * info.fps_num / max(n * info.fps_denom, 1) / 1000:.2f} kb/s]",
+              end="", file=sys.stderr)
+        if args.frames and n >= args.frames:
+            break
+    elapsed = time.time() - t0
+    print(f"\nencoded {n} frames in {elapsed:.2f}s ({n / max(elapsed, 1e-9):.2f} fps), "
+          f"{total_bits * info.fps_num / max(n * info.fps_denom, 1) / 1000:.2f} kb/s",
+          file=sys.stderr)
+    out.close()
+    if recon_writer:
+        recon_writer.close()
+    if args.csv:
+        with open(args.csv, "w") as f:
+            f.write("\n".join(csv_lines) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

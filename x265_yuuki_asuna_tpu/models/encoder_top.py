@@ -1,0 +1,135 @@
+"""Top-level encoder session (round-1 scope: all-intra CQP).
+
+Mirrors the reference's Encoder orchestration (encoder.cpp:1583) in shape:
+device compute (wavefront analysis/recon) produces decision tensors, then a
+host-side sequential entropy pass serializes each frame — the same
+device/host split the reference uses for WPP+SAO (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..bitstream import headers as HDR
+from ..bitstream.bitio import (BitWriter, wrap_nal, NAL_IDR_W_RADL,
+                               NAL_SUFFIX_SEI)
+from ..bitstream.cabac import CabacEncoder
+from ..bitstream import ctu_syntax as CS
+from ..utils import geometry as G
+from ..utils.param import Param, RC_CQP
+from .intra_encoder import IntraFrameEncoder, IntraFrameConfig
+
+DC_MODE = 1
+
+
+@dataclass
+class FrameResult:
+    nals: bytes
+    recon: Tuple[np.ndarray, np.ndarray, np.ndarray]   # cropped to source size
+    bits: int
+    psnr_y: float
+
+
+class IntraEncoderSession:
+    """All-intra CQP encode session for 4:2:0 8-bit."""
+
+    def __init__(self, width: int, height: int, qp: int = 32, cu_size: int = 16,
+                 fps: Tuple[int, int] = (25, 1), hash_sei: bool = True):
+        self.src_w = width
+        self.src_h = height
+        self.qp = qp
+        self.cu = cu_size
+        self.hash_sei = hash_sei
+        self.coded_w = G.cdiv(width, cu_size) * cu_size
+        self.coded_h = G.cdiv(height, cu_size) * cu_size
+        self.rows = self.coded_h // cu_size
+        self.cols = self.coded_w // cu_size
+        log2cu = cu_size.bit_length() - 1
+
+        self.frame_encoder = IntraFrameEncoder(IntraFrameConfig(
+            width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp))
+
+        self.sps = HDR.SPSInfo(
+            width=self.coded_w, height=self.coded_h,
+            conf_win=(0, self.coded_w - width, 0, self.coded_h - height),
+            chroma_format_idc=1, bit_depth=8,
+            log2_min_cb=log2cu, log2_diff_max_min_cb=0,
+            log2_min_tb=2, log2_diff_max_min_tb=log2cu - 2,
+            max_transform_hierarchy_depth_inter=0,
+            max_transform_hierarchy_depth_intra=0,
+            sao_enabled=0, temporal_mvp=0, strong_intra_smoothing=0,
+            timing_info=(fps[1], fps[0]),
+        )
+        self.pps = HDR.PPSInfo(init_qp=26, deblocking_disabled=1)
+
+    # ------------------------------------------------------------------
+    def headers(self) -> bytes:
+        return (HDR.write_vps(self.sps) + HDR.write_sps(self.sps)
+                + HDR.write_pps(self.pps))
+
+    # ------------------------------------------------------------------
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     poc: int = 0) -> FrameResult:
+        # pad to coded size (edge replicate — conformance window crops back)
+        yp = G.pad_plane(y, self.coded_h, self.coded_w)
+        up = G.pad_plane(u, self.coded_h // 2, self.coded_w // 2)
+        vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
+
+        out = self.frame_encoder.encode_frame(yp, up, vp)
+        slice_nal = self._assemble_slice(out)
+        nals = slice_nal
+        if self.hash_sei:
+            nals += self._hash_sei(out)
+        bits = len(nals) * 8
+        mse = float(np.mean((out["recon_y"][:self.src_h, :self.src_w]
+                             .astype(np.float64) - y) ** 2))
+        psnr = 99.99 if mse == 0 else 10 * np.log10(255 * 255 / mse)
+        recon = (out["recon_y"][:self.src_h, :self.src_w].astype(np.uint8),
+                 out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8),
+                 out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8))
+        return FrameResult(nals=nals, recon=recon, bits=bits, psnr_y=psnr)
+
+    # ------------------------------------------------------------------
+    def _assemble_slice(self, out: dict) -> bytes:
+        log2cu = self.cu.bit_length() - 1
+        modes = out["modes"]
+        bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
+                                    slice_qp=self.qp)
+        enc = CabacEncoder()
+        enc.init_contexts(2, self.qp)   # I-slice init row
+        last = self.rows * self.cols - 1
+        for r in range(self.rows):
+            for c in range(self.cols):
+                d = CS.CTUDecisions(
+                    luma_mode=int(modes[r, c]),
+                    luma_levels=out["levels_y"][r, c],
+                    cb_levels=out["levels_cb"][r, c],
+                    cr_levels=out["levels_cr"][r, c])
+                cand_left = int(modes[r, c - 1]) if c > 0 else DC_MODE
+                cand_above = DC_MODE  # above CTU row: outside current CTU
+                CS.encode_intra_ctu_full(enc, d, log2cu, cand_left, cand_above)
+                enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
+        data, tail, tail_bits = enc.finish()
+        for b in data:
+            bw.write_byte(b)
+        bw.write_bits(tail, tail_bits)
+        bw.rbsp_trailing_bits()
+        return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
+
+    # ------------------------------------------------------------------
+    def _hash_sei(self, out: dict) -> bytes:
+        bw = BitWriter()
+        bw.write_bits(132, 8)          # payload type: decoded_picture_hash
+        payload = bytearray([0])       # hash_type = 0 (MD5)
+        for plane in ("recon_y", "recon_u", "recon_v"):
+            payload += hashlib.md5(
+                out[plane].astype(np.uint8).tobytes()).digest()
+        bw.write_bits(len(payload), 8)
+        for b in payload:
+            bw.write_byte(b)
+        bw.rbsp_trailing_bits()
+        return wrap_nal(NAL_SUFFIX_SEI, bw.get_bytes())
