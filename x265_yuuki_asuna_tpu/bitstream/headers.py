@@ -276,6 +276,9 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
     if deblocking_disabled is not None and deblocking_disabled != pps.deblocking_disabled:
         # would need deblocking_filter_override_enabled_flag in PPS
         raise NotImplementedError
+    if pps.loop_filter_across_slices and \
+            (sao_luma or sao_chroma or not pps.deblocking_disabled):
+        bw.write_flag(1)                     # slice_loop_filter_across_slices
     if pps.entropy_coding_sync:
         bw.write_ue(num_entry_points)
         # offsets appended by caller via write_entry_points()

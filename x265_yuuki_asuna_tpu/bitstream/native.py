@@ -1,0 +1,110 @@
+"""ctypes binding for the native C++ CABAC/syntax runtime (auto-built on
+first use; falls back to the Python reference implementation if g++ fails)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "..", "native", "asuna_native.cpp")
+_SO = os.path.join(_HERE, "..", "native", "libasuna.so")
+
+_lib = None
+_lock = threading.Lock()
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+            capture_output=True, text=True, timeout=300)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+def load():
+    """Returns the loaded library or None if unavailable."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib or None
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                _lib = False
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _lib = False
+            return None
+        lib.asuna_encode_intra_slice.restype = ctypes.c_int
+        lib.asuna_encode_intra_slice.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int)]
+        lib.asuna_encode_residual_test.restype = ctypes.c_int
+        lib.asuna_encode_residual_test.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int)]
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def encode_intra_slice(modes: np.ndarray, levels_y: np.ndarray,
+                       levels_cb: np.ndarray, levels_cr: np.ndarray,
+                       log2cu: int, qp: int, part_mode_coded: bool = True,
+                       chroma_present: bool = True, sign_hiding: bool = False):
+    """Native slice-data CABAC. Returns (payload_bytes, tail_value, tail_bits)
+    or None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    rows, cols = modes.shape
+    m = np.ascontiguousarray(modes, np.int32)
+    ly = np.ascontiguousarray(levels_y, np.int32)
+    lcb = np.ascontiguousarray(levels_cb, np.int32)
+    lcr = np.ascontiguousarray(levels_cr, np.int32)
+    cap = int(ly.nbytes + lcb.nbytes + lcr.nbytes + 65536)
+    out = np.empty(cap, np.uint8)
+    tail = ctypes.c_uint32()
+    tail_bits = ctypes.c_int()
+    nbytes = lib.asuna_encode_intra_slice(
+        m.ctypes.data, ly.ctypes.data, lcb.ctypes.data, lcr.ctypes.data,
+        rows, cols, log2cu, qp,
+        1 if part_mode_coded else 0, 1 if chroma_present else 0,
+        1 if sign_hiding else 0,
+        out.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
+    if nbytes < 0:
+        return None
+    return bytes(out[:nbytes]), int(tail.value), int(tail_bits.value)
+
+
+def encode_residual_test(levels: np.ndarray, log2: int, is_luma: bool,
+                         intra_mode: int, qp: int):
+    lib = load()
+    if lib is None:
+        return None
+    lv = np.ascontiguousarray(levels, np.int32)
+    cap = lv.nbytes + 4096
+    out = np.empty(cap, np.uint8)
+    tail = ctypes.c_uint32()
+    tail_bits = ctypes.c_int()
+    nbytes = lib.asuna_encode_residual_test(
+        lv.ctypes.data, log2, 1 if is_luma else 0, intra_mode, qp,
+        out.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
+    if nbytes < 0:
+        return None
+    return bytes(out[:nbytes]), int(tail.value), int(tail_bits.value)

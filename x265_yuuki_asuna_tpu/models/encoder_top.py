@@ -19,9 +19,11 @@ from ..bitstream.bitio import (BitWriter, wrap_nal, NAL_IDR_W_RADL,
                                NAL_SUFFIX_SEI)
 from ..bitstream.cabac import CabacEncoder
 from ..bitstream import ctu_syntax as CS
+from ..bitstream import native
 from ..utils import geometry as G
 from ..utils.param import Param, RC_CQP
-from .intra_encoder import IntraFrameEncoder, IntraFrameConfig
+from .intra_encoder import IntraFrameEncoder, IntraFrameConfig, chroma_qp_from_luma
+from ..ops import deblock as DB
 
 DC_MODE = 1
 
@@ -38,12 +40,14 @@ class IntraEncoderSession:
     """All-intra CQP encode session for 4:2:0 8-bit."""
 
     def __init__(self, width: int, height: int, qp: int = 32, cu_size: int = 16,
-                 fps: Tuple[int, int] = (25, 1), hash_sei: bool = True):
+                 fps: Tuple[int, int] = (25, 1), hash_sei: bool = True,
+                 deblock: bool = False):
         self.src_w = width
         self.src_h = height
         self.qp = qp
         self.cu = cu_size
         self.hash_sei = hash_sei
+        self.deblock = deblock
         self.coded_w = G.cdiv(width, cu_size) * cu_size
         self.coded_h = G.cdiv(height, cu_size) * cu_size
         self.rows = self.coded_h // cu_size
@@ -64,7 +68,8 @@ class IntraEncoderSession:
             sao_enabled=0, temporal_mvp=0, strong_intra_smoothing=0,
             timing_info=(fps[1], fps[0]),
         )
-        self.pps = HDR.PPSInfo(init_qp=26, deblocking_disabled=1)
+        self.pps = HDR.PPSInfo(init_qp=26,
+                               deblocking_disabled=0 if deblock else 1)
 
     # ------------------------------------------------------------------
     def headers(self) -> bytes:
@@ -80,6 +85,12 @@ class IntraEncoderSession:
         vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
 
         out = self.frame_encoder.encode_frame(yp, up, vp)
+        if self.deblock:
+            dy, du, dv = DB.deblock_frame_uniform(
+                out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
+                self.qp, chroma_qp_from_luma(self.qp))
+            out["recon_y"], out["recon_u"], out["recon_v"] = (
+                np.asarray(dy), np.asarray(du), np.asarray(dv))
         slice_nal = self._assemble_slice(out)
         nals = slice_nal
         if self.hash_sei:
@@ -99,21 +110,27 @@ class IntraEncoderSession:
         modes = out["modes"]
         bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
                                     slice_qp=self.qp)
-        enc = CabacEncoder()
-        enc.init_contexts(2, self.qp)   # I-slice init row
-        last = self.rows * self.cols - 1
-        for r in range(self.rows):
-            for c in range(self.cols):
-                d = CS.CTUDecisions(
-                    luma_mode=int(modes[r, c]),
-                    luma_levels=out["levels_y"][r, c],
-                    cb_levels=out["levels_cb"][r, c],
-                    cr_levels=out["levels_cr"][r, c])
-                cand_left = int(modes[r, c - 1]) if c > 0 else DC_MODE
-                cand_above = DC_MODE  # above CTU row: outside current CTU
-                CS.encode_intra_ctu_full(enc, d, log2cu, cand_left, cand_above)
-                enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
-        data, tail, tail_bits = enc.finish()
+        res = native.encode_intra_slice(
+            modes, out["levels_y"], out["levels_cb"], out["levels_cr"],
+            log2cu, self.qp)
+        if res is not None:   # production path: C++ CABAC runtime
+            data, tail, tail_bits = res
+        else:                 # Python reference fallback
+            enc = CabacEncoder()
+            enc.init_contexts(2, self.qp)   # I-slice init row
+            last = self.rows * self.cols - 1
+            for r in range(self.rows):
+                for c in range(self.cols):
+                    d = CS.CTUDecisions(
+                        luma_mode=int(modes[r, c]),
+                        luma_levels=out["levels_y"][r, c],
+                        cb_levels=out["levels_cb"][r, c],
+                        cr_levels=out["levels_cr"][r, c])
+                    cand_left = int(modes[r, c - 1]) if c > 0 else DC_MODE
+                    cand_above = DC_MODE  # above CTU row: outside current CTU
+                    CS.encode_intra_ctu_full(enc, d, log2cu, cand_left, cand_above)
+                    enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
+            data, tail, tail_bits = enc.finish()
         for b in data:
             bw.write_byte(b)
         bw.write_bits(tail, tail_bits)

@@ -73,6 +73,9 @@ class IntraFrameEncoder:
         self._rc = jnp.asarray(rc)          # [nd, ns, 2]
         self._valid = jnp.asarray(valid)    # [nd, ns]
         self._encode = jax.jit(self._build())
+        # frame-batched variant (frame-parallelism, the reference's
+        # frame-threads analog): the wavefront step batch becomes [F*S, ...]
+        self._encode_batch = jax.jit(jax.vmap(self._build()))
 
     # ------------------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
@@ -82,6 +85,14 @@ class IntraFrameEncoder:
         assert y.shape == (cfg.height, cfg.width), y.shape
         out = self._encode(jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
                            jnp.asarray(v, jnp.int32))
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    # ------------------------------------------------------------------
+    def encode_frames(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Batched encode: y [F, H, W]; independent frames in parallel."""
+        out = self._encode_batch(jnp.asarray(y, jnp.int32),
+                                 jnp.asarray(u, jnp.int32),
+                                 jnp.asarray(v, jnp.int32))
         return jax.tree_util.tree_map(np.asarray, out)
 
     # ------------------------------------------------------------------

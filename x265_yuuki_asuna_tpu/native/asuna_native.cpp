@@ -1,0 +1,625 @@
+// TPU-native HEVC encoder — host-side sequential runtime (C++).
+//
+// The device (JAX/XLA) side produces per-CTU decision tensors; this library
+// is the production CABAC entropy coder + slice syntax writer consuming them
+// (the device/host split mirrors the reference's WPP+SAO two-phase design,
+// SURVEY.md §7; behavioral reference: encoder/entropy.cpp, studied not
+// copied — all tables are H.265 spec constants).
+//
+// Build: g++ -O2 -shared -fPIC -o libasuna.so asuna_native.cpp
+// Interface: extern "C", driven through ctypes (bitstream/native.py).
+// Golden-tested byte-for-byte against the Python reference implementation.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Spec tables (H.265 9.3.4.3, table 9-46/9-47 + init tables 9-5..9-32)
+// ---------------------------------------------------------------------------
+
+static const uint8_t kLps[64][4] = {
+    {128,176,208,240},{128,167,197,227},{128,158,187,216},{123,150,178,205},
+    {116,142,169,195},{111,135,160,185},{105,128,152,175},{100,122,144,166},
+    {95,116,137,158},{90,110,130,150},{85,104,123,142},{81,99,117,135},
+    {77,94,111,128},{73,89,105,122},{69,85,100,116},{66,80,95,110},
+    {62,76,90,104},{59,72,86,99},{56,69,81,94},{53,65,77,89},
+    {51,62,73,85},{48,59,69,80},{46,56,66,76},{43,53,63,72},
+    {41,50,59,69},{39,48,56,65},{37,45,54,62},{35,43,51,59},
+    {33,41,48,56},{32,39,46,53},{30,37,43,50},{29,35,41,48},
+    {27,33,39,45},{26,31,37,43},{24,30,35,41},{23,28,33,39},
+    {22,27,32,37},{21,26,30,35},{20,24,29,33},{19,23,27,31},
+    {18,22,26,30},{17,21,25,28},{16,20,23,27},{15,19,22,25},
+    {14,18,21,24},{14,17,20,23},{13,16,19,22},{12,15,18,21},
+    {12,14,17,20},{11,14,16,19},{11,13,15,18},{10,12,15,17},
+    {10,12,14,16},{9,11,13,15},{9,11,12,14},{8,10,12,14},
+    {8,9,11,13},{7,9,11,12},{7,9,10,12},{7,8,10,11},
+    {6,8,9,11},{6,7,9,10},{6,7,8,9},{2,2,2,2}};
+
+static const uint8_t kTransLps[64] = {
+    0,0,1,2,2,4,4,5,6,7,8,9,9,11,11,12,13,13,15,15,16,16,18,18,19,19,21,21,
+    22,22,23,24,24,25,26,26,27,27,28,29,29,30,30,30,31,32,32,33,33,33,34,34,
+    35,35,35,36,36,36,37,37,37,38,38,63};
+
+// context layout — MUST match bitstream/tables.py CTX_OFFSET ordering
+enum CtxOffsets {
+    CTX_SPLIT_CU = 0,       // 3
+    CTX_SKIP = 3,           // 3
+    CTX_MERGE_FLAG = 6,     // 1
+    CTX_MERGE_IDX = 7,      // 1
+    CTX_PART_SIZE = 8,      // 4
+    CTX_PRED_MODE = 12,     // 1
+    CTX_INTRA_LUMA = 13,    // 1
+    CTX_INTRA_CHROMA = 14,  // 2
+    CTX_DELTA_QP = 16,      // 3
+    CTX_INTER_DIR = 19,     // 5
+    CTX_REF_IDX = 24,       // 2
+    CTX_MVD = 26,           // 2
+    CTX_QT_CBF = 28,        // 7
+    CTX_TRANS_SUBDIV = 35,  // 3
+    CTX_QT_ROOT_CBF = 38,   // 1
+    CTX_SIG_CG = 39,        // 4
+    CTX_SIG = 43,           // 42
+    CTX_LAST_X = 85,        // 18
+    CTX_LAST_Y = 103,       // 18
+    CTX_ONE = 121,          // 24
+    CTX_ABS = 145,          // 6
+    CTX_MVP_IDX = 151,      // 1
+    CTX_SAO_MERGE = 152,    // 1
+    CTX_SAO_TYPE = 153,     // 1
+    CTX_TSKIP = 154,        // 2
+    CTX_TQ_BYPASS = 156,    // 1
+    NUM_CTX = 157
+};
+
+static const uint8_t CNU = 154;
+// init rows [B, P, I] flattened per tables.py _CTX_DEFS
+static const uint8_t kInit[3][NUM_CTX] = {
+  { // B
+    107,139,126, 197,185,201, 154, 137, 154,139,154,154, 134, 183, 152,139,
+    154,154,154, 95,79,63,31,31, 153,153, 169,198,
+    153,111,149,92,167,154,154, 224,167,122, 79, 121,140,61,154,
+    170,154,139,153,139,123,123,63,124,166,183,140,136,153,154,166,183,140,
+    136,153,154,166,183,140,136,153,154,170,153,138,138,122,121,122,121,167,
+    151,183,140,151,183,140,
+    125,110,124,110,95,94,125,111,111,79,125,126,111,111,79,108,123,93,
+    125,110,124,110,95,94,125,111,111,79,125,126,111,111,79,108,123,93,
+    154,196,167,167,154,152,167,182,182,134,149,136,153,121,136,122,169,208,
+    166,167,154,152,167,182,
+    107,167,91,107,107,167, 168, 153, 160, 139,139, 154 },
+  { // P
+    107,139,126, 197,185,201, 110, 122, 154,139,154,154, 149, 154, 152,139,
+    154,154,154, 95,79,63,31,31, 153,153, 140,198,
+    153,111,149,107,167,154,154, 124,138,94, 79, 121,140,61,154,
+    155,154,139,153,139,123,123,63,153,166,183,140,136,153,154,166,183,140,
+    136,153,154,166,183,140,136,153,154,170,153,123,123,107,121,107,121,167,
+    151,183,140,151,183,140,
+    125,110,94,110,95,79,125,111,110,78,110,111,111,95,94,108,123,108,
+    125,110,94,110,95,79,125,111,110,78,110,111,111,95,94,108,123,108,
+    154,196,196,167,154,152,167,182,182,134,149,136,153,121,136,137,169,194,
+    166,167,154,167,137,182,
+    107,167,91,122,107,167, 168, 153, 185, 139,139, 154 },
+  { // I
+    139,141,157, CNU,CNU,CNU, CNU, CNU, 184,CNU,CNU,CNU, CNU, 184, 63,139,
+    154,154,154, CNU,CNU,CNU,CNU,CNU, CNU,CNU, CNU,CNU,
+    111,141,94,138,182,154,154, 153,138,138, CNU, 91,171,134,141,
+    111,111,125,110,110,94,124,108,124,107,125,141,179,153,125,107,125,141,
+    179,153,125,107,125,141,179,153,125,140,139,182,182,152,136,152,136,153,
+    136,139,111,136,139,111,
+    110,110,124,125,140,153,125,127,140,109,111,143,127,111,79,108,123,63,
+    110,110,124,125,140,153,125,127,140,109,111,143,127,111,79,108,123,63,
+    140,92,137,138,140,152,138,139,153,74,149,92,139,107,122,152,140,179,
+    166,182,140,227,122,197,
+    138,153,136,167,152,152, CNU, 153, 200, 139,139, 154 }};
+
+// scan tables (generated at init from spec 6.5.3)
+struct Scans {
+    std::vector<int32_t> scan[3][4];    // [scanType][log2-2] coefficient scans
+    std::vector<int32_t> scanCG[3][4];  // CG scans
+    int32_t scan4[3][16];
+    Scans() {
+        for (int st = 0; st < 3; st++) {
+            for (int l = 2; l <= 5; l++)
+                build(st, l);
+            int32_t tmp[16];
+            block(st, 4, tmp);
+            memcpy(scan4[st], tmp, sizeof(tmp));
+        }
+    }
+    static void block(int st, int n, int32_t* out) {
+        int k = 0;
+        if (st == 1) {          // horizontal
+            for (int y = 0; y < n; y++)
+                for (int x = 0; x < n; x++) out[k++] = y * n + x;
+        } else if (st == 2) {   // vertical
+            for (int x = 0; x < n; x++)
+                for (int y = 0; y < n; y++) out[k++] = y * n + x;
+        } else {                // diagonal up-right
+            for (int d = 0; d < 2 * n - 1; d++) {
+                int y = d < n ? d : n - 1;
+                int x = d - y;
+                while (y >= 0 && x < n) out[k++] = (y--) * n + (x++);
+            }
+        }
+    }
+    void build(int st, int log2) {
+        int n = 1 << log2;
+        std::vector<int32_t>& s = scan[st][log2 - 2];
+        std::vector<int32_t>& cg = scanCG[st][log2 - 2];
+        s.resize(n * n);
+        if (log2 == 2) {
+            block(st, 4, s.data());
+            cg.assign(1, 0);
+            return;
+        }
+        int ncg = n >> 2;
+        cg.resize(ncg * ncg);
+        block(st, ncg, cg.data());
+        std::vector<int32_t> inner(16);
+        block(st, 4, inner.data());
+        int k = 0;
+        for (int c = 0; c < ncg * ncg; c++) {
+            int cy = cg[c] / ncg, cx = cg[c] % ncg;
+            for (int i = 0; i < 16; i++) {
+                int py = inner[i] / 4, px = inner[i] % 4;
+                s[k++] = (cy * 4 + py) * n + cx * 4 + px;
+            }
+        }
+    }
+};
+static const Scans g_scans;
+
+static const int32_t kMinInGroup[10] = {0,1,2,3,4,6,8,12,16,24};
+static int32_t kGroupIdx[32];
+static const struct GroupIdxInit {
+    GroupIdxInit() {
+        for (int pos = 0; pos < 32; pos++) {
+            int g = 0;
+            while (g < 9 && kMinInGroup[g + 1] <= pos) g++;
+            kGroupIdx[pos] = g;
+        }
+    }
+} g_groupIdxInit;
+
+static const uint8_t kSigPattern[5][16] = {
+    {2,1,1,0, 1,1,0,0, 1,0,0,0, 0,0,0,0},
+    {2,2,2,2, 1,1,1,1, 0,0,0,0, 0,0,0,0},
+    {2,1,0,0, 2,1,0,0, 2,1,0,0, 2,1,0,0},
+    {2,2,2,2, 2,2,2,2, 2,2,2,2, 2,2,2,2},
+    {0,1,4,5, 2,3,4,5, 6,6,8,8, 7,7,8,8}};
+
+// ---------------------------------------------------------------------------
+// CABAC engine (HM-style low/range; byte-identical to the Python reference)
+// ---------------------------------------------------------------------------
+
+struct Cabac {
+    std::vector<uint8_t> out;
+    uint32_t low = 0;
+    uint32_t range = 510;
+    int bitsLeft = -12;
+    int numBuffered = 0;
+    uint32_t bufferedByte = 0xFF;
+    uint8_t ctx[NUM_CTX];
+
+    void init(int sliceType, int qp) {
+        if (qp < 0) qp = 0;
+        if (qp > 51) qp = 51;
+        for (int i = 0; i < NUM_CTX; i++) {
+            int iv = kInit[sliceType][i];
+            int slope = (iv >> 4) * 5 - 45;
+            int offset = ((iv & 15) << 3) - 16;
+            int pre = ((slope * qp) >> 4) + offset;
+            if (pre < 1) pre = 1;
+            if (pre > 126) pre = 126;
+            ctx[i] = pre <= 63 ? uint8_t(((63 - pre) << 1)) : uint8_t(((pre - 64) << 1) | 1);
+        }
+    }
+
+    void writeOut() {
+        uint32_t lead = low >> (13 + bitsLeft);
+        low &= 0xFFFFFFFFu >> (19 - bitsLeft);
+        bitsLeft -= 8;
+        if (lead == 0xFF) {
+            numBuffered++;
+        } else {
+            if (numBuffered > 0) {
+                uint32_t carry = lead >> 8;
+                out.push_back(uint8_t(bufferedByte + carry));
+                uint8_t fill = uint8_t(0xFF + carry);
+                for (int i = 0; i < numBuffered - 1; i++) out.push_back(fill);
+            }
+            numBuffered = 1;
+            bufferedByte = lead & 0xFF;
+        }
+    }
+
+    void encodeBin(int bin, int ci) {
+        uint32_t mstate = ctx[ci];
+        uint32_t state = mstate >> 1, mps = mstate & 1;
+        uint32_t lps = kLps[state][(range >> 6) & 3];
+        range -= lps;
+        if ((uint32_t)bin != mps) {
+            int nb = 1;
+            while ((lps << nb) < 256) nb++;
+            low = (low + range) << nb;
+            range = lps << nb;
+            if (state == 0) mps = 1 - mps;
+            ctx[ci] = uint8_t((kTransLps[state] << 1) | mps);
+            bitsLeft += nb;
+        } else {
+            uint32_t next = state + 1 > 62 ? 62 : state + 1;
+            if (state == 63) next = 63;
+            ctx[ci] = uint8_t((next << 1) | mps);
+            if (range >= 256) return;
+            low <<= 1;
+            range <<= 1;
+            bitsLeft++;
+        }
+        if (bitsLeft >= 0) writeOut();
+    }
+
+    void encodeBinEP(int bin) {
+        low = (low << 1) + (bin ? range : 0);
+        bitsLeft++;
+        if (bitsLeft >= 0) writeOut();
+    }
+
+    void encodeBinsEP(uint32_t value, int nbins) {
+        while (nbins > 8) {
+            nbins -= 8;
+            uint32_t pattern = value >> nbins;
+            low = (low << 8) + range * pattern;
+            value -= pattern << nbins;
+            bitsLeft += 8;
+            if (bitsLeft >= 0) writeOut();
+        }
+        low = (low << nbins) + range * value;
+        bitsLeft += nbins;
+        if (bitsLeft >= 0) writeOut();
+    }
+
+    void encodeBinTrm(int bin) {
+        range -= 2;
+        if (bin) {
+            low = (low + range) << 7;
+            range = 2 << 7;
+            bitsLeft += 7;
+        } else if (range >= 256) {
+            return;
+        } else {
+            low <<= 1;
+            range <<= 1;
+            bitsLeft++;
+        }
+        if (bitsLeft >= 0) writeOut();
+    }
+
+    // returns (tail, tailBits) and appends buffered bytes
+    void finish(uint32_t* tail, int* tailBits) {
+        if (low >> (21 + bitsLeft)) {
+            out.push_back(uint8_t(bufferedByte + 1));
+            for (int i = 0; i < numBuffered - 1; i++) out.push_back(0x00);
+            low -= 1u << (21 + bitsLeft);
+        } else {
+            if (numBuffered > 0) out.push_back(uint8_t(bufferedByte));
+            for (int i = 0; i < numBuffered - 1; i++) out.push_back(0xFF);
+        }
+        *tailBits = 13 + bitsLeft;
+        *tail = (low >> 8) & ((1u << *tailBits) - 1);
+    }
+};
+
+// ---------------------------------------------------------------------------
+// residual_coding (spec 7.3.8.11)
+// ---------------------------------------------------------------------------
+
+static int selectScan(int log2, bool luma, int intraMode) {
+    if (intraMode >= 0) {
+        int maxLog2 = luma ? 3 : 2;   // 4:2:0
+        if (log2 <= maxLog2) {
+            if (intraMode >= 22 && intraMode <= 30) return 1;
+            if (intraMode >= 6 && intraMode <= 14) return 2;
+        }
+    }
+    return 0;
+}
+
+static int firstSigCtx(int log2, bool luma, int scanType) {
+    if (log2 == 2) return 0;
+    if (log2 == 3) return (scanType != 0 && luma) ? 15 : 9;
+    return luma ? 21 : 12;
+}
+
+static void encodeResidual(Cabac& cb, const int32_t* levels, int log2,
+                           bool luma, int intraMode, bool signHiding) {
+    const int n = 1 << log2;
+    const int st = selectScan(log2, luma, intraMode);
+    const int32_t* scan = g_scans.scan[st][log2 - 2].data();
+    const int32_t* cgScan = g_scans.scanCG[st][log2 - 2].data();
+    const int ncg = n > 4 ? (n >> 2) : 1;
+    const int fctx = firstSigCtx(log2, luma, st);
+
+    int32_t vals[32 * 32];
+    int lastScanPos = -1;
+    for (int i = 0; i < n * n; i++) {
+        vals[i] = levels[scan[i]];
+        if (vals[i]) lastScanPos = i;
+    }
+    // caller guarantees a nonzero TU
+    int posLast = scan[lastScanPos];
+
+    uint8_t cgFlags[8][8];
+    memset(cgFlags, 0, sizeof(cgFlags));
+    for (int i = 0; i <= lastScanPos; i++)
+        if (vals[i]) {
+            int p = scan[i];
+            cgFlags[(p >> log2) >> 2][(p & (n - 1)) >> 2] = 1;
+        }
+
+    // ---- last position ----
+    int lx = posLast & (n - 1), ly = posLast >> log2;
+    if (st == 2) { int t = lx; lx = ly; ly = t; }
+    int maxGroup = (log2 << 1) - 1;
+    int baseX, baseY, shift;
+    if (luma) {
+        baseX = CTX_LAST_X + 3 * (log2 - 2) + (log2 == 5 ? 1 : 0);
+        baseY = CTX_LAST_Y + 3 * (log2 - 2) + (log2 == 5 ? 1 : 0);
+        shift = (log2 + 1) >> 2;
+    } else {
+        baseX = CTX_LAST_X + 15;
+        baseY = CTX_LAST_Y + 15;
+        shift = log2 - 2;
+    }
+    uint32_t sufBits = 0;
+    int sufLen = 0;
+    const int poss[2] = {lx, ly};
+    const int bases[2] = {baseX, baseY};
+    for (int i = 0; i < 2; i++) {
+        int g = kGroupIdx[poss[i]];
+        for (int j = 0; j < g; j++) cb.encodeBin(1, bases[i] + (j >> shift));
+        if (g < maxGroup) cb.encodeBin(0, bases[i] + (g >> shift));
+        if (g > 3) {
+            int sl = (g >> 1) - 1;
+            sufBits = (sufBits << sl) | uint32_t(poss[i] & ((1 << sl) - 1));
+            sufLen += sl;
+        }
+    }
+    if (sufLen) cb.encodeBinsEP(sufBits, sufLen);
+
+    const int sigBank = CTX_SIG + (luma ? 0 : 27);
+    const int cgBank = CTX_SIG_CG + (luma ? 0 : 2);
+    const int oneBank = CTX_ONE + (luma ? 0 : 16);
+    const int absBank = CTX_ABS + (luma ? 0 : 4);
+    const int lastCG = lastScanPos >> 4;
+
+    int c1 = 1;
+    for (int cg = lastCG; cg >= 0; cg--) {
+        int cgBlk = ncg > 1 ? cgScan[cg] : 0;
+        int cgy = cgBlk / ncg, cgx = cgBlk % ncg;
+        const int32_t* inCG = vals + cg * 16;
+        int nzPos[16], numNZ = 0;
+        for (int k = 0; k < 16; k++)
+            if (inCG[k]) nzPos[numNZ++] = k;
+
+        int right = cgx + 1 < ncg ? cgFlags[cgy][cgx + 1] : 0;
+        int below = cgy + 1 < ncg ? cgFlags[cgy + 1][cgx] : 0;
+        if (cg == lastCG || cg == 0) {
+            cgFlags[cgy][cgx] = 1;
+        } else {
+            cb.encodeBin(numNZ ? 1 : 0, cgBank + (right | below));
+            if (!numNZ) continue;
+        }
+        int pattern = ncg > 1 ? (right + 2 * below) : 0;
+
+        // significance flags
+        int start = cg < lastCG ? 15 : (lastScanPos & 15) - 1;
+        int codedAny = cg == lastCG ? 1 : 0;
+        for (int k = start; k >= 0; k--) {
+            if (k == 0 && cg > 0 && cg != lastCG && codedAny == 0) break;
+            int sp = cg * 16 + k;
+            int sig = vals[sp] ? 1 : 0;
+            int blkPos = scan[sp];
+            int sctx;
+            int x = blkPos & (n - 1), y = blkPos >> log2;
+            if (log2 == 2)
+                sctx = kSigPattern[4][(y << 2) | x];
+            else if (blkPos == 0)
+                sctx = 0;
+            else {
+                int cnt = kSigPattern[pattern][((y & 3) << 2) | (x & 3)];
+                bool firstCG = x < 4 && y < 4;
+                sctx = cnt + fctx + ((luma && !firstCG) ? 3 : 0);
+            }
+            cb.encodeBin(sig, sigBank + sctx);
+            codedAny += sig;
+        }
+        if (!numNZ) continue;
+
+        // levels in reverse scan order
+        int absv[16], sgn[16];
+        for (int i = 0; i < numNZ; i++) {
+            int v = inCG[nzPos[numNZ - 1 - i]];
+            absv[i] = v < 0 ? -v : v;
+            sgn[i] = v < 0 ? 1 : 0;
+        }
+        bool hide = signHiding && (nzPos[numNZ - 1] - nzPos[0] >= 4);
+
+        int ctxSet = ((cg > 0 && luma) ? 2 : 0) + ((c1 & 3) ? 0 : 1);
+        c1 = 1;
+        int base1 = oneBank + 4 * ctxSet;
+        int numC1 = numNZ < 8 ? numNZ : 8;
+        int firstC2 = -1;
+        for (int i = 0; i < numC1; i++) {
+            int sym = absv[i] > 1;
+            cb.encodeBin(sym, base1 + c1);
+            if (sym) {
+                c1 = 0;
+                if (firstC2 < 0) firstC2 = i;
+            } else if (c1 > 0 && c1 < 3) {
+                c1++;
+            }
+        }
+        if (c1 == 0 && firstC2 >= 0)
+            cb.encodeBin(absv[firstC2] > 2 ? 1 : 0, absBank + ctxSet);
+
+        int nsign = numNZ - (hide ? 1 : 0);
+        uint32_t signBits = 0;
+        for (int i = 0; i < nsign; i++) signBits = (signBits << 1) | sgn[i];
+        if (nsign) cb.encodeBinsEP(signBits, nsign);
+
+        if (c1 == 0 || numNZ > 8) {
+            int goRice = 0;
+            int threshold = 3;
+            int firstCoeff2 = 1;
+            int startIdx = firstC2 >= 0 ? firstC2 : 0;
+            for (int i = startIdx; i < numNZ; i++) {
+                if (firstC2 < 0 && i < 8) continue;
+                int baseLevel = i < 8 ? 2 + firstCoeff2 : 1;
+                if (absv[i] >= baseLevel) {
+                    uint32_t code = uint32_t(absv[i] - baseLevel);
+                    if ((code >> goRice) < 3) {
+                        int len = code >> goRice;
+                        cb.encodeBinsEP((((1u << (len + 1)) - 2) << goRice)
+                                        + (code & ((1u << goRice) - 1)),
+                                        len + 1 + goRice);
+                    } else {
+                        uint32_t cn = (code >> goRice) - 3;
+                        int len = 0;
+                        while ((1u << (len + 1)) <= cn + 1) len++;
+                        cn -= (1u << len) - 1;
+                        cn = (cn << goRice) + (code & ((1u << goRice) - 1));
+                        cb.encodeBinsEP((1u << (3 + len + 1)) - 2, 3 + len + 1);
+                        cb.encodeBinsEP(cn, len + goRice);
+                    }
+                    if (absv[i] > threshold && goRice <= 3) {
+                        goRice++;
+                        threshold <<= 1;
+                    }
+                }
+                firstCoeff2 = 0;
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// intra CU syntax (uniform grid; spec 7.3.8.5-7.3.8.11 subset)
+// ---------------------------------------------------------------------------
+
+static void deriveMPM(int left, int above, int mpm[3]) {
+    if (left == above) {
+        if (left < 2) { mpm[0] = 0; mpm[1] = 1; mpm[2] = 26; return; }
+        mpm[0] = left;
+        mpm[1] = 2 + ((left + 29) % 32);
+        mpm[2] = 2 + ((left - 2 + 1) % 32);
+        return;
+    }
+    mpm[0] = left; mpm[1] = above;
+    if (left != 0 && above != 0) mpm[2] = 0;
+    else if (left != 1 && above != 1) mpm[2] = 1;
+    else mpm[2] = 26;
+}
+
+static void encodeIntraLumaMode(Cabac& cb, int mode, const int mpm[3]) {
+    int idx = mode == mpm[0] ? 0 : mode == mpm[1] ? 1 : mode == mpm[2] ? 2 : -1;
+    if (idx >= 0) {
+        cb.encodeBin(1, CTX_INTRA_LUMA);
+        cb.encodeBinEP(idx == 0 ? 0 : 1);
+        if (idx) cb.encodeBinEP(idx - 1);
+    } else {
+        cb.encodeBin(0, CTX_INTRA_LUMA);
+        int s[3] = {mpm[0], mpm[1], mpm[2]};
+        // sort descending
+        for (int a = 0; a < 2; a++)
+            for (int b = a + 1; b < 3; b++)
+                if (s[b] > s[a]) { int t = s[a]; s[a] = s[b]; s[b] = t; }
+        int rem = mode;
+        for (int a = 0; a < 3; a++)
+            if (rem > s[a]) rem--;
+        cb.encodeBinsEP(uint32_t(rem), 5);
+    }
+}
+
+static bool anyNonzero(const int32_t* p, int count) {
+    for (int i = 0; i < count; i++)
+        if (p[i]) return true;
+    return false;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Encode a full intra slice's CTU data (uniform CU grid, 2Nx2N, DM chroma,
+// one luma TU = CU). Returns number of payload bytes written to outBuf,
+// with *tailValue/*tailBits the final non-byte-aligned CABAC tail.
+// modes: [rows*cols]; levelsY: [rows*cols, n*n]; levelsCb/Cr: [rows*cols, (n/2)^2]
+int asuna_encode_intra_slice(
+    const int32_t* modes, const int32_t* levelsY, const int32_t* levelsCb,
+    const int32_t* levelsCr, int rows, int cols, int log2cu, int qp,
+    int partModeCoded, int chromaPresent, int signHiding,
+    uint8_t* outBuf, int outCap, uint32_t* tailValue, int* tailBits)
+{
+    Cabac cb;
+    cb.init(2, qp);   // I-slice
+    const int n = 1 << log2cu;
+    const int nc = n >> 1;
+    const int ncu = rows * cols;
+    for (int r = 0; r < rows; r++) {
+        for (int c = 0; c < cols; c++) {
+            int idx = r * cols + c;
+            int mode = modes[idx];
+            const int32_t* ly = levelsY + (size_t)idx * n * n;
+            const int32_t* lcb = levelsCb + (size_t)idx * nc * nc;
+            const int32_t* lcr = levelsCr + (size_t)idx * nc * nc;
+
+            if (partModeCoded) cb.encodeBin(1, CTX_PART_SIZE);
+            int mpm[3];
+            deriveMPM(c > 0 ? modes[idx - 1] : 1, 1, mpm);
+            encodeIntraLumaMode(cb, mode, mpm);
+            if (chromaPresent) cb.encodeBin(0, CTX_INTRA_CHROMA);  // DM
+
+            int cbfY = anyNonzero(ly, n * n) ? 1 : 0;
+            int cbfCb = chromaPresent && anyNonzero(lcb, nc * nc) ? 1 : 0;
+            int cbfCr = chromaPresent && anyNonzero(lcr, nc * nc) ? 1 : 0;
+            if (chromaPresent) {
+                cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
+                cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
+            }
+            cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+            if (cbfY) encodeResidual(cb, ly, log2cu, true, mode, signHiding);
+            if (cbfCb) encodeResidual(cb, lcb, log2cu - 1, false, mode, signHiding);
+            if (cbfCr) encodeResidual(cb, lcr, log2cu - 1, false, mode, signHiding);
+
+            cb.encodeBinTrm(idx == ncu - 1 ? 1 : 0);
+        }
+    }
+    cb.finish(tailValue, tailBits);
+    if ((int)cb.out.size() > outCap) return -1;
+    memcpy(outBuf, cb.out.data(), cb.out.size());
+    return (int)cb.out.size();
+}
+
+// Standalone residual encode (golden tests vs the Python reference).
+int asuna_encode_residual_test(const int32_t* levels, int log2, int isLuma,
+                               int intraMode, int qp, uint8_t* outBuf,
+                               int outCap, uint32_t* tailValue, int* tailBits)
+{
+    Cabac cb;
+    cb.init(2, qp);
+    encodeResidual(cb, levels, log2, isLuma != 0, intraMode, false);
+    cb.encodeBinTrm(1);
+    cb.finish(tailValue, tailBits);
+    if ((int)cb.out.size() > outCap) return -1;
+    memcpy(outBuf, cb.out.data(), cb.out.size());
+    return (int)cb.out.size();
+}
+
+}  // extern "C"

@@ -1,0 +1,210 @@
+"""HEVC deblocking filter (spec 8.7.2), vectorized over all edges.
+
+Reference behavior (studied, not copied): /root/reference/source/common/
+deblock.cpp (tables are spec constants, Table 8-12).
+
+TPU-first design: instead of per-edge scalar loops, every vertical edge
+column in the picture is filtered in one batched elementwise pass (VPU),
+then every horizontal edge (on the vertically-filtered output, per spec
+ordering). For the round-1 uniform intra grid all CU-boundary edges have
+boundary strength 2 and a single QP, so thresholds are scalars; the API
+accepts per-edge BS/QP arrays for the general case later.
+
+Decoder-normative: output must be bit-exact (validated by FFmpeg decode in
+tests/test_conformance.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Table 8-12 (spec constants)
+TC_TABLE = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11,
+    13, 14, 16, 18, 20, 22, 24], dtype=np.int32)
+BETA_TABLE = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9, 10, 11, 12,
+    13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32, 34, 36, 38, 40, 42,
+    44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64], dtype=np.int32)
+
+DEFAULT_INTRA_TC_OFFSET = 2
+
+
+def luma_thresholds(qp: int, beta_offset: int = 0, tc_offset: int = 0,
+                    bs: int = 2, bit_depth: int = 8):
+    shift = bit_depth - 8
+    idx_b = int(np.clip(qp + beta_offset, 0, 51))
+    idx_tc = int(np.clip(qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + tc_offset, 0, 53))
+    return int(BETA_TABLE[idx_b]) << shift, int(TC_TABLE[idx_tc]) << shift
+
+
+def _filter_vertical_edges(plane, edge_cols, beta, tc, maxv, xp):
+    """Filter the vertical edges at columns `edge_cols` (static python list).
+    plane: int32 [H, W]. Returns the filtered plane.
+
+    Layout: for an edge at x0, p_i = plane[:, x0-1-i], q_i = plane[:, x0+i].
+    Decisions are made per 4-row segment from rows 0 and 3 (spec 8.7.2.5.3).
+    """
+    if not edge_cols or tc == 0:
+        return plane
+    H = plane.shape[0]
+    E = len(edge_cols)
+    x0 = np.asarray(edge_cols, dtype=np.int32)          # [E]
+    # gather p3..p0, q0..q3: [H, E]
+    cols_p = x0[None, :] - 1 - np.arange(4)[:, None]    # [4, E] p0..p3 cols
+    cols_q = x0[None, :] + np.arange(4)[:, None]
+    if xp is not np:
+        cols_p, cols_q = xp.asarray(cols_p), xp.asarray(cols_q)
+    p = plane[:, cols_p]                                # [H, 4, E]
+    q = plane[:, cols_q]
+    p0, p1, p2, p3 = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    q0, q1, q2, q3 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+
+    # segment decisions on rows 0 and 3 of each 4-row group
+    def seg(v):
+        return v.reshape(H // 4, 4, E)
+
+    dp = xp.abs(p2 - 2 * p1 + p0)                       # [H, E]
+    dq = xp.abs(q2 - 2 * q1 + q0)
+    dp_s, dq_s = seg(dp), seg(dq)
+    dp0, dp3 = dp_s[:, 0], dp_s[:, 3]                   # [H/4, E]
+    dq0, dq3 = dq_s[:, 0], dq_s[:, 3]
+    dpq0 = dp0 + dq0
+    dpq3 = dp3 + dq3
+    d = dpq0 + dpq3
+    filter_on = d < beta                                # [H/4, E]
+
+    side_p = (dp0 + dp3) < ((beta + (beta >> 1)) >> 3)
+    side_q = (dq0 + dq3) < ((beta + (beta >> 1)) >> 3)
+
+    # strong decision needs per-line tests at rows 0 and 3
+    sdist = xp.abs(seg(p3 - p0)) + xp.abs(seg(q0 - q3))
+    pq = xp.abs(seg(p0 - q0))
+    def strong_line(i, dpq):
+        return ((2 * dpq < (beta >> 2)) &
+                (sdist[:, i] < (beta >> 3)) &
+                (pq[:, i] < ((5 * tc + 1) >> 1)))
+    strong = strong_line(0, dpq0) & strong_line(3, dpq3)   # [H/4, E]
+
+    # broadcast segment decisions to rows
+    def bseg(m):
+        return xp.repeat(m, 4, axis=0)                  # [H, E]
+    filter_on_r = bseg(filter_on)
+    strong_r = bseg(strong)
+    side_p_r = bseg(side_p)
+    side_q_r = bseg(side_q)
+
+    # ---- strong filter ----
+    def clip_tc2(v, ref):
+        return xp.clip(v, ref - 2 * tc, ref + 2 * tc)
+    sp0 = clip_tc2((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3, p0)
+    sp1 = clip_tc2((p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    sp2 = clip_tc2((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    sq0 = clip_tc2((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3, q0)
+    sq1 = clip_tc2((q2 + q1 + q0 + p0 + 2) >> 2, q1)
+    sq2 = clip_tc2((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+
+    # ---- weak filter ----
+    delta0 = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    weak_on = xp.abs(delta0) < (10 * tc)
+    delta = xp.clip(delta0, -tc, tc)
+    wp0 = xp.clip(p0 + delta, 0, maxv)
+    wq0 = xp.clip(q0 - delta, 0, maxv)
+    half_tc = tc >> 1
+    dp1 = xp.clip((((p2 + p0 + 1) >> 1) - p1 + delta) >> 1, -half_tc, half_tc)
+    wp1 = xp.clip(p1 + dp1, 0, maxv)
+    dq1 = xp.clip((((q2 + q0 + 1) >> 1) - q1 - delta) >> 1, -half_tc, half_tc)
+    wq1 = xp.clip(q1 + dq1, 0, maxv)
+
+    weak = filter_on_r & ~strong_r & weak_on
+    strong_m = filter_on_r & strong_r
+
+    np0 = xp.where(strong_m, sp0, xp.where(weak, wp0, p0))
+    nq0 = xp.where(strong_m, sq0, xp.where(weak, wq0, q0))
+    np1 = xp.where(strong_m, sp1, xp.where(weak & side_p_r, wp1, p1))
+    nq1 = xp.where(strong_m, sq1, xp.where(weak & side_q_r, wq1, q1))
+    np2 = xp.where(strong_m, sp2, p2)
+    nq2 = xp.where(strong_m, sq2, q2)
+
+    # scatter back
+    if xp is np:
+        out = plane.copy()
+        out[:, cols_p[0]] = np0
+        out[:, cols_p[1]] = np1
+        out[:, cols_p[2]] = np2
+        out[:, cols_q[0]] = nq0
+        out[:, cols_q[1]] = nq1
+        out[:, cols_q[2]] = nq2
+        return out
+    out = plane
+    out = out.at[:, cols_p[0]].set(np0)
+    out = out.at[:, cols_p[1]].set(np1)
+    out = out.at[:, cols_p[2]].set(np2)
+    out = out.at[:, cols_q[0]].set(nq0)
+    out = out.at[:, cols_q[1]].set(nq1)
+    out = out.at[:, cols_q[2]].set(nq2)
+    return out
+
+
+def _filter_vertical_edges_chroma(plane, edge_cols, tc, maxv, xp):
+    """Chroma deblock (BS==2 edges only): 1 pixel each side (spec 8.7.2.5.5)."""
+    if not edge_cols or tc == 0:
+        return plane
+    x0 = np.asarray(edge_cols, dtype=np.int32)
+    cols_p = x0[None, :] - 1 - np.arange(2)[:, None]
+    cols_q = x0[None, :] + np.arange(2)[:, None]
+    if xp is not np:
+        cols_p, cols_q = xp.asarray(cols_p), xp.asarray(cols_q)
+    p = plane[:, cols_p]
+    q = plane[:, cols_q]
+    p0, p1 = p[:, 0], p[:, 1]
+    q0, q1 = q[:, 0], q[:, 1]
+    delta = xp.clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tc, tc)
+    np0 = xp.clip(p0 + delta, 0, maxv)
+    nq0 = xp.clip(q0 - delta, 0, maxv)
+    if xp is np:
+        out = plane.copy()
+        out[:, cols_p[0]] = np0
+        out[:, cols_q[0]] = nq0
+        return out
+    out = plane.at[:, cols_p[0]].set(np0)
+    out = out.at[:, cols_q[0]].set(nq0)
+    return out
+
+
+def deblock_frame_uniform(recon_y, recon_u, recon_v, cu_size: int, qp_y: int,
+                          qp_c: int, bit_depth: int = 8,
+                          beta_offset: int = 0, tc_offset: int = 0, xp=np):
+    """Deblock an all-intra uniform-CU-grid frame (all CU edges BS=2).
+
+    Ordering per spec: all vertical edges (whole picture), then all
+    horizontal edges using the vertically-filtered samples.
+    """
+    H, W = recon_y.shape
+    maxv = (1 << bit_depth) - 1
+    beta, tc = luma_thresholds(qp_y, beta_offset, tc_offset, 2, bit_depth)
+    _, tc_c = luma_thresholds(qp_c, beta_offset, tc_offset, 2, bit_depth)
+
+    y = recon_y.astype(xp.int32)
+    u = recon_u.astype(xp.int32)
+    v = recon_v.astype(xp.int32)
+
+    vcols = [x for x in range(cu_size, W, cu_size)]
+    hrows = [yv for yv in range(cu_size, H, cu_size)]
+    # chroma edges on the 16-luma grid -> every multiple of 8 in chroma coords
+    c_step = max(cu_size // 2, 8)
+    vcols_c = [x for x in range(c_step, W // 2, c_step)]
+    hrows_c = [yv for yv in range(c_step, H // 2, c_step)]
+
+    y = _filter_vertical_edges(y, vcols, beta, tc, maxv, xp)
+    y = xp.swapaxes(
+        _filter_vertical_edges(xp.swapaxes(y, 0, 1), hrows, beta, tc, maxv, xp), 0, 1)
+
+    u = _filter_vertical_edges_chroma(u, vcols_c, tc_c, maxv, xp)
+    u = xp.swapaxes(
+        _filter_vertical_edges_chroma(xp.swapaxes(u, 0, 1), hrows_c, tc_c, maxv, xp), 0, 1)
+    v = _filter_vertical_edges_chroma(v, vcols_c, tc_c, maxv, xp)
+    v = xp.swapaxes(
+        _filter_vertical_edges_chroma(xp.swapaxes(v, 0, 1), hrows_c, tc_c, maxv, xp), 0, 1)
+    return y, u, v
