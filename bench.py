@@ -75,15 +75,15 @@ def main():
     from x265_yuuki_asuna_tpu.models.encoder_top import IntraEncoderSession
     sess = IntraEncoderSession(W, H, qp=QP, cu_size=16, hash_sei=False)
 
-    # warmup / compile
-    y, u, v = frames[0]
-    sess.encode_frame(y, u, v)
+    # warmup / compile (batched path)
+    BATCH = 8
+    sess.encode_batch(frames[:BATCH])
 
     t0 = time.time()
     total_bits = 0
-    for (y, u, v) in frames:
-        fr = sess.encode_frame(y, u, v)
-        total_bits += fr.bits
+    for i in range(0, len(frames), BATCH):
+        for fr in sess.encode_batch(frames[i:i + BATCH]):
+            total_bits += fr.bits
     dt = time.time() - t0
     fps = len(frames) / dt
 

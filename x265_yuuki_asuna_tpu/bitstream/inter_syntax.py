@@ -1,0 +1,341 @@
+"""Inter (P-slice) CU syntax + merge/AMVP candidate derivation.
+
+Spec: ITU-T H.265 7.3.8.5-7.3.8.6 (coding_unit/prediction_unit),
+8.5.3.2.2-8.5.3.2.7 (merge + MVP derivation). Reference behavior studied
+(not copied): entropy.cpp codePredInfo/codeMvd, cudata.cpp getInterMergeCandidates/
+getPUMVPredictors — specialised here to the round-1 uniform 2Nx2N CU grid
+with one L0 reference (so no scaling, no ref-idx coding, no temporal MVP).
+
+Decoder-normative: the encoder must signal merge_idx/mvp flags against the
+exact candidate lists the decoder derives; both sides are implemented here
+and exercised by the FFmpeg conformance tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import tables as T
+from .cabac import CabacEncoder, CabacDecoder
+from .ctu_syntax import (derive_mpm, encode_intra_luma_mode,
+                         decode_intra_luma_mode, encode_intra_chroma_mode,
+                         decode_intra_chroma_mode)
+from .residual import encode_residual, decode_residual
+
+CTX = T.CTX_OFFSET
+DC_MODE = 1
+
+
+@dataclass
+class CUInfo:
+    """Final per-CU state as the decoder sees it (uniform 2Nx2N grid)."""
+    is_intra: bool
+    mv: Tuple[int, int] = (0, 0)       # quarter-pel, L0
+    intra_mode: int = DC_MODE
+    skip: bool = False
+
+
+def merge_candidates(grid: List[List[Optional[CUInfo]]], r: int, c: int,
+                     max_cands: int) -> List[Tuple[int, int]]:
+    """Merge candidate MV list for CU (r, c) of a uniform 2Nx2N grid
+    (spec 8.5.3.2.3 specialised: A1=left, B1=above, B0=above-right,
+    A0=below-left (never decoded yet -> absent), B2=above-left; then
+    zero-MV fill. Single L0 reference."""
+    rows = len(grid)
+    cols = len(grid[0])
+
+    def inter_mv(rr, cc):
+        if 0 <= rr < rows and 0 <= cc < cols:
+            cu = grid[rr][cc]
+            if cu is not None and not cu.is_intra:
+                return cu.mv
+        return None
+
+    a1 = inter_mv(r, c - 1)
+    b1 = inter_mv(r - 1, c)
+    b0 = inter_mv(r - 1, c + 1)
+    b2 = inter_mv(r - 1, c - 1)
+
+    cands: List[Tuple[int, int]] = []
+    if a1 is not None:
+        cands.append(a1)
+    if b1 is not None and b1 != a1:
+        cands.append(b1)
+    if b0 is not None and b0 != b1:
+        cands.append(b0)
+    # A0 is below-left: not yet decoded in raster order -> unavailable
+    if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+        cands.append(b2)
+    while len(cands) < max_cands:
+        cands.append((0, 0))
+    return cands[:max_cands]
+
+
+def amvp_candidates(grid: List[List[Optional[CUInfo]]], r: int, c: int
+                    ) -> List[Tuple[int, int]]:
+    """AMVP predictor list (2 entries) — spec 8.5.3.2.6 specialised to one
+    reference (no scaling): left candidate (A1; A0 undecoded), then above
+    (B0, B1, B2 first available), dedupe, zero-fill."""
+    rows = len(grid)
+    cols = len(grid[0])
+
+    def inter_mv(rr, cc):
+        if 0 <= rr < rows and 0 <= cc < cols:
+            cu = grid[rr][cc]
+            if cu is not None and not cu.is_intra:
+                return cu.mv
+        return None
+
+    cand_a = inter_mv(r, c - 1)
+    cand_b = None
+    for rr, cc in ((r - 1, c + 1), (r - 1, c), (r - 1, c - 1)):
+        mv = inter_mv(rr, cc)
+        if mv is not None:
+            cand_b = mv
+            break
+    out: List[Tuple[int, int]] = []
+    if cand_a is not None:
+        out.append(cand_a)
+    if cand_b is not None and cand_b != cand_a:
+        out.append(cand_b)
+    while len(out) < 2:
+        out.append((0, 0))
+    return out[:2]
+
+
+# ---------------------------------------------------------------------------
+# bin coding
+# ---------------------------------------------------------------------------
+
+def encode_merge_idx(enc: CabacEncoder, idx: int, max_cands: int):
+    if max_cands <= 1:
+        return
+    enc.encode_bin(1 if idx > 0 else 0, CTX["merge_idx"])
+    if idx > 0:
+        for i in range(1, idx):
+            enc.encode_bin_ep(1)
+        if idx < max_cands - 1:
+            enc.encode_bin_ep(0)
+
+
+def decode_merge_idx(dec: CabacDecoder, max_cands: int) -> int:
+    if max_cands <= 1:
+        return 0
+    if not dec.decode_bin(CTX["merge_idx"]):
+        return 0
+    idx = 1
+    while idx < max_cands - 1 and dec.decode_bin_ep():
+        idx += 1
+    return idx
+
+
+def encode_mvd(enc: CabacEncoder, mvd_x: int, mvd_y: int):
+    """Spec 7.3.8.9 mvd_coding."""
+    gx0, gy0 = abs(mvd_x) > 0, abs(mvd_y) > 0
+    enc.encode_bin(1 if gx0 else 0, CTX["mvd"])
+    enc.encode_bin(1 if gy0 else 0, CTX["mvd"])
+    if gx0:
+        enc.encode_bin(1 if abs(mvd_x) > 1 else 0, CTX["mvd"] + 1)
+    if gy0:
+        enc.encode_bin(1 if abs(mvd_y) > 1 else 0, CTX["mvd"] + 1)
+    for v in (mvd_x, mvd_y):
+        if abs(v) > 0:
+            if abs(v) > 1:
+                _write_eg1(enc, abs(v) - 2)
+            enc.encode_bin_ep(1 if v < 0 else 0)
+
+
+def decode_mvd(dec: CabacDecoder) -> Tuple[int, int]:
+    gx0 = dec.decode_bin(CTX["mvd"])
+    gy0 = dec.decode_bin(CTX["mvd"])
+    gx1 = dec.decode_bin(CTX["mvd"] + 1) if gx0 else 0
+    gy1 = dec.decode_bin(CTX["mvd"] + 1) if gy0 else 0
+    out = []
+    for g0, g1 in ((gx0, gx1), (gy0, gy1)):
+        if not g0:
+            out.append(0)
+            continue
+        mag = 1
+        if g1:
+            mag = 2 + _read_eg1(dec)
+        sign = dec.decode_bin_ep()
+        out.append(-mag if sign else mag)
+    return out[0], out[1]
+
+
+def _write_eg1(enc: CabacEncoder, value: int):
+    """1st-order Exp-Golomb, bypass (spec 9.3.3.3)."""
+    k = 1
+    while value >= (1 << k):
+        enc.encode_bin_ep(1)
+        value -= 1 << k
+        k += 1
+    enc.encode_bin_ep(0)
+    enc.encode_bins_ep(value, k)
+
+
+def _read_eg1(dec: CabacDecoder) -> int:
+    k = 1
+    base = 0
+    while dec.decode_bin_ep():
+        base += 1 << k
+        k += 1
+    return base + dec.decode_bins_ep(k)
+
+
+@dataclass
+class InterCTUDecision:
+    """Signaling decision for one CU in a P slice (uniform grid)."""
+    is_intra: bool
+    intra_mode: int = DC_MODE
+    mv: Tuple[int, int] = (0, 0)
+    merge_idx: int = -1            # >= 0: merge mode with this index
+    mvp_flag: int = 0              # AMVP predictor choice when not merge
+    mvd: Tuple[int, int] = (0, 0)
+    luma_levels: Optional[np.ndarray] = None
+    cb_levels: Optional[np.ndarray] = None
+    cr_levels: Optional[np.ndarray] = None
+
+    @property
+    def has_residual(self) -> bool:
+        return (np.any(self.luma_levels) or np.any(self.cb_levels)
+                or np.any(self.cr_levels))
+
+
+def skip_ctx(grid: List[List[Optional[CUInfo]]], r: int, c: int) -> int:
+    left = grid[r][c - 1] if c > 0 else None
+    above = grid[r - 1][c] if r > 0 else None
+    return (1 if (left is not None and left.skip) else 0) + \
+           (1 if (above is not None and above.skip) else 0)
+
+
+def encode_inter_ctu(enc: CabacEncoder, d: InterCTUDecision,
+                     grid: List[List[Optional[CUInfo]]], r: int, c: int,
+                     log2_cu: int, max_merge: int, sign_hiding: bool = False):
+    """coding_unit() for a P slice, uniform 2Nx2N grid."""
+    is_skip = (not d.is_intra and d.merge_idx >= 0 and not d.has_residual)
+    enc.encode_bin(1 if is_skip else 0, CTX["skip"] + skip_ctx(grid, r, c))
+    if is_skip:
+        encode_merge_idx(enc, d.merge_idx, max_merge)
+        grid[r][c] = CUInfo(False, d.mv, skip=True)
+        return
+    enc.encode_bin(0 if not d.is_intra else 1, CTX["pred_mode"])
+    if d.is_intra:
+        # part_mode 2Nx2N for intra in P slice (CU == minCB so coded)
+        enc.encode_bin(1, CTX["part_size"])
+        cand_left = grid[r][c - 1] if c > 0 else None
+        cl = cand_left.intra_mode if (cand_left is not None and cand_left.is_intra) else DC_MODE
+        mpm = derive_mpm(cl, DC_MODE)
+        encode_intra_luma_mode(enc, d.intra_mode, mpm)
+        enc.encode_bin(0, CTX["intra_chroma"])       # DM chroma
+        cbf_cb = 1 if np.any(d.cb_levels) else 0
+        cbf_cr = 1 if np.any(d.cr_levels) else 0
+        enc.encode_bin(cbf_cb, CTX["qt_cbf"] + 2)
+        enc.encode_bin(cbf_cr, CTX["qt_cbf"] + 2)
+        cbf_y = 1 if np.any(d.luma_levels) else 0
+        enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
+        if cbf_y:
+            encode_residual(enc, d.luma_levels, log2_cu, True, d.intra_mode,
+                            sign_hiding)
+        if cbf_cb:
+            encode_residual(enc, d.cb_levels, log2_cu - 1, False, d.intra_mode,
+                            sign_hiding)
+        if cbf_cr:
+            encode_residual(enc, d.cr_levels, log2_cu - 1, False, d.intra_mode,
+                            sign_hiding)
+        grid[r][c] = CUInfo(True, (0, 0), d.intra_mode)
+        return
+
+    # inter, 2Nx2N: part_mode bin '1' (ctx 0)
+    enc.encode_bin(1, CTX["part_size"])
+    if d.merge_idx >= 0:
+        enc.encode_bin(1, CTX["merge_flag"])
+        encode_merge_idx(enc, d.merge_idx, max_merge)
+    else:
+        enc.encode_bin(0, CTX["merge_flag"])
+        # P slice: no inter_pred_idc, single ref -> no ref_idx
+        encode_mvd(enc, d.mvd[0], d.mvd[1])
+        enc.encode_bin(d.mvp_flag, CTX["mvp_idx"])
+    rqt_root_cbf = 1 if d.has_residual else 0
+    enc.encode_bin(rqt_root_cbf, CTX["qt_root_cbf"])
+    if rqt_root_cbf:
+        cbf_cb = 1 if np.any(d.cb_levels) else 0
+        cbf_cr = 1 if np.any(d.cr_levels) else 0
+        enc.encode_bin(cbf_cb, CTX["qt_cbf"] + 2)
+        enc.encode_bin(cbf_cr, CTX["qt_cbf"] + 2)
+        cbf_y = 1 if np.any(d.luma_levels) else 0
+        if cbf_cb or cbf_cr:
+            enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
+        else:
+            assert cbf_y, "rqt_root_cbf=1 with no coded cbf"
+        if cbf_y:
+            encode_residual(enc, d.luma_levels, log2_cu, True, -1, sign_hiding)
+        if cbf_cb:
+            encode_residual(enc, d.cb_levels, log2_cu - 1, False, -1, sign_hiding)
+        if cbf_cr:
+            encode_residual(enc, d.cr_levels, log2_cu - 1, False, -1, sign_hiding)
+    grid[r][c] = CUInfo(False, d.mv, skip=False)
+
+
+def decode_inter_ctu(dec: CabacDecoder, grid: List[List[Optional[CUInfo]]],
+                     r: int, c: int, log2_cu: int, max_merge: int,
+                     sign_hiding: bool = False):
+    """Decoder mirror; returns (CUInfo, luma, cb, cr level arrays)."""
+    n = 1 << log2_cu
+    nc = n // 2
+    z = lambda k: np.zeros((k, k), np.int32)
+    if dec.decode_bin(CTX["skip"] + skip_ctx(grid, r, c)):
+        idx = decode_merge_idx(dec, max_merge)
+        cands = merge_candidates(
+            [[grid[rr][cc] for cc in range(len(grid[0]))] for rr in range(len(grid))],
+            r, c, max_merge)
+        cu = CUInfo(False, cands[idx], skip=True)
+        grid[r][c] = cu
+        return cu, z(n), z(nc), z(nc)
+    if dec.decode_bin(CTX["pred_mode"]):
+        # intra
+        part = dec.decode_bin(CTX["part_size"])
+        assert part == 1
+        left = grid[r][c - 1] if c > 0 else None
+        cl = left.intra_mode if (left is not None and left.is_intra) else DC_MODE
+        mpm = derive_mpm(cl, DC_MODE)
+        mode = decode_intra_luma_mode(dec, mpm)
+        cmode = decode_intra_chroma_mode(dec, mode)
+        cbf_cb = dec.decode_bin(CTX["qt_cbf"] + 2)
+        cbf_cr = dec.decode_bin(CTX["qt_cbf"] + 2)
+        cbf_y = dec.decode_bin(CTX["qt_cbf"] + 1)
+        ly = decode_residual(dec, log2_cu, True, mode, sign_hiding) if cbf_y else z(n)
+        cb = decode_residual(dec, log2_cu - 1, False, cmode, sign_hiding) if cbf_cb else z(nc)
+        cr = decode_residual(dec, log2_cu - 1, False, cmode, sign_hiding) if cbf_cr else z(nc)
+        cu = CUInfo(True, (0, 0), mode)
+        grid[r][c] = cu
+        return cu, ly, cb, cr
+    part = dec.decode_bin(CTX["part_size"])
+    assert part == 1
+    if dec.decode_bin(CTX["merge_flag"]):
+        idx = decode_merge_idx(dec, max_merge)
+        cands = merge_candidates(grid, r, c, max_merge)
+        mv = cands[idx]
+    else:
+        mvd = decode_mvd(dec)
+        mvp = dec.decode_bin(CTX["mvp_idx"])
+        preds = amvp_candidates(grid, r, c)
+        mv = (preds[mvp][0] + mvd[0], preds[mvp][1] + mvd[1])
+    rqt_root_cbf = dec.decode_bin(CTX["qt_root_cbf"])
+    ly, cb, cr = z(n), z(nc), z(nc)
+    if rqt_root_cbf:
+        cbf_cb = dec.decode_bin(CTX["qt_cbf"] + 2)
+        cbf_cr = dec.decode_bin(CTX["qt_cbf"] + 2)
+        cbf_y = dec.decode_bin(CTX["qt_cbf"] + 1) if (cbf_cb or cbf_cr) else 1
+        if cbf_y:
+            ly = decode_residual(dec, log2_cu, True, -1, sign_hiding)
+        if cbf_cb:
+            cb = decode_residual(dec, log2_cu - 1, False, -1, sign_hiding)
+        if cbf_cr:
+            cr = decode_residual(dec, log2_cu - 1, False, -1, sign_hiding)
+    cu = CUInfo(False, mv, skip=False)
+    grid[r][c] = cu
+    return cu, ly, cb, cr

@@ -33,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--preset", default="medium")
     ap.add_argument("--recon", default=None, help="write recon yuv")
     ap.add_argument("--no-hash", action="store_true", help="skip hash SEI")
+    ap.add_argument("--frame-batch", type=int, default=4,
+                    help="frames encoded per device batch (frame-parallelism)")
     ap.add_argument("--csv", default=None)
     args, extra = ap.parse_known_args(argv)
 
@@ -77,21 +79,37 @@ def main(argv=None):
     n = 0
     total_bits = 0
     t0 = time.time()
-    for y, u, v in IO.PrefetchReader(reader):
-        fr = sess.encode_frame(y, u, v, poc=n)
-        out.write(fr.nals)
-        total_bits += fr.bits
-        if recon_writer:
-            recon_writer.write_frame(*fr.recon)
-        if csv_lines is not None:
-            csv_lines.append(f"{n}, {args.qp}, {fr.bits}, {fr.psnr_y:.4f}")
-        n += 1
+    pending = []
+    done = False
+
+    def flush_batch():
+        nonlocal n, total_bits
+        if not pending:
+            return
+        for fr in (sess.encode_batch(pending, need_recon=bool(recon_writer or csv_lines)) if len(pending) > 1
+                   else [sess.encode_frame(*pending[0])]):
+            out.write(fr.nals)
+            total_bits += fr.bits
+            if recon_writer:
+                recon_writer.write_frame(*fr.recon)
+            if csv_lines is not None:
+                csv_lines.append(f"{n}, {args.qp}, {fr.bits}, {fr.psnr_y:.4f}")
+            n += 1
+        pending.clear()
         elapsed = time.time() - t0
         print(f"\r[{n} frames, {n / max(elapsed, 1e-9):.2f} fps, "
               f"{total_bits * info.fps_num / max(n * info.fps_denom, 1) / 1000:.2f} kb/s]",
               end="", file=sys.stderr)
-        if args.frames and n >= args.frames:
+
+    seen = 0
+    for y, u, v in IO.PrefetchReader(reader):
+        pending.append((y, u, v))
+        seen += 1
+        if len(pending) >= max(args.frame_batch, 1):
+            flush_batch()
+        if args.frames and seen >= args.frames:
             break
+    flush_batch()
     elapsed = time.time() - t0
     print(f"\nencoded {n} frames in {elapsed:.2f}s ({n / max(elapsed, 1e-9):.2f} fps), "
           f"{total_bits * info.fps_num / max(n * info.fps_denom, 1) / 1000:.2f} kb/s",

@@ -105,6 +105,41 @@ class IntraEncoderSession:
         return FrameResult(nals=nals, recon=recon, bits=bits, psnr_y=psnr)
 
     # ------------------------------------------------------------------
+    def encode_batch(self, frames, need_recon: bool = False) -> List["FrameResult"]:
+        """Encode a list of (y, u, v) frames through the device-batched
+        wavefront (frame-parallelism), then serialize each on the host."""
+        ys = np.stack([G.pad_plane(f[0], self.coded_h, self.coded_w) for f in frames])
+        us = np.stack([G.pad_plane(f[1], self.coded_h // 2, self.coded_w // 2) for f in frames])
+        vs = np.stack([G.pad_plane(f[2], self.coded_h // 2, self.coded_w // 2) for f in frames])
+        need_recon = self.hash_sei or self.deblock or need_recon
+        outs = self.frame_encoder.encode_frames(ys, us, vs,
+                                                with_recon=need_recon)
+        results = []
+        for i, (y, u, v) in enumerate(frames):
+            out = outs[i]
+            if self.deblock:
+                dy, du, dv = DB.deblock_frame_uniform(
+                    out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
+                    self.qp, chroma_qp_from_luma(self.qp))
+                out["recon_y"], out["recon_u"], out["recon_v"] = (
+                    np.asarray(dy), np.asarray(du), np.asarray(dv))
+            nals = self._assemble_slice(out)
+            if self.hash_sei:
+                nals += self._hash_sei(out)
+            if out["recon_y"] is not None:
+                mse = float(np.mean((out["recon_y"][:self.src_h, :self.src_w]
+                                     .astype(np.float64) - y) ** 2))
+                psnr = 99.99 if mse == 0 else 10 * np.log10(255 * 255 / mse)
+                recon = (out["recon_y"][:self.src_h, :self.src_w].astype(np.uint8),
+                         out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8),
+                         out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8))
+            else:
+                psnr, recon = 0.0, None
+            results.append(FrameResult(nals=nals, recon=recon,
+                                       bits=len(nals) * 8, psnr_y=psnr))
+        return results
+
+    # ------------------------------------------------------------------
     def _assemble_slice(self, out: dict) -> bytes:
         log2cu = self.cu.bit_length() - 1
         modes = out["modes"]

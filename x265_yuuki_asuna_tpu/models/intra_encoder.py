@@ -7,19 +7,24 @@ compressIntraCU). The TPU re-design (SURVEY.md §7):
   * uniform CU grid (CTU == CU), picture padded to whole CTUs, conformance
     window crops — all shapes static for XLA;
   * a `lax.scan` over wavefront diagonals; each step processes every CU on
-    the diagonal as one batch: 35-mode batched prediction ("allangs"),
-    SATD mode decision, transform/quant/recon — MXU/VPU work;
+    the diagonal as one batch: the 35-mode prediction is ONE MXU matmul
+    ("allangs" as a weight matrix), then SATD mode decision and
+    transform/quant/recon;
+  * the scan CARRY holds only the prediction boundary state (each CU's
+    bottom row + right column) — the full recon/level blocks stream out as
+    per-step scan outputs, so no large carry buffers are copied per step;
   * the sequential CABAC pass consumes the decision tensors afterwards on
-    the host (bitstream/), mirroring the reference's encodeSlice split.
+    the host (bitstream/native), mirroring the reference's encodeSlice split.
 
-Compute dtype: exact int32 throughout (HEVC is an integer-exact codec).
+Compute dtype: exact int32 elementwise; the prediction matmul runs in f32 at
+HIGHEST precision (exact for these magnitudes). HEVC is integer-exact and
+conformance requires bit-exactness (verified against libavcodec decode).
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -74,8 +79,11 @@ class IntraFrameEncoder:
         self._valid = jnp.asarray(valid)    # [nd, ns]
         self._encode = jax.jit(self._build())
         # frame-batched variant (frame-parallelism, the reference's
-        # frame-threads analog): the wavefront step batch becomes [F*S, ...]
+        # frame-threads analog)
         self._encode_batch = jax.jit(jax.vmap(self._build()))
+        # light variant: decisions only (no recon download) — for pipelines
+        # that don't need recon on the host (no hash SEI / recon output)
+        self._encode_batch_light = jax.jit(jax.vmap(self._build(with_recon=False)))
 
     # ------------------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
@@ -83,27 +91,30 @@ class IntraFrameEncoder:
         Returns dict of decision tensors + recon planes (numpy)."""
         cfg = self.cfg
         assert y.shape == (cfg.height, cfg.width), y.shape
-        out = self._encode(jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
-                           jnp.asarray(v, jnp.int32))
-        return jax.tree_util.tree_map(np.asarray, out)
+        buf = np.asarray(self._encode(jnp.asarray(y, jnp.uint8),
+                                      jnp.asarray(u, jnp.uint8),
+                                      jnp.asarray(v, jnp.uint8)))
+        return self._unpack(buf)
 
     # ------------------------------------------------------------------
-    def encode_frames(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
-        """Batched encode: y [F, H, W]; independent frames in parallel."""
-        out = self._encode_batch(jnp.asarray(y, jnp.int32),
-                                 jnp.asarray(u, jnp.int32),
-                                 jnp.asarray(v, jnp.int32))
-        return jax.tree_util.tree_map(np.asarray, out)
+    def encode_frames(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                      with_recon: bool = True):
+        """Batched encode: y [F, H, W]; independent frames in parallel.
+        Returns a list of per-frame decision dicts."""
+        fn = self._encode_batch if with_recon else self._encode_batch_light
+        buf = np.asarray(fn(jnp.asarray(y, jnp.uint8),
+                            jnp.asarray(u, jnp.uint8),
+                            jnp.asarray(v, jnp.uint8)))
+        return [self._unpack(buf[i], with_recon) for i in range(buf.shape[0])]
 
     # ------------------------------------------------------------------
-    def _build(self):
+    def _build(self, with_recon: bool = True):
         cfg = self.cfg
         n = cfg.cu_size
         nc = n // 2
         log2n = cfg.log2_cu
         rows, cols = cfg.rows, cfg.cols
         W, H = cfg.width, cfg.height
-        Wc, Hc = W // 2, H // 2
         qp_y = cfg.qp
         qp_c = chroma_qp_from_luma(cfg.qp)
         bd = cfg.bit_depth
@@ -112,46 +123,42 @@ class IntraFrameEncoder:
         rc_all = self._rc
         valid_all = self._valid
         S = self.num_slots
+        fill = 1 << (bd - 1)
 
-        def gather_v(plane_flat, pw, py, px, nn, avail_l, avail_t, avail_tr,
-                     avail_tl):
-            """Build the [S, 4nn+1] boundary vector + availability mask."""
-            ar = jnp.arange(nn * 2, dtype=jnp.int32)
-            # left column, v order = left[2n-1] .. left[0]
-            lrow = py[:, None] + (2 * nn - 1 - ar)[None, :]
-            lcol = (px - 1)[:, None]
-            left_idx = jnp.clip(lrow, 0, None) * pw + jnp.clip(lcol, 0, None)
-            # corner
-            crow = (py - 1)
-            ccol = (px - 1)
-            corner_idx = jnp.clip(crow, 0, None) * pw + jnp.clip(ccol, 0, None)
-            # top row left..topright
-            trow = (py - 1)[:, None]
-            tcol = px[:, None] + ar[None, :]
-            top_idx = jnp.clip(trow, 0, None) * pw + jnp.clip(tcol, 0, None)
-            idx = jnp.concatenate([left_idx, corner_idx[:, None], top_idx], axis=1)
-            vals = jnp.take(plane_flat, jnp.clip(idx, 0, plane_flat.shape[0] - 1),
-                            axis=0)
+        def build_v(botrow, rightcol, cu, r, c, nn, avail):
+            """Boundary vector [S, 4nn+1] + availability from the carried
+            bottom-row/right-column state arrays [ncu+1, nn]."""
+            avail_l, avail_t, avail_tr, avail_tl = avail
+            pad = ncu  # sentinel row (stays at fill value)
+            left_cu = jnp.where(avail_l, cu - 1, pad)
+            top_cu = jnp.where(avail_t, cu - cols, pad)
+            tr_cu = jnp.where(avail_tr, cu - cols + 1, pad)
+            tl_cu = jnp.where(avail_tl, cu - cols - 1, pad)
+            left = jnp.take(rightcol, left_cu, axis=0)     # [S, nn] top..bottom
+            top = jnp.take(botrow, top_cu, axis=0)
+            topright = jnp.take(botrow, tr_cu, axis=0)
+            corner = jnp.take(botrow, tl_cu, axis=0)[:, nn - 1]
+            # v layout: [left[2n-1..n] (below-left), left[n-1..0], corner,
+            #            top[0..n-1], topright[0..n-1]]
+            below_left = jnp.broadcast_to(left[:, nn - 1:nn], (S, nn))
+            v = jnp.concatenate([below_left, left[:, ::-1], corner[:, None],
+                                 top, topright], axis=1)
             ones = jnp.ones((S, nn), dtype=bool)
             av = jnp.concatenate([
-                jnp.zeros((S, nn), dtype=bool),             # below-left: never
-                ones * avail_l[:, None],                    # left
-                avail_tl[:, None],                          # corner
-                ones * avail_t[:, None],                    # top
-                ones * avail_tr[:, None],                   # top-right
-            ], axis=1)
-            return vals, av
+                jnp.zeros((S, nn), dtype=bool),
+                ones * avail_l[:, None],
+                avail_tl[:, None],
+                ones * avail_t[:, None],
+                ones * avail_tr[:, None]], axis=1)
+            return v, av
 
-        def process_plane(plane_flat, src_blocks, pw, py, px, nn, log2nn, qp,
-                          luma, modes, avail):
-            """Predict (given modes or all), transform, quant, recon for a
-            batch of S blocks. Returns (levels, recon_blocks, pred35 or None)."""
-            avail_l, avail_t, avail_tr, avail_tl = avail
-            v_raw, av = gather_v(plane_flat, pw, py, px, nn, avail_l, avail_t,
-                                 avail_tr, avail_tl)
+        def process_plane(botrow, rightcol, src_blocks, cu, r, c, nn, log2nn,
+                          qp, luma, modes, avail):
+            v_raw, av = build_v(botrow, rightcol, cu, r, c, nn, avail)
             v = intra.substitute_references(v_raw, av, bd, xp=jnp)
-            preds = intra.predict_all_modes(v, nn, bd, luma=luma,
-                                            strong_smoothing=False, xp=jnp)
+            preds = intra.predict_all_modes_matmul(v, nn, bd, luma=luma,
+                                                   strong_smoothing=False,
+                                                   xp=jnp)
             if modes is None:
                 costs = pixel.satd(src_blocks[:, None], preds, xp=jnp)
                 modes = jnp.argmin(costs, axis=1).astype(jnp.int32)
@@ -165,88 +172,124 @@ class IntraFrameEncoder:
             recon = jnp.clip(pred + rr, 0, maxv)
             return modes, levels, recon
 
-        def scatter_plane(plane_flat, pw, ph, py, px, nn, vals, active):
-            ar = jnp.arange(nn, dtype=jnp.int32)
-            rowg = py[:, None, None] + ar[None, :, None]
-            colg = px[:, None, None] + ar[None, None, :]
-            idx = rowg * pw + colg
-            idx = jnp.where(active[:, None, None], idx, pw * ph)
-            return plane_flat.at[idx].set(vals, mode="drop")
+        def make_step(src_y_blocks, src_u_blocks, src_v_blocks):
+            # src_*_blocks: [ncu, nn, nn] block-layout source
+            def step(carry, xs):
+                (bry, rcy, bru, rcu_, brv, rcv) = carry
+                rc, valid = xs
+                r = rc[:, 0]
+                c = rc[:, 1]
+                cu = r * cols + c
+                cu_s = jnp.where(valid, cu, ncu)
+                avail = ((c > 0) & valid, (r > 0) & valid,
+                         ((r > 0) & (c < cols - 1)) & valid,
+                         ((r > 0) & (c > 0)) & valid)
 
-        def make_step(src_y_flat, src_u_flat, src_v_flat):
-          def step(carry, xs):
-            (ry, ru, rv, modes_out, lv_y, lv_cb, lv_cr) = carry
-            rc, valid = xs                    # [S, 2], [S]
-            r = rc[:, 0]
-            c = rc[:, 1]
-            py = r * n
-            px = c * n
-            avail_l = (c > 0) & valid
-            avail_t = (r > 0) & valid
-            avail_tr = ((r > 0) & (c < cols - 1)) & valid
-            avail_tl = ((r > 0) & (c > 0)) & valid
+                src_y = jnp.take(src_y_blocks, cu_s, axis=0)
+                src_u = jnp.take(src_u_blocks, cu_s, axis=0)
+                src_v = jnp.take(src_v_blocks, cu_s, axis=0)
 
-            # source blocks
-            ar = jnp.arange(n, dtype=jnp.int32)
-            rowg = py[:, None, None] + ar[None, :, None]
-            colg = px[:, None, None] + ar[None, None, :]
-            src_y = jnp.take(src_y_flat, rowg * W + colg, axis=0)
+                modes, lv_y, rec_y = process_plane(
+                    bry, rcy, src_y, cu, r, c, n, log2n, qp_y, True, None, avail)
+                _, lv_cb, rec_u = process_plane(
+                    bru, rcu_, src_u, cu, r, c, nc, log2n - 1, qp_c, False,
+                    modes, avail)
+                _, lv_cr, rec_v = process_plane(
+                    brv, rcv, src_v, cu, r, c, nc, log2n - 1, qp_c, False,
+                    modes, avail)
 
-            modes, levels_y, recon_y = process_plane(
-                ry, src_y, W, py, px, n, log2n, qp_y, True, None,
-                (avail_l, avail_t, avail_tr, avail_tl))
+                bry = bry.at[cu_s].set(rec_y[:, n - 1, :], mode="drop")
+                rcy = rcy.at[cu_s].set(rec_y[:, :, n - 1], mode="drop")
+                bru = bru.at[cu_s].set(rec_u[:, nc - 1, :], mode="drop")
+                rcu_ = rcu_.at[cu_s].set(rec_u[:, :, nc - 1], mode="drop")
+                brv = brv.at[cu_s].set(rec_v[:, nc - 1, :], mode="drop")
+                rcv = rcv.at[cu_s].set(rec_v[:, :, nc - 1], mode="drop")
 
-            arc = jnp.arange(nc, dtype=jnp.int32)
-            pyc = py // 2
-            pxc = px // 2
-            rowgc = pyc[:, None, None] + arc[None, :, None]
-            colgc = pxc[:, None, None] + arc[None, None, :]
-            src_u = jnp.take(src_u_flat, rowgc * Wc + colgc, axis=0)
-            src_v = jnp.take(src_v_flat, rowgc * Wc + colgc, axis=0)
+                ys = (cu_s, modes, lv_y, lv_cb, lv_cr, rec_y, rec_u, rec_v)
+                return (bry, rcy, bru, rcu_, brv, rcv), ys
+            return step
 
-            _, levels_cb, recon_u = process_plane(
-                ru, src_u, Wc, pyc, pxc, nc, log2n - 1, qp_c, False, modes,
-                (avail_l, avail_t, avail_tr, avail_tl))
-            _, levels_cr, recon_v = process_plane(
-                rv, src_v, Wc, pyc, pxc, nc, log2n - 1, qp_c, False, modes,
-                (avail_l, avail_t, avail_tr, avail_tl))
+        def to_blocks(plane, nn):
+            hh, ww = plane.shape
+            return (plane.reshape(hh // nn, nn, ww // nn, nn)
+                    .transpose(0, 2, 1, 3).reshape(ncu, nn, nn))
 
-            ry = scatter_plane(ry, W, H, py, px, n, recon_y, valid)
-            ru = scatter_plane(ru, Wc, Hc, pyc, pxc, nc, recon_u, valid)
-            rv = scatter_plane(rv, Wc, Hc, pyc, pxc, nc, recon_v, valid)
-
-            cu_idx = jnp.where(valid, r * cols + c, ncu)
-            modes_out = modes_out.at[cu_idx].set(modes, mode="drop")
-            lv_y = lv_y.at[cu_idx].set(levels_y, mode="drop")
-            lv_cb = lv_cb.at[cu_idx].set(levels_cb, mode="drop")
-            lv_cr = lv_cr.at[cu_idx].set(levels_cr, mode="drop")
-            return (ry, ru, rv, modes_out, lv_y, lv_cb, lv_cr), None
-          return step
+        def from_blocks(blocks, nn, hh, ww):
+            return (blocks.reshape(hh // nn, ww // nn, nn, nn)
+                    .transpose(0, 2, 1, 3).reshape(hh, ww))
 
         def encode(y, u, v):
-            step = make_step(y.reshape(-1), u.reshape(-1), v.reshape(-1))
-            # z0 ties the carry init to the inputs so shard_map's varying
-            # manual-axis tracking accepts the scan (value is always 0)
-            z0 = y.reshape(-1)[0] * 0
+            yb = to_blocks(y.astype(jnp.int32), n)
+            ub = to_blocks(u.astype(jnp.int32), nc)
+            vb = to_blocks(v.astype(jnp.int32), nc)
+            step = make_step(yb, ub, vb)
+            z0 = y.reshape(-1)[0] * 0   # ties carry varying-ness to inputs
             init = (
-                jnp.zeros(W * H, jnp.int32) + z0,
-                jnp.zeros(Wc * Hc, jnp.int32) + z0,
-                jnp.zeros(Wc * Hc, jnp.int32) + z0,
-                jnp.zeros(ncu, jnp.int32) + z0,
-                jnp.zeros((ncu, n, n), jnp.int32) + z0,
-                jnp.zeros((ncu, nc, nc), jnp.int32) + z0,
-                jnp.zeros((ncu, nc, nc), jnp.int32) + z0,
+                jnp.full((ncu + 1, n), fill, jnp.int32) + z0,
+                jnp.full((ncu + 1, n), fill, jnp.int32) + z0,
+                jnp.full((ncu + 1, nc), fill, jnp.int32) + z0,
+                jnp.full((ncu + 1, nc), fill, jnp.int32) + z0,
+                jnp.full((ncu + 1, nc), fill, jnp.int32) + z0,
+                jnp.full((ncu + 1, nc), fill, jnp.int32) + z0,
             )
-            (ry, ru, rv, modes, lv_y, lv_cb, lv_cr), _ = jax.lax.scan(
-                step, init, (rc_all, valid_all))
-            return {
-                "modes": modes.reshape(rows, cols),
-                "levels_y": lv_y.reshape(rows, cols, n, n),
-                "levels_cb": lv_cb.reshape(rows, cols, nc, nc),
-                "levels_cr": lv_cr.reshape(rows, cols, nc, nc),
-                "recon_y": ry.reshape(H, W),
-                "recon_u": ru.reshape(Hc, Wc),
-                "recon_v": rv.reshape(Hc, Wc),
-            }
+            _, ys = jax.lax.scan(step, init, (rc_all, valid_all))
+            (cu_s, modes_s, lv_y_s, lv_cb_s, lv_cr_s,
+             rec_y_s, rec_u_s, rec_v_s) = ys
+            # reassemble per-CU arrays from stacked step outputs
+            flat_cu = cu_s.reshape(-1)
+            def collect(x, shape):
+                acc = jnp.zeros((ncu + 1,) + shape, x.dtype)
+                acc = acc.at[flat_cu].set(x.reshape((-1,) + shape), mode="drop")
+                return acc[:ncu]
+            modes = collect(modes_s, ())
+            lv_y = collect(lv_y_s, (n, n))
+            lv_cb = collect(lv_cb_s, (nc, nc))
+            lv_cr = collect(lv_cr_s, (nc, nc))
+            rec_y = collect(rec_y_s, (n, n))
+            rec_u = collect(rec_u_s, (nc, nc))
+            rec_v = collect(rec_v_s, (nc, nc))
+            # pack everything into ONE uint8 buffer: a single host transfer
+            # (the axon tunnel has ~55 ms/transfer latency; SURVEY.md §5
+            # "minimise host<->device transfers")
+            modes8 = modes.astype(jnp.uint8)
+            levels16 = jnp.concatenate([
+                lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)
+            ]).astype(jnp.int16)
+            levels8 = jax.lax.bitcast_convert_type(levels16, jnp.uint8).reshape(-1)
+            if not with_recon:
+                return jnp.concatenate([modes8, levels8])
+            recon8 = jnp.concatenate([
+                from_blocks(rec_y, n, H, W).reshape(-1),
+                from_blocks(rec_u, nc, H // 2, W // 2).reshape(-1),
+                from_blocks(rec_v, nc, H // 2, W // 2).reshape(-1),
+            ]).astype(jnp.uint8)
+            return jnp.concatenate([recon8, modes8, levels8])
 
         return encode
+
+    # ------------------------------------------------------------------
+    def _unpack(self, buf: np.ndarray, with_recon: bool = True) -> dict:
+        cfg = self.cfg
+        n, nc = cfg.cu_size, cfg.cu_size // 2
+        rows, cols, ncu = cfg.rows, cfg.cols, cfg.rows * cfg.cols
+        W, H = cfg.width, cfg.height
+        ny, nuv = H * W, (H // 2) * (W // 2)
+        o = 0
+        rec_y = rec_u = rec_v = None
+        if with_recon:
+            rec_y = buf[o:o + ny].reshape(H, W); o += ny
+            rec_u = buf[o:o + nuv].reshape(H // 2, W // 2); o += nuv
+            rec_v = buf[o:o + nuv].reshape(H // 2, W // 2); o += nuv
+        modes = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
+        lv = buf[o:].view(np.int16)
+        sy = ncu * n * n
+        sc = ncu * nc * nc
+        return {
+            "modes": modes,
+            "levels_y": lv[:sy].astype(np.int32).reshape(rows, cols, n, n),
+            "levels_cb": lv[sy:sy + sc].astype(np.int32).reshape(rows, cols, nc, nc),
+            "levels_cr": lv[sy + sc:sy + 2 * sc].astype(np.int32).reshape(rows, cols, nc, nc),
+            "recon_y": None if rec_y is None else rec_y.astype(np.int32),
+            "recon_u": None if rec_u is None else rec_u.astype(np.int32),
+            "recon_v": None if rec_v is None else rec_v.astype(np.int32),
+        }

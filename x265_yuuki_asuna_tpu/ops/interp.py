@@ -1,0 +1,108 @@
+"""Motion-compensation interpolation (K6): 8-tap luma / 4-tap chroma,
+batched over blocks with per-block fractional MVs.
+
+Reference behavior (studied, not copied): /root/reference/source/common/
+ipfilter.cpp. Filter taps are spec constants (H.265 tables 8-11/8-13).
+
+Exactness: the unified two-stage path (horizontal pixel->short with
+-IF_INTERNAL_OFFS bias, then vertical short->pixel with shift 12 for 8-bit)
+produces results identical to the dedicated pure-horizontal/vertical/copy
+paths for zero fractions, so a single code path serves all 16 (fx, fy)
+combinations — TPU-friendly (no data-dependent branches).
+
+Out-of-picture reference samples use index clamping == the decoder's
+reference border extension.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LUMA_FILTERS = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1]], dtype=np.int32)
+
+CHROMA_FILTERS = np.array([
+    [0, 64, 0, 0],
+    [-2, 58, 10, -2],
+    [-4, 54, 16, -2],
+    [-6, 46, 28, -4],
+    [-4, 36, 36, -4],
+    [-4, 28, 46, -6],
+    [-2, 16, 54, -4],
+    [-2, 10, 58, -2]], dtype=np.int32)
+
+IF_INTERNAL_OFFS = 1 << 13   # 8192
+
+
+def mc_block_batch(ref_plane, px, py, mv_int_x, mv_int_y, frac_x, frac_y,
+                   n: int, luma: bool = True, bit_depth: int = 8, xp=np):
+    """Motion-compensate a batch of n×n blocks.
+
+    ref_plane: [H, W] int; px/py: [B] block top-left; mv_int_*: [B] integer
+    offsets; frac_*: [B] fraction (0..3 luma, 0..7 chroma).
+    Returns [B, n, n] predicted pixels (int32).
+    """
+    taps = 8 if luma else 4
+    half = taps // 2 - 1          # 3 luma, 1 chroma
+    filters = LUMA_FILTERS if luma else CHROMA_FILTERS
+    if xp is not np:
+        filters = xp.asarray(filters)
+    H, W = ref_plane.shape
+    B = px.shape[0]
+    ext = n + taps - 1
+
+    # gather extended window [B, ext, ext] with clamped indices
+    rows = (py + mv_int_y)[:, None] + (xp.arange(ext) - half)[None, :]
+    cols = (px + mv_int_x)[:, None] + (xp.arange(ext) - half)[None, :]
+    rows = xp.clip(rows, 0, H - 1)
+    cols = xp.clip(cols, 0, W - 1)
+    flat = ref_plane.reshape(-1)
+    win = xp.take(flat, rows[:, :, None] * W + cols[:, None, :], axis=0)
+    win = win.astype(xp.int32)                      # [B, ext, ext]
+
+    cfx = filters[frac_x]                           # [B, taps]
+    cfy = filters[frac_y]
+
+    headroom = 14 - bit_depth                       # IF_INTERNAL_PREC - bd
+    shift1 = 6 - headroom                           # horiz ps shift
+    offset1 = -IF_INTERNAL_OFFS * (1 << shift1) if shift1 >= 0 else None
+    # horizontal: [B, ext, n]
+    acc = xp.zeros((B, ext, n), xp.int32)
+    for k in range(taps):
+        acc = acc + cfx[:, k, None, None] * win[:, :, k:k + n]
+    if shift1 >= 0:
+        mid = xp.right_shift(acc + offset1, shift1) if shift1 else acc + offset1
+    else:
+        mid = xp.left_shift(acc, -shift1) - (IF_INTERNAL_OFFS)
+    # vertical: [B, n, n]
+    acc2 = xp.zeros((B, n, n), xp.int32)
+    for k in range(taps):
+        acc2 = acc2 + cfy[:, k, None, None] * mid[:, k:k + n, :]
+    shift2 = 6 + headroom
+    offset2 = (1 << (shift2 - 1)) + (IF_INTERNAL_OFFS << 6)
+    out = xp.right_shift(acc2 + offset2, shift2)
+    return xp.clip(out, 0, (1 << bit_depth) - 1)
+
+
+def mc_luma_qpel(ref_plane, px, py, mv_qpel_x, mv_qpel_y, n: int,
+                 bit_depth: int = 8, xp=np):
+    """Luma MC with quarter-pel MVs [B]."""
+    return mc_block_batch(ref_plane, px, py,
+                          xp.right_shift(mv_qpel_x, 2),
+                          xp.right_shift(mv_qpel_y, 2),
+                          mv_qpel_x & 3, mv_qpel_y & 3,
+                          n, True, bit_depth, xp)
+
+
+def mc_chroma_qpel(ref_plane, px_c, py_c, mv_qpel_x, mv_qpel_y, n: int,
+                   bit_depth: int = 8, xp=np):
+    """Chroma MC for 4:2:0: luma quarter-pel MV = chroma eighth-pel.
+    px_c/py_c are chroma-plane coordinates."""
+    return mc_block_batch(ref_plane, px_c, py_c,
+                          xp.right_shift(mv_qpel_x, 3),
+                          xp.right_shift(mv_qpel_y, 3),
+                          mv_qpel_x & 7, mv_qpel_y & 7,
+                          n, False, bit_depth, xp)

@@ -305,3 +305,119 @@ def predict_one_mode(v, mode: int, n: int, bit_depth: int = 8, luma: bool = True
     """Single-mode convenience wrapper (uses the all-modes path)."""
     allm = predict_all_modes(v, n, bit_depth, luma, strong_smoothing, xp=xp)
     return allm[..., mode, :, :]
+
+
+# ---------------------------------------------------------------------------
+# Matmul ("allangs") formulation: all 35 modes as ONE weight matrix applied to
+# the concatenated [unfiltered | filtered] reference vector — MXU-friendly,
+# bit-exact with the gather path (verified by tests). Planar/DC/angular are
+# all linear in the references; weights are pre-scaled to a common shift so a
+# single rounding shift finishes the prediction. DC/H/V boundary fixups are
+# applied as masked elementwise ops afterwards.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def allangs_matrix(n: int, luma: bool) -> Tuple[np.ndarray, int]:
+    """Weight matrix [35*n*n, 2*(4n+1)] (float32) and the common shift T.
+    Row layout: mode-major, raster within mode. Column layout:
+    [0 .. 4n] unfiltered v, [4n+1 .. 8n+1] filtered v."""
+    L = 4 * n + 1
+    log2n = n.bit_length() - 1
+    T = max(5, log2n + 1)
+    W = np.zeros((35, n * n, 2 * L), dtype=np.float64)
+    fflags = mode_filter_flags(n) if (luma and n > 4) else np.zeros(35, bool)
+
+    two_n = 2 * n
+    def vcol(k, filt):
+        return k + (L if filt else 0)
+
+    # planar (mode 0): shift log2n+1, scale by 2^(T-(log2n+1))
+    sc = 1 << (T - (log2n + 1))
+    f = bool(fflags[PLANAR_IDX])
+    for y in range(n):
+        for x in range(n):
+            r = 0 * n * n + y * n + x
+            W[0, y * n + x, vcol(two_n - 1 - y, f)] += (n - 1 - x) * sc   # left[y]
+            W[0, y * n + x, vcol(two_n + 1 + n, f)] += (x + 1) * sc      # top[n]
+            W[0, y * n + x, vcol(two_n + 1 + x, f)] += (n - 1 - y) * sc  # top[x]
+            W[0, y * n + x, vcol(two_n - 1 - n, f)] += (y + 1) * sc      # left[n]
+    # DC (mode 1): average of left[0..n-1], top[0..n-1]; shift log2n+1
+    for k in range(n):
+        for p in range(n * n):
+            W[1, p, vcol(two_n - 1 - k, False)] += sc    # left[k]
+            W[1, p, vcol(two_n + 1 + k, False)] += sc    # top[k]
+    # angular
+    idx1, idx2, frac = angular_tables(n)
+    asc = 1 << (T - 5)
+    for mi in range(33):
+        mode = mi + 2
+        f = bool(fflags[mode])
+        for y in range(n):
+            for x in range(n):
+                p = y * n + x
+                fr = int(frac[mi, y, x])
+                W[mode, p, vcol(int(idx1[mi, y, x]), f)] += (32 - fr) * asc
+                if fr:
+                    W[mode, p, vcol(int(idx2[mi, y, x]), f)] += fr * asc
+    return W.reshape(35 * n * n, 2 * L).astype(np.float32), T
+
+
+def predict_all_modes_matmul(v, n: int, bit_depth: int = 8, luma: bool = True,
+                             strong_smoothing: bool = False, xp=np):
+    """MXU formulation of predict_all_modes; bit-exact with the gather path.
+    v: [B, 4n+1] substituted references. Returns [B, 35, n, n] int32."""
+    W, T = allangs_matrix(n, luma)
+    vi = v.astype(xp.int32)
+    B = vi.shape[0]
+    two_n = 2 * n
+    if luma and n > 4:
+        vf = filter_references(vi, n, bit_depth, strong_smoothing, xp=xp)
+    else:
+        vf = vi
+    vcat = xp.concatenate([vi, vf], axis=-1).astype(xp.float32)  # [B, 2L]
+    if xp is not np:
+        import jax
+        Wx = xp.asarray(W)
+        # HIGHEST precision: exact f32 accumulate (all values < 2^24);
+        # TPU default bf16 multiplies would break bit-exactness
+        acc = xp.matmul(vcat, Wx.T, precision=jax.lax.Precision.HIGHEST)
+    else:
+        Wx = W
+        acc = vcat @ Wx.T
+    acc = acc.astype(xp.int32)
+    pred = xp.right_shift(acc + (1 << (T - 1)), T).reshape(B, 35, n, n)
+
+    # --- boundary fixups (masked elementwise) ---
+    left = vi[..., two_n - 1::-1][..., :n]
+    top = vi[..., two_n + 1:two_n + 1 + n]
+    corner = vi[..., two_n]
+    maxv = (1 << bit_depth) - 1
+    modes = xp.asarray(np.arange(35).reshape(1, 35, 1, 1)) if xp is not np \
+        else np.arange(35).reshape(1, 35, 1, 1)
+    row0 = (xp.asarray(np.arange(n).reshape(1, 1, n, 1)) if xp is not np
+            else np.arange(n).reshape(1, 1, n, 1)) == 0       # y == 0 mask
+    col0 = (xp.asarray(np.arange(n).reshape(1, 1, 1, n)) if xp is not np
+            else np.arange(n).reshape(1, 1, 1, n)) == 0       # x == 0 mask
+
+    if luma and n < 32:
+        # DC (mode 1) edge filtering
+        dc = xp.right_shift(xp.sum(left, axis=-1) + xp.sum(top, axis=-1) + n,
+                            (n.bit_length() - 1) + 1)
+        dcr = xp.right_shift(top + 3 * dc[..., None] + 2, 2)       # [B, n]
+        dcc = xp.right_shift(left + 3 * dc[..., None] + 2, 2)
+        dc00 = xp.right_shift(left[..., 0] + 2 * dc + top[..., 0] + 2, 2)
+        fix = pred
+        m_dc = (modes == DC_IDX)
+        fix = xp.where(m_dc & row0, dcr[:, None, None, :], fix)
+        fix = xp.where(m_dc & col0, dcc[:, None, :, None], fix)
+        fix = xp.where(m_dc & row0 & col0, dc00[:, None, None, None], fix)
+        # mode 26 (V): first column adjusted
+        v26c = xp.clip(top[..., :1] + xp.right_shift(left - corner[..., None], 1),
+                       0, maxv)                                    # [B, n]
+        fix = xp.where((modes == VER_IDX) & col0, v26c[:, None, :, None], fix)
+        # mode 10 (H): first row adjusted
+        v10r = xp.clip(left[..., :1] + xp.right_shift(top - corner[..., None], 1),
+                       0, maxv)
+        fix = xp.where((modes == HOR_IDX) & row0, v10r[:, None, None, :], fix)
+        pred = fix
+    return pred
