@@ -252,6 +252,7 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
                        first_slice: bool = True, slice_addr: int = 0,
                        slice_addr_bits: int = 0,
                        num_entry_points: int = 0,
+                       ref_poc_delta: int = 1, max_merge: int = 3,
                        deblocking_disabled: Optional[bool] = None) -> BitWriter:
     """Returns a BitWriter positioned after byte_alignment() — ready for the
     caller to append CABAC slice data. slice_type: 0=B 1=P 2=I."""
@@ -266,12 +267,20 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
     if nal_type not in (19, 20):             # not IDR
         bw.write_bits(poc & ((1 << sps.log2_max_poc_lsb) - 1), sps.log2_max_poc_lsb)
         bw.write_flag(0)                     # short_term_ref_pic_set_sps_flag
-        # st_ref_pic_set(): handled by caller for inter slices (TODO inter)
-        raise NotImplementedError("non-IDR slices need an RPS writer")
+        # st_ref_pic_set (spec 7.3.7): one negative ref at poc - ref_delta
+        bw.write_ue(1)                       # num_negative_pics
+        bw.write_ue(0)                       # num_positive_pics
+        bw.write_ue(ref_poc_delta - 1)       # delta_poc_s0_minus1[0]
+        bw.write_flag(1)                     # used_by_curr_pic_s0_flag[0]
+        if sps.temporal_mvp:
+            bw.write_flag(1)                 # slice_temporal_mvp_enabled_flag
     if sps.sao_enabled:
         bw.write_flag(sao_luma)
         if sps.chroma_format_idc != 0:
             bw.write_flag(sao_chroma)
+    if slice_type != 2:                      # P/B
+        bw.write_flag(0)                     # num_ref_idx_active_override_flag
+        bw.write_ue(5 - max_merge)           # five_minus_max_num_merge_cand
     bw.write_se(slice_qp - pps.init_qp)
     if deblocking_disabled is not None and deblocking_disabled != pps.deblocking_disabled:
         # would need deblocking_filter_override_enabled_flag in PPS

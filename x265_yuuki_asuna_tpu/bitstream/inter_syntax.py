@@ -254,13 +254,17 @@ def encode_inter_ctu(enc: CabacEncoder, d: InterCTUDecision,
     if d.merge_idx >= 0:
         enc.encode_bin(1, CTX["merge_flag"])
         encode_merge_idx(enc, d.merge_idx, max_merge)
+        # rqt_root_cbf NOT coded for 2Nx2N merge (spec 7.3.8.5): inferred 1,
+        # which is why residual-less merge must be coded as skip
+        rqt_root_cbf = 1
+        assert d.has_residual, "2Nx2N merge without residual must be skip"
     else:
         enc.encode_bin(0, CTX["merge_flag"])
         # P slice: no inter_pred_idc, single ref -> no ref_idx
         encode_mvd(enc, d.mvd[0], d.mvd[1])
         enc.encode_bin(d.mvp_flag, CTX["mvp_idx"])
-    rqt_root_cbf = 1 if d.has_residual else 0
-    enc.encode_bin(rqt_root_cbf, CTX["qt_root_cbf"])
+        rqt_root_cbf = 1 if d.has_residual else 0
+        enc.encode_bin(rqt_root_cbf, CTX["qt_root_cbf"])
     if rqt_root_cbf:
         cbf_cb = 1 if np.any(d.cb_levels) else 0
         cbf_cr = 1 if np.any(d.cr_levels) else 0
@@ -319,12 +323,13 @@ def decode_inter_ctu(dec: CabacDecoder, grid: List[List[Optional[CUInfo]]],
         idx = decode_merge_idx(dec, max_merge)
         cands = merge_candidates(grid, r, c, max_merge)
         mv = cands[idx]
+        rqt_root_cbf = 1           # inferred for 2Nx2N merge
     else:
         mvd = decode_mvd(dec)
         mvp = dec.decode_bin(CTX["mvp_idx"])
         preds = amvp_candidates(grid, r, c)
         mv = (preds[mvp][0] + mvd[0], preds[mvp][1] + mvd[1])
-    rqt_root_cbf = dec.decode_bin(CTX["qt_root_cbf"])
+        rqt_root_cbf = dec.decode_bin(CTX["qt_root_cbf"])
     ly, cb, cr = z(n), z(nc), z(nc)
     if rqt_root_cbf:
         cbf_cb = dec.decode_bin(CTX["qt_cbf"] + 2)

@@ -35,6 +35,9 @@ def main(argv=None):
     ap.add_argument("--no-hash", action="store_true", help="skip hash SEI")
     ap.add_argument("--frame-batch", type=int, default=4,
                     help="frames encoded per device batch (frame-parallelism)")
+    ap.add_argument("--keyint", type=int, default=0,
+                    help="GOP length: 0/1 = all-intra, N>1 = IPPP with IDR every N")
+    ap.add_argument("--merange", type=int, default=16, help="ME search range")
     ap.add_argument("--csv", default=None)
     args, extra = ap.parse_known_args(argv)
 
@@ -67,10 +70,20 @@ def main(argv=None):
         return 1
     info = reader.info
 
-    sess = IntraEncoderSession(info.width, info.height, qp=args.qp,
-                               cu_size=args.ctu,
-                               fps=(info.fps_num, info.fps_denom),
-                               hash_sei=not args.no_hash)
+    if args.keyint > 1:
+        from .models.encoder_top import VideoEncoderSession
+        sess = VideoEncoderSession(info.width, info.height, qp=args.qp,
+                                   cu_size=args.ctu,
+                                   fps=(info.fps_num, info.fps_denom),
+                                   keyint=args.keyint,
+                                   search_range=args.merange,
+                                   hash_sei=not args.no_hash)
+        args.frame_batch = 1     # P frames are sequentially dependent
+    else:
+        sess = IntraEncoderSession(info.width, info.height, qp=args.qp,
+                                   cu_size=args.ctu,
+                                   fps=(info.fps_num, info.fps_denom),
+                                   hash_sei=not args.no_hash)
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None
@@ -86,8 +99,9 @@ def main(argv=None):
         nonlocal n, total_bits
         if not pending:
             return
-        for fr in (sess.encode_batch(pending, need_recon=bool(recon_writer or csv_lines)) if len(pending) > 1
-                   else [sess.encode_frame(*pending[0])]):
+        for fr in (sess.encode_batch(pending, need_recon=bool(recon_writer or csv_lines))
+                   if (len(pending) > 1 and hasattr(sess, "encode_batch"))
+                   else [sess.encode_frame(*f) for f in pending]):
             out.write(fr.nals)
             total_bits += fr.bits
             if recon_writer:

@@ -185,3 +185,113 @@ class IntraEncoderSession:
             bw.write_byte(b)
         bw.rbsp_trailing_bits()
         return wrap_nal(NAL_SUFFIX_SEI, bw.get_bytes())
+
+
+class VideoEncoderSession:
+    """GOP session: IDR + P frames (IPPP), CQP, one L0 reference
+    (BASELINE config[1] scope). Extends the intra session with a DPB of one
+    reference picture and P-slice assembly."""
+
+    def __init__(self, width: int, height: int, qp: int = 32, cu_size: int = 16,
+                 fps: Tuple[int, int] = (25, 1), keyint: int = 25,
+                 search_range: int = 16, hash_sei: bool = True,
+                 max_merge: int = 3):
+        from .inter_encoder import InterFrameEncoder, InterFrameConfig
+        self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
+                                              hash_sei=False, deblock=False)
+        # share geometry/headers with the intra session but fix DPB size
+        self.intra_sess.sps.max_dec_pic_buffering = 2
+        self.src_w, self.src_h = width, height
+        self.qp = qp
+        self.cu = cu_size
+        self.keyint = max(keyint, 1)
+        self.hash_sei = hash_sei
+        self.max_merge = max_merge
+        self.coded_w = self.intra_sess.coded_w
+        self.coded_h = self.intra_sess.coded_h
+        self.rows, self.cols = self.intra_sess.rows, self.intra_sess.cols
+        self.inter_encoder = InterFrameEncoder(InterFrameConfig(
+            width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp,
+            search_range=search_range))
+        self.frame_idx = 0
+        self.poc = 0
+        self.ref = None   # (y, u, v) padded recon planes
+
+    def headers(self) -> bytes:
+        return self.intra_sess.headers()
+
+    def encode_frame(self, y, u, v) -> FrameResult:
+        is_idr = (self.frame_idx % self.keyint == 0) or self.ref is None
+        yp = G.pad_plane(y, self.coded_h, self.coded_w)
+        up = G.pad_plane(u, self.coded_h // 2, self.coded_w // 2)
+        vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
+        if is_idr:
+            out = self.intra_sess.frame_encoder.encode_frame(yp, up, vp)
+            nals = self.intra_sess._assemble_slice(out)
+            self.poc = 0
+        else:
+            out = self.inter_encoder.encode_frame(
+                yp, up, vp, self.ref[0], self.ref[1], self.ref[2])
+            self.poc += 1
+            nals = self._assemble_p_slice(out)
+        if self.hash_sei:
+            nals += self.intra_sess._hash_sei(out)
+        self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+        self.frame_idx += 1
+        mse = float(np.mean((out["recon_y"][:self.src_h, :self.src_w]
+                             .astype(np.float64) - y) ** 2))
+        psnr = 99.99 if mse == 0 else 10 * np.log10(255 * 255 / mse)
+        recon = (out["recon_y"][:self.src_h, :self.src_w].astype(np.uint8),
+                 out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8),
+                 out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8))
+        return FrameResult(nals=nals, recon=recon, bits=len(nals) * 8,
+                           psnr_y=psnr)
+
+    def _assemble_p_slice(self, out: dict) -> bytes:
+        from ..bitstream import inter_syntax as IS
+        from ..bitstream.bitio import NAL_TRAIL_R
+        sess = self.intra_sess
+        log2cu = self.cu.bit_length() - 1
+        bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=1,
+                                    slice_qp=self.qp, nal_type=NAL_TRAIL_R,
+                                    poc=self.poc, max_merge=self.max_merge)
+        enc = CabacEncoder()
+        enc.init_contexts(1, self.qp)    # P-slice init row
+        grid = [[None] * self.cols for _ in range(self.rows)]
+        last = self.rows * self.cols - 1
+        for r in range(self.rows):
+            for c in range(self.cols):
+                d = self._decide_cu(out, grid, r, c)
+                IS.encode_inter_ctu(enc, d, grid, r, c, log2cu, self.max_merge)
+                enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
+        data, tail, tail_bits = enc.finish()
+        for b in data:
+            bw.write_byte(b)
+        bw.write_bits(tail, tail_bits)
+        bw.rbsp_trailing_bits()
+        return wrap_nal(NAL_TRAIL_R, bw.get_bytes())
+
+    def _decide_cu(self, out, grid, r, c):
+        """Map device decisions to signaling (merge/AMVP selection against
+        the decoder-exact candidate lists)."""
+        from ..bitstream import inter_syntax as IS
+        lv_y = out["levels_y"][r, c]
+        lv_cb = out["levels_cb"][r, c]
+        lv_cr = out["levels_cr"][r, c]
+        if out["use_intra"][r, c]:
+            return IS.InterCTUDecision(
+                is_intra=True, intra_mode=int(out["modes"][r, c]),
+                luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)
+        mv = (int(out["mvx"][r, c]) * 4, int(out["mvy"][r, c]) * 4)
+        cands = IS.merge_candidates(grid, r, c, self.max_merge)
+        if mv in cands:
+            return IS.InterCTUDecision(
+                is_intra=False, mv=mv, merge_idx=cands.index(mv),
+                luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)
+        preds = IS.amvp_candidates(grid, r, c)
+        costs = [abs(mv[0] - p[0]) + abs(mv[1] - p[1]) for p in preds]
+        flag = 0 if costs[0] <= costs[1] else 1
+        mvd = (mv[0] - preds[flag][0], mv[1] - preds[flag][1])
+        return IS.InterCTUDecision(
+            is_intra=False, mv=mv, merge_idx=-1, mvp_flag=flag, mvd=mvd,
+            luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)

@@ -1,0 +1,307 @@
+"""P-frame encoder: parallel ME/MC phase + wavefront decision/recon phase.
+
+TPU design (SURVEY.md §7): inter prediction depends only on the reference
+picture, so motion search and motion compensation for EVERY CU run as one
+dense parallel batch (no wavefront). Only the per-CU intra-vs-inter decision
+and recon keep the diagonal scan (intra prediction needs neighbor recon).
+
+Round-1 scope: uniform 2Nx2N CU grid, one L0 reference, integer-pel MVs
+(subpel refinement later; signaled MVs are quarter-pel multiples of 4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import intra, interp, me, pixel, quant, transforms
+from ..utils.geometry import wavefront_schedule
+from .intra_encoder import chroma_qp_from_luma
+
+
+@dataclass(frozen=True)
+class InterFrameConfig:
+    width: int
+    height: int
+    cu_size: int = 16
+    qp: int = 32
+    bit_depth: int = 8
+    search_range: int = 16
+    intra_bias: int = 0     # added to intra SATD before comparison
+
+    @property
+    def rows(self):
+        return self.height // self.cu_size
+
+    @property
+    def cols(self):
+        return self.width // self.cu_size
+
+    @property
+    def log2_cu(self):
+        return self.cu_size.bit_length() - 1
+
+
+class InterFrameEncoder:
+    def __init__(self, cfg: InterFrameConfig):
+        self.cfg = cfg
+        nd, ns, rc, valid = wavefront_schedule(cfg.rows, cfg.cols, slope=2)
+        self.num_diags = nd
+        self.num_slots = ns
+        self._rc = jnp.asarray(rc)
+        self._valid = jnp.asarray(valid)
+        self._encode = jax.jit(self._build())
+
+    def encode_frame(self, y, u, v, ref_y, ref_u, ref_v):
+        """All planes padded to coded size. ref_* are the decoded reference
+        planes. Returns decision dict (numpy)."""
+        buf = np.asarray(self._encode(
+            jnp.asarray(y, jnp.uint8), jnp.asarray(u, jnp.uint8),
+            jnp.asarray(v, jnp.uint8), jnp.asarray(ref_y, jnp.uint8),
+            jnp.asarray(ref_u, jnp.uint8), jnp.asarray(ref_v, jnp.uint8)))
+        return self._unpack(buf)
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        cfg = self.cfg
+        n = cfg.cu_size
+        nc = n // 2
+        log2n = cfg.log2_cu
+        rows, cols = cfg.rows, cfg.cols
+        W, H = cfg.width, cfg.height
+        qp_y = cfg.qp
+        qp_c = chroma_qp_from_luma(cfg.qp)
+        bd = cfg.bit_depth
+        maxv = (1 << bd) - 1
+        ncu = rows * cols
+        R = cfg.search_range
+        rc_all, valid_all = self._rc, self._valid
+        S = self.num_slots
+        fill = 1 << (bd - 1)
+
+        def to_blocks(plane, nn):
+            hh, ww = plane.shape
+            return (plane.reshape(hh // nn, nn, ww // nn, nn)
+                    .transpose(0, 2, 1, 3).reshape(ncu, nn, nn))
+
+        def from_blocks(blocks, nn, hh, ww):
+            return (blocks.reshape(hh // nn, ww // nn, nn, nn)
+                    .transpose(0, 2, 1, 3).reshape(hh, ww))
+
+        # ---------- phase A: dense ME + MC over all CUs -------------------
+        def motion_phase(src_y, ref_y, ref_u, ref_v):
+            yb = to_blocks(src_y, n)
+            grid_r = jnp.arange(ncu, dtype=jnp.int32) // cols
+            grid_c = jnp.arange(ncu, dtype=jnp.int32) % cols
+            py = grid_r * n
+            px = grid_c * n
+            mvx, mvy, sad = me.full_search_sad(ref_y, yb, px, py, n, R,
+                                               lambda_bits=2, xp=jnp)
+            # luma prediction (integer MV -> plain shifted copy via MC path)
+            pred_y = interp.mc_luma_qpel(ref_y, px, py, mvx * 4, mvy * 4, n,
+                                         bd, xp=jnp)
+            # chroma: quarter-luma-pel MV = eighth-chroma-pel
+            pxc, pyc = px // 2, py // 2
+            pred_u = interp.mc_chroma_qpel(ref_u, pxc, pyc, mvx * 4, mvy * 4,
+                                           nc, bd, xp=jnp)
+            pred_v = interp.mc_chroma_qpel(ref_v, pxc, pyc, mvx * 4, mvy * 4,
+                                           nc, bd, xp=jnp)
+            inter_satd = pixel.satd(yb.astype(jnp.int32), pred_y, xp=jnp)
+            return mvx, mvy, pred_y, pred_u, pred_v, inter_satd
+
+        # ---------- phase B: wavefront decision + recon -------------------
+        def build_v(botrow, rightcol, cu, nn, avail):
+            avail_l, avail_t, avail_tr, avail_tl = avail
+            pad = ncu
+            left_cu = jnp.where(avail_l, cu - 1, pad)
+            top_cu = jnp.where(avail_t, cu - cols, pad)
+            tr_cu = jnp.where(avail_tr, cu - cols + 1, pad)
+            tl_cu = jnp.where(avail_tl, cu - cols - 1, pad)
+            left = jnp.take(rightcol, left_cu, axis=0)
+            top = jnp.take(botrow, top_cu, axis=0)
+            topright = jnp.take(botrow, tr_cu, axis=0)
+            corner = jnp.take(botrow, tl_cu, axis=0)[:, nn - 1]
+            below_left = jnp.broadcast_to(left[:, nn - 1:nn], (S, nn))
+            v = jnp.concatenate([below_left, left[:, ::-1], corner[:, None],
+                                 top, topright], axis=1)
+            ones = jnp.ones((S, nn), dtype=bool)
+            av = jnp.concatenate([
+                jnp.zeros((S, nn), dtype=bool), ones * avail_l[:, None],
+                avail_tl[:, None], ones * avail_t[:, None],
+                ones * avail_tr[:, None]], axis=1)
+            return v, av
+
+        def tq(resid, qp, log2nn):
+            coef = transforms.forward_transform(resid, bd, xp=jnp)
+            levels, _ = quant.quant(coef, qp, log2nn, bd, False, xp=jnp)
+            dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
+            rr = transforms.inverse_transform(dq, bd, xp=jnp)
+            return levels, rr
+
+        def make_step(srcs, preds, inter_satd):
+            src_yb, src_ub, src_vb = srcs
+            pred_yb, pred_ub, pred_vb = preds
+
+            def step(carry, xs):
+                (bry, rcy, bru, rcu_, brv, rcv) = carry
+                rc, valid = xs
+                r, c = rc[:, 0], rc[:, 1]
+                cu = r * cols + c
+                cu_s = jnp.where(valid, cu, ncu)
+                avail = ((c > 0) & valid, (r > 0) & valid,
+                         ((r > 0) & (c < cols - 1)) & valid,
+                         ((r > 0) & (c > 0)) & valid)
+                src_y = jnp.take(src_yb, cu_s, axis=0)
+                src_u = jnp.take(src_ub, cu_s, axis=0)
+                src_v = jnp.take(src_vb, cu_s, axis=0)
+                ip_y = jnp.take(pred_yb, cu_s, axis=0)
+                ip_u = jnp.take(pred_ub, cu_s, axis=0)
+                ip_v = jnp.take(pred_vb, cu_s, axis=0)
+                isatd = jnp.take(inter_satd, cu_s, axis=0)
+
+                # intra candidate
+                v_raw, av = build_v(bry, rcy, cu, n, avail)
+                vv = intra.substitute_references(v_raw, av, bd, xp=jnp)
+                preds35 = intra.predict_all_modes_matmul(vv, n, bd, luma=True,
+                                                         xp=jnp)
+                icosts = pixel.satd(src_y[:, None].astype(jnp.int32), preds35,
+                                    xp=jnp)
+                imode = jnp.argmin(icosts, axis=1).astype(jnp.int32)
+                ibest = jnp.min(icosts, axis=1)
+                ipred_y = jnp.take_along_axis(
+                    preds35, imode[:, None, None, None], axis=1)[:, 0]
+
+                use_intra = (ibest + cfg.intra_bias) < isatd
+
+                # chroma intra prediction with DM mode
+                v_raw_u, av_u = build_v(bru, rcu_, cu, nc, avail)
+                vv_u = intra.substitute_references(v_raw_u, av_u, bd, xp=jnp)
+                p35u = intra.predict_all_modes_matmul(vv_u, nc, bd, luma=False,
+                                                      xp=jnp)
+                ipred_u = jnp.take_along_axis(
+                    p35u, imode[:, None, None, None], axis=1)[:, 0]
+                v_raw_v, av_v = build_v(brv, rcv, cu, nc, avail)
+                vv_v = intra.substitute_references(v_raw_v, av_v, bd, xp=jnp)
+                p35v = intra.predict_all_modes_matmul(vv_v, nc, bd, luma=False,
+                                                      xp=jnp)
+                ipred_v = jnp.take_along_axis(
+                    p35v, imode[:, None, None, None], axis=1)[:, 0]
+
+                sel = use_intra[:, None, None]
+                pred_y = jnp.where(sel, ipred_y, ip_y)
+                pred_u = jnp.where(sel, ipred_u, ip_u)
+                pred_v = jnp.where(sel, ipred_v, ip_v)
+
+                lv_y, rr_y = tq(src_y.astype(jnp.int32) - pred_y, qp_y, log2n)
+                lv_cb, rr_u = tq(src_u.astype(jnp.int32) - pred_u, qp_c, log2n - 1)
+                lv_cr, rr_v = tq(src_v.astype(jnp.int32) - pred_v, qp_c, log2n - 1)
+                rec_y = jnp.clip(pred_y + rr_y, 0, maxv)
+                rec_u = jnp.clip(pred_u + rr_u, 0, maxv)
+                rec_v = jnp.clip(pred_v + rr_v, 0, maxv)
+
+                bry = bry.at[cu_s].set(rec_y[:, n - 1, :], mode="drop")
+                rcy = rcy.at[cu_s].set(rec_y[:, :, n - 1], mode="drop")
+                bru = bru.at[cu_s].set(rec_u[:, nc - 1, :], mode="drop")
+                rcu_ = rcu_.at[cu_s].set(rec_u[:, :, nc - 1], mode="drop")
+                brv = brv.at[cu_s].set(rec_v[:, nc - 1, :], mode="drop")
+                rcv = rcv.at[cu_s].set(rec_v[:, :, nc - 1], mode="drop")
+
+                ys = (cu_s, use_intra, imode, lv_y, lv_cb, lv_cr,
+                      rec_y, rec_u, rec_v)
+                return (bry, rcy, bru, rcu_, brv, rcv), ys
+            return step
+
+        def encode(y, u, v, ref_y, ref_u, ref_v):
+            y32 = y.astype(jnp.int32)
+            u32 = u.astype(jnp.int32)
+            v32 = v.astype(jnp.int32)
+            refy32 = ref_y.astype(jnp.int32)
+            refu32 = ref_u.astype(jnp.int32)
+            refv32 = ref_v.astype(jnp.int32)
+            mvx, mvy, pred_y, pred_u, pred_v, inter_satd = motion_phase(
+                y32, refy32, refu32, refv32)
+            # sentinel row for invalid slots
+            def padded(a, shape):
+                return jnp.concatenate([a, jnp.zeros((1,) + shape, a.dtype)], 0)
+            srcs = (padded(to_blocks(y32, n), (n, n)),
+                    padded(to_blocks(u32, nc), (nc, nc)),
+                    padded(to_blocks(v32, nc), (nc, nc)))
+            preds = (padded(pred_y, (n, n)), padded(pred_u, (nc, nc)),
+                     padded(pred_v, (nc, nc)))
+            isatd_p = jnp.concatenate([inter_satd, jnp.zeros((1,), inter_satd.dtype)])
+
+            step = make_step(srcs, preds, isatd_p)
+            z0 = y.reshape(-1)[0].astype(jnp.int32) * 0
+            init = tuple(jnp.full((ncu + 1, k), fill, jnp.int32) + z0
+                         for k in (n, n, nc, nc, nc, nc))
+            _, ys = jax.lax.scan(step, init, (rc_all, valid_all))
+            (cu_s, use_intra_s, imode_s, lv_y_s, lv_cb_s, lv_cr_s,
+             rec_y_s, rec_u_s, rec_v_s) = ys
+            flat_cu = cu_s.reshape(-1)
+
+            def collect(x, shape, dtype=None):
+                acc = jnp.zeros((ncu + 1,) + shape,
+                                x.dtype if dtype is None else dtype)
+                acc = acc.at[flat_cu].set(
+                    x.reshape((-1,) + shape).astype(acc.dtype), mode="drop")
+                return acc[:ncu]
+
+            use_intra = collect(use_intra_s, (), jnp.uint8)
+            imode = collect(imode_s, ())
+            lv_y = collect(lv_y_s, (n, n))
+            lv_cb = collect(lv_cb_s, (nc, nc))
+            lv_cr = collect(lv_cr_s, (nc, nc))
+            rec_y = collect(rec_y_s, (n, n))
+            rec_u = collect(rec_u_s, (nc, nc))
+            rec_v = collect(rec_v_s, (nc, nc))
+
+            recon8 = jnp.concatenate([
+                from_blocks(rec_y, n, H, W).reshape(-1),
+                from_blocks(rec_u, nc, H // 2, W // 2).reshape(-1),
+                from_blocks(rec_v, nc, H // 2, W // 2).reshape(-1),
+            ]).astype(jnp.uint8)
+            head8 = jnp.concatenate([
+                use_intra, imode.astype(jnp.uint8)]).astype(jnp.uint8)
+            mv16 = jnp.concatenate([mvx.astype(jnp.int16), mvy.astype(jnp.int16)])
+            mv8 = jax.lax.bitcast_convert_type(mv16, jnp.uint8).reshape(-1)
+            levels16 = jnp.concatenate([
+                lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)
+            ]).astype(jnp.int16)
+            levels8 = jax.lax.bitcast_convert_type(levels16, jnp.uint8).reshape(-1)
+            return jnp.concatenate([recon8, head8, mv8, levels8])
+
+        return encode
+
+    # ------------------------------------------------------------------
+    def _unpack(self, buf: np.ndarray) -> dict:
+        cfg = self.cfg
+        n, nc = cfg.cu_size, cfg.cu_size // 2
+        rows, cols, ncu = cfg.rows, cfg.cols, cfg.rows * cfg.cols
+        W, H = cfg.width, cfg.height
+        ny, nuv = H * W, (H // 2) * (W // 2)
+        o = 0
+        rec_y = buf[o:o + ny].reshape(H, W); o += ny
+        rec_u = buf[o:o + nuv].reshape(H // 2, W // 2); o += nuv
+        rec_v = buf[o:o + nuv].reshape(H // 2, W // 2); o += nuv
+        use_intra = buf[o:o + ncu].reshape(rows, cols).astype(bool); o += ncu
+        imode = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
+        mv = buf[o:o + 4 * ncu].view(np.int16); o += 4 * ncu
+        mvx = mv[:ncu].astype(np.int32).reshape(rows, cols)
+        mvy = mv[ncu:].astype(np.int32).reshape(rows, cols)
+        lv = buf[o:].view(np.int16)
+        sy, sc = ncu * n * n, ncu * nc * nc
+        return {
+            "use_intra": use_intra,
+            "modes": imode,
+            "mvx": mvx, "mvy": mvy,
+            "levels_y": lv[:sy].astype(np.int32).reshape(rows, cols, n, n),
+            "levels_cb": lv[sy:sy + sc].astype(np.int32).reshape(rows, cols, nc, nc),
+            "levels_cr": lv[sy + sc:sy + 2 * sc].astype(np.int32).reshape(rows, cols, nc, nc),
+            "recon_y": rec_y.astype(np.int32),
+            "recon_u": rec_u.astype(np.int32),
+            "recon_v": rec_v.astype(np.int32),
+        }
