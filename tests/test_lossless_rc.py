@@ -1,0 +1,74 @@
+"""Lossless-mode and rate-control conformance tests."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("cv2")
+
+from x265_yuuki_asuna_tpu.models.encoder_top import (IntraEncoderSession,
+                                                     VideoEncoderSession)
+from x265_yuuki_asuna_tpu.utils.av_decode import decode_hevc
+
+
+def test_lossless_bit_exact_source():
+    rng = np.random.default_rng(7)
+    W, H = 64, 48
+    sess = IntraEncoderSession(W, H, cu_size=16, lossless=True, hash_sei=False)
+    stream = sess.headers()
+    srcs = []
+    for _ in range(2):
+        y = rng.integers(0, 256, (H, W)).astype(np.uint8)
+        u = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+        v = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+        srcs.append((y, u, v))
+        fr = sess.encode_frame(y, u, v)
+        stream += fr.nals
+        assert np.array_equal(fr.recon[0], y)          # encoder-side lossless
+    for d, s in zip(decode_hevc(stream, W, H), srcs):
+        for p in range(3):
+            assert np.array_equal(d[p].astype(np.uint8), s[p])
+
+
+def _clip(n, W=64, H=48, seed=4):
+    rng = np.random.default_rng(seed)
+    base = (np.add.outer(np.arange(H), np.arange(W)) % 256).astype(np.uint8)
+    out = []
+    for t in range(n):
+        y = (np.roll(base, t * 2, axis=1) + rng.integers(0, 12, (H, W))).astype(np.uint8)
+        out.append((y, np.full((H // 2, W // 2), 90, np.uint8),
+                    np.full((H // 2, W // 2), 160, np.uint8)))
+    return out
+
+
+@pytest.mark.parametrize("mode,kw", [
+    ("abr", dict(bitrate_kbps=150)),
+    ("crf", dict(crf=30.0)),
+])
+def test_rate_control_conformance(mode, kw):
+    W, H = 64, 48
+    sess = VideoEncoderSession(W, H, cu_size=16, keyint=6, hash_sei=False,
+                               rc_mode=mode, **kw)
+    stream = sess.headers()
+    recons = []
+    for (y, u, v) in _clip(8):
+        fr = sess.encode_frame(y, u, v)
+        stream += fr.nals
+        recons.append(fr.recon)
+    decoded = decode_hevc(stream, W, H)
+    assert len(decoded) == 8
+    for d, r in zip(decoded, recons):
+        assert np.array_equal(d[0][:H, :W].astype(np.uint8), r[0])
+
+
+def test_abr_tracks_target_direction():
+    """Higher targets must produce more bits (sanity of the feedback loop)."""
+    W, H = 64, 48
+    totals = []
+    for rate in (60, 400):
+        sess = VideoEncoderSession(W, H, cu_size=16, keyint=8, hash_sei=False,
+                                   rc_mode="abr", bitrate_kbps=rate)
+        bits = 0
+        for (y, u, v) in _clip(8, seed=9):
+            bits += sess.encode_frame(y, u, v).bits
+        totals.append(bits)
+    assert totals[1] > totals[0] * 1.3

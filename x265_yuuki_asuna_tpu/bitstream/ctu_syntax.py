@@ -106,7 +106,11 @@ def encode_intra_ctu_full(enc: CabacEncoder, d: CTUDecisions, log2_cu: int,
                           cand_left: int, cand_above: int,
                           chroma_present: bool = True,
                           part_mode_coded: bool = True,
-                          sign_hiding: bool = False):
+                          sign_hiding: bool = False,
+                          tq_bypass: bool = False,
+                          bypass_enabled: bool = False):
+    if bypass_enabled:
+        enc.encode_bin(1 if tq_bypass else 0, CTX["tq_bypass"])
     if part_mode_coded:
         enc.encode_bin(1, CTX["part_size"])   # PART_2Nx2N
     mpm = derive_mpm(cand_left, cand_above)
@@ -139,7 +143,10 @@ def encode_intra_ctu_full(enc: CabacEncoder, d: CTUDecisions, log2_cu: int,
 def decode_intra_ctu_full(dec: CabacDecoder, log2_cu: int, cand_left: int,
                           cand_above: int, chroma_present: bool = True,
                           part_mode_coded: bool = True,
-                          sign_hiding: bool = False):
+                          sign_hiding: bool = False,
+                          bypass_enabled: bool = False):
+    if bypass_enabled:
+        dec.decode_bin(CTX["tq_bypass"])
     if part_mode_coded:
         part = dec.decode_bin(CTX["part_size"])
         assert part == 1, "NxN partitions not supported yet"

@@ -38,6 +38,9 @@ def main(argv=None):
     ap.add_argument("--keyint", type=int, default=0,
                     help="GOP length: 0/1 = all-intra, N>1 = IPPP with IDR every N")
     ap.add_argument("--merange", type=int, default=16, help="ME search range")
+    ap.add_argument("--crf", type=float, default=None, help="CRF rate control")
+    ap.add_argument("--bitrate", type=int, default=None, help="ABR bitrate (kbps)")
+    ap.add_argument("--lossless", action="store_true")
     ap.add_argument("--csv", default=None)
     args, extra = ap.parse_known_args(argv)
 
@@ -70,20 +73,26 @@ def main(argv=None):
         return 1
     info = reader.info
 
-    if args.keyint > 1:
+    rc_mode = "crf" if args.crf is not None else (
+        "abr" if args.bitrate else "cqp")
+    if args.keyint > 1 or rc_mode != "cqp":
         from .models.encoder_top import VideoEncoderSession
         sess = VideoEncoderSession(info.width, info.height, qp=args.qp,
                                    cu_size=args.ctu,
                                    fps=(info.fps_num, info.fps_denom),
-                                   keyint=args.keyint,
+                                   keyint=max(args.keyint, 2) if args.keyint > 1 else 250,
                                    search_range=args.merange,
-                                   hash_sei=not args.no_hash)
+                                   hash_sei=not args.no_hash,
+                                   rc_mode=rc_mode,
+                                   crf=args.crf if args.crf is not None else 28.0,
+                                   bitrate_kbps=args.bitrate or 0)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         sess = IntraEncoderSession(info.width, info.height, qp=args.qp,
                                    cu_size=args.ctu,
                                    fps=(info.fps_num, info.fps_denom),
-                                   hash_sei=not args.no_hash)
+                                   hash_sei=not args.no_hash,
+                                   lossless=args.lossless)
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None

@@ -41,13 +41,17 @@ class IntraEncoderSession:
 
     def __init__(self, width: int, height: int, qp: int = 32, cu_size: int = 16,
                  fps: Tuple[int, int] = (25, 1), hash_sei: bool = True,
-                 deblock: bool = False):
+                 deblock: bool = False, lossless: bool = False):
         self.src_w = width
         self.src_h = height
         self.qp = qp
         self.cu = cu_size
         self.hash_sei = hash_sei
-        self.deblock = deblock
+        self.deblock = deblock and not lossless
+        self.lossless = lossless
+        if lossless:
+            qp = 4            # reference behavior: lossless forces QP4 signaling
+            self.qp = qp
         self.coded_w = G.cdiv(width, cu_size) * cu_size
         self.coded_h = G.cdiv(height, cu_size) * cu_size
         self.rows = self.coded_h // cu_size
@@ -55,7 +59,8 @@ class IntraEncoderSession:
         log2cu = cu_size.bit_length() - 1
 
         self.frame_encoder = IntraFrameEncoder(IntraFrameConfig(
-            width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp))
+            width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp,
+            lossless=lossless))
 
         self.sps = HDR.SPSInfo(
             width=self.coded_w, height=self.coded_h,
@@ -69,7 +74,8 @@ class IntraEncoderSession:
             timing_info=(fps[1], fps[0]),
         )
         self.pps = HDR.PPSInfo(init_qp=26,
-                               deblocking_disabled=0 if deblock else 1)
+                               deblocking_disabled=0 if self.deblock else 1,
+                               transquant_bypass=1 if lossless else 0)
 
     # ------------------------------------------------------------------
     def headers(self) -> bytes:
@@ -140,19 +146,20 @@ class IntraEncoderSession:
         return results
 
     # ------------------------------------------------------------------
-    def _assemble_slice(self, out: dict) -> bytes:
+    def _assemble_slice(self, out: dict, qp: int = None) -> bytes:
+        qp = self.qp if qp is None else qp
         log2cu = self.cu.bit_length() - 1
         modes = out["modes"]
         bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
-                                    slice_qp=self.qp)
-        res = native.encode_intra_slice(
+                                    slice_qp=qp)
+        res = None if self.lossless else native.encode_intra_slice(
             modes, out["levels_y"], out["levels_cb"], out["levels_cr"],
-            log2cu, self.qp)
+            log2cu, qp)
         if res is not None:   # production path: C++ CABAC runtime
             data, tail, tail_bits = res
         else:                 # Python reference fallback
             enc = CabacEncoder()
-            enc.init_contexts(2, self.qp)   # I-slice init row
+            enc.init_contexts(2, qp)   # I-slice init row
             last = self.rows * self.cols - 1
             for r in range(self.rows):
                 for c in range(self.cols):
@@ -163,7 +170,10 @@ class IntraEncoderSession:
                         cr_levels=out["levels_cr"][r, c])
                     cand_left = int(modes[r, c - 1]) if c > 0 else DC_MODE
                     cand_above = DC_MODE  # above CTU row: outside current CTU
-                    CS.encode_intra_ctu_full(enc, d, log2cu, cand_left, cand_above)
+                    CS.encode_intra_ctu_full(enc, d, log2cu, cand_left,
+                                             cand_above,
+                                             tq_bypass=self.lossless,
+                                             bypass_enabled=self.lossless)
                     enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
             data, tail, tail_bits = enc.finish()
         for b in data:
@@ -195,8 +205,10 @@ class VideoEncoderSession:
     def __init__(self, width: int, height: int, qp: int = 32, cu_size: int = 16,
                  fps: Tuple[int, int] = (25, 1), keyint: int = 25,
                  search_range: int = 16, hash_sei: bool = True,
-                 max_merge: int = 3):
+                 max_merge: int = 3, rc_mode: str = "cqp", crf: float = 28.0,
+                 bitrate_kbps: int = 0):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
+        from .ratecontrol import RateControl, RCConfig
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
                                               hash_sei=False, deblock=False)
         # share geometry/headers with the intra session but fix DPB size
@@ -216,28 +228,33 @@ class VideoEncoderSession:
         self.frame_idx = 0
         self.poc = 0
         self.ref = None   # (y, u, v) padded recon planes
+        self.rc = RateControl(RCConfig(
+            mode=rc_mode, qp=qp, crf=crf, bitrate_kbps=bitrate_kbps,
+            fps=fps[0] / max(fps[1], 1), width=width, height=height))
 
     def headers(self) -> bytes:
         return self.intra_sess.headers()
 
     def encode_frame(self, y, u, v) -> FrameResult:
         is_idr = (self.frame_idx % self.keyint == 0) or self.ref is None
+        qp = self.rc.frame_qp(is_idr)
         yp = G.pad_plane(y, self.coded_h, self.coded_w)
         up = G.pad_plane(u, self.coded_h // 2, self.coded_w // 2)
         vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
         if is_idr:
-            out = self.intra_sess.frame_encoder.encode_frame(yp, up, vp)
-            nals = self.intra_sess._assemble_slice(out)
+            out = self.intra_sess.frame_encoder.encode_frame(yp, up, vp, qp=qp)
+            nals = self.intra_sess._assemble_slice(out, qp=qp)
             self.poc = 0
         else:
             out = self.inter_encoder.encode_frame(
-                yp, up, vp, self.ref[0], self.ref[1], self.ref[2])
+                yp, up, vp, self.ref[0], self.ref[1], self.ref[2], qp=qp)
             self.poc += 1
-            nals = self._assemble_p_slice(out)
+            nals = self._assemble_p_slice(out, qp)
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         self.frame_idx += 1
+        self.rc.frame_done(qp, len(nals) * 8)
         mse = float(np.mean((out["recon_y"][:self.src_h, :self.src_w]
                              .astype(np.float64) - y) ** 2))
         psnr = 99.99 if mse == 0 else 10 * np.log10(255 * 255 / mse)
@@ -247,16 +264,17 @@ class VideoEncoderSession:
         return FrameResult(nals=nals, recon=recon, bits=len(nals) * 8,
                            psnr_y=psnr)
 
-    def _assemble_p_slice(self, out: dict) -> bytes:
+    def _assemble_p_slice(self, out: dict, qp: int = None) -> bytes:
         from ..bitstream import inter_syntax as IS
         from ..bitstream.bitio import NAL_TRAIL_R
+        qp = self.qp if qp is None else qp
         sess = self.intra_sess
         log2cu = self.cu.bit_length() - 1
         bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=1,
-                                    slice_qp=self.qp, nal_type=NAL_TRAIL_R,
+                                    slice_qp=qp, nal_type=NAL_TRAIL_R,
                                     poc=self.poc, max_merge=self.max_merge)
         enc = CabacEncoder()
-        enc.init_contexts(1, self.qp)    # P-slice init row
+        enc.init_contexts(1, qp)    # P-slice init row
         grid = [[None] * self.cols for _ in range(self.rows)]
         last = self.rows * self.cols - 1
         for r in range(self.rows):

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..ops import intra, interp, me, pixel, quant, transforms
 from ..utils.geometry import wavefront_schedule
-from .intra_encoder import chroma_qp_from_luma
+from .intra_encoder import chroma_qp_from_luma, CHROMA_QP_TABLE
 
 
 @dataclass(frozen=True)
@@ -56,13 +56,15 @@ class InterFrameEncoder:
         self._valid = jnp.asarray(valid)
         self._encode = jax.jit(self._build())
 
-    def encode_frame(self, y, u, v, ref_y, ref_u, ref_v):
+    def encode_frame(self, y, u, v, ref_y, ref_u, ref_v, qp: int = None):
         """All planes padded to coded size. ref_* are the decoded reference
         planes. Returns decision dict (numpy)."""
+        qp = self.cfg.qp if qp is None else qp
         buf = np.asarray(self._encode(
             jnp.asarray(y, jnp.uint8), jnp.asarray(u, jnp.uint8),
             jnp.asarray(v, jnp.uint8), jnp.asarray(ref_y, jnp.uint8),
-            jnp.asarray(ref_u, jnp.uint8), jnp.asarray(ref_v, jnp.uint8)))
+            jnp.asarray(ref_u, jnp.uint8), jnp.asarray(ref_v, jnp.uint8),
+            jnp.int32(qp)))
         return self._unpack(buf)
 
     # ------------------------------------------------------------------
@@ -73,8 +75,6 @@ class InterFrameEncoder:
         log2n = cfg.log2_cu
         rows, cols = cfg.rows, cfg.cols
         W, H = cfg.width, cfg.height
-        qp_y = cfg.qp
-        qp_c = chroma_qp_from_luma(cfg.qp)
         bd = cfg.bit_depth
         maxv = (1 << bd) - 1
         ncu = rows * cols
@@ -142,7 +142,7 @@ class InterFrameEncoder:
             rr = transforms.inverse_transform(dq, bd, xp=jnp)
             return levels, rr
 
-        def make_step(srcs, preds, inter_satd):
+        def make_step(srcs, preds, inter_satd, qp_y, qp_c):
             src_yb, src_ub, src_vb = srcs
             pred_yb, pred_ub, pred_vb = preds
 
@@ -215,7 +215,9 @@ class InterFrameEncoder:
                 return (bry, rcy, bru, rcu_, brv, rcv), ys
             return step
 
-        def encode(y, u, v, ref_y, ref_u, ref_v):
+        def encode(y, u, v, ref_y, ref_u, ref_v, qp):
+            qp_y = qp.astype(jnp.int32)
+            qp_c = jnp.take(jnp.asarray(CHROMA_QP_TABLE), jnp.clip(qp_y, 0, 57))
             y32 = y.astype(jnp.int32)
             u32 = u.astype(jnp.int32)
             v32 = v.astype(jnp.int32)
@@ -234,7 +236,7 @@ class InterFrameEncoder:
                      padded(pred_v, (nc, nc)))
             isatd_p = jnp.concatenate([inter_satd, jnp.zeros((1,), inter_satd.dtype)])
 
-            step = make_step(srcs, preds, isatd_p)
+            step = make_step(srcs, preds, isatd_p, qp_y, qp_c)
             z0 = y.reshape(-1)[0].astype(jnp.int32) * 0
             init = tuple(jnp.full((ncu + 1, k), fill, jnp.int32) + z0
                          for k in (n, n, nc, nc, nc, nc))

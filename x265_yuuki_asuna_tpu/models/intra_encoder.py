@@ -45,6 +45,11 @@ def chroma_qp_from_luma(qp_y: int, offset: int = 0) -> int:
     return [29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37][qpi - 30]
 
 
+# device-side mapping table for traced QPs
+CHROMA_QP_TABLE = np.array([chroma_qp_from_luma(q) for q in range(58)],
+                           dtype=np.int32)
+
+
 @dataclass(frozen=True)
 class IntraFrameConfig:
     width: int              # padded (coded) luma width, multiple of cu_size
@@ -52,6 +57,7 @@ class IntraFrameConfig:
     cu_size: int = 16       # 16 or 32: uniform CTU==CU grid
     qp: int = 32
     bit_depth: int = 8
+    lossless: bool = False          # transquant bypass: levels = residual
     lambda_mode_bits: float = 0.0   # reserved for RD mode costs
 
     @property
@@ -86,25 +92,32 @@ class IntraFrameEncoder:
         self._encode_batch_light = jax.jit(jax.vmap(self._build(with_recon=False)))
 
     # ------------------------------------------------------------------
-    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     qp: int = None):
         """y: [H, W] uint8 padded to coded size; u, v: [H/2, W/2].
         Returns dict of decision tensors + recon planes (numpy)."""
         cfg = self.cfg
         assert y.shape == (cfg.height, cfg.width), y.shape
+        qp = cfg.qp if qp is None else qp
         buf = np.asarray(self._encode(jnp.asarray(y, jnp.uint8),
                                       jnp.asarray(u, jnp.uint8),
-                                      jnp.asarray(v, jnp.uint8)))
+                                      jnp.asarray(v, jnp.uint8),
+                                      jnp.int32(qp)))
         return self._unpack(buf)
 
     # ------------------------------------------------------------------
     def encode_frames(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                      with_recon: bool = True):
+                      with_recon: bool = True, qp=None):
         """Batched encode: y [F, H, W]; independent frames in parallel.
-        Returns a list of per-frame decision dicts."""
+        qp: per-batch scalar or per-frame array. Returns per-frame dicts."""
         fn = self._encode_batch if with_recon else self._encode_batch_light
+        if qp is None:
+            qp = self.cfg.qp
+        qp_arr = np.broadcast_to(np.asarray(qp, np.int32), (y.shape[0],))
         buf = np.asarray(fn(jnp.asarray(y, jnp.uint8),
                             jnp.asarray(u, jnp.uint8),
-                            jnp.asarray(v, jnp.uint8)))
+                            jnp.asarray(v, jnp.uint8),
+                            jnp.asarray(qp_arr)))
         return [self._unpack(buf[i], with_recon) for i in range(buf.shape[0])]
 
     # ------------------------------------------------------------------
@@ -115,8 +128,6 @@ class IntraFrameEncoder:
         log2n = cfg.log2_cu
         rows, cols = cfg.rows, cfg.cols
         W, H = cfg.width, cfg.height
-        qp_y = cfg.qp
-        qp_c = chroma_qp_from_luma(cfg.qp)
         bd = cfg.bit_depth
         maxv = (1 << bd) - 1
         ncu = rows * cols
@@ -154,6 +165,7 @@ class IntraFrameEncoder:
 
         def process_plane(botrow, rightcol, src_blocks, cu, r, c, nn, log2nn,
                           qp, luma, modes, avail):
+            # qp may be a traced scalar
             v_raw, av = build_v(botrow, rightcol, cu, r, c, nn, avail)
             v = intra.substitute_references(v_raw, av, bd, xp=jnp)
             preds = intra.predict_all_modes_matmul(v, nn, bd, luma=luma,
@@ -165,6 +177,8 @@ class IntraFrameEncoder:
             pred = jnp.take_along_axis(
                 preds, modes[:, None, None, None].astype(jnp.int32), axis=1)[:, 0]
             resid = src_blocks.astype(jnp.int32) - pred
+            if cfg.lossless:      # transquant bypass: residual coded directly
+                return modes, resid, src_blocks.astype(jnp.int32)
             coef = transforms.forward_transform(resid, bd, xp=jnp)
             levels, _ = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
             dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
@@ -172,7 +186,7 @@ class IntraFrameEncoder:
             recon = jnp.clip(pred + rr, 0, maxv)
             return modes, levels, recon
 
-        def make_step(src_y_blocks, src_u_blocks, src_v_blocks):
+        def make_step(src_y_blocks, src_u_blocks, src_v_blocks, qp_y, qp_c):
             # src_*_blocks: [ncu, nn, nn] block-layout source
             def step(carry, xs):
                 (bry, rcy, bru, rcu_, brv, rcv) = carry
@@ -218,11 +232,14 @@ class IntraFrameEncoder:
             return (blocks.reshape(hh // nn, ww // nn, nn, nn)
                     .transpose(0, 2, 1, 3).reshape(hh, ww))
 
-        def encode(y, u, v):
+        def encode(y, u, v, qp):
+            qp_y = qp.astype(jnp.int32)
+            qp_c = jnp.take(jnp.asarray(CHROMA_QP_TABLE),
+                            jnp.clip(qp_y, 0, 57))
             yb = to_blocks(y.astype(jnp.int32), n)
             ub = to_blocks(u.astype(jnp.int32), nc)
             vb = to_blocks(v.astype(jnp.int32), nc)
-            step = make_step(yb, ub, vb)
+            step = make_step(yb, ub, vb, qp_y, qp_c)
             z0 = y.reshape(-1)[0] * 0   # ties carry varying-ness to inputs
             init = (
                 jnp.full((ncu + 1, n), fill, jnp.int32) + z0,

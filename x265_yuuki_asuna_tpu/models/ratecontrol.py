@@ -1,0 +1,105 @@
+"""Rate control: CQP / CRF / ABR (round-1 subset of the reference's model).
+
+Reference behavior studied (not copied): encoder/ratecontrol.cpp —
+  - qscale <-> qp mapping (x264 heritage): qscale = 0.85 * 2^((qp-12)/6)
+  - base curve  qscale = blurredComplexity^(1 - qCompress) / rateFactor
+    (ratecontrol.cpp:2718 getQScale)
+  - ABR feedback via wanted-bits overflow on a sliding window
+    (ratecontrol.cpp:1683 tuneAbrQScaleFromFeedback; SURVEY.md A.4)
+  - complexity proxy: cplx ~= bits * qscale of recent frames
+Round-1 scope: no lookahead/VBV/cuTree yet — complexity comes from encoded
+history; I/P offsets via ipFactor.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+QP_TO_QSCALE = lambda qp: 0.85 * (2.0 ** ((qp - 12.0) / 6.0))
+
+
+def qscale_to_qp(qscale: float) -> float:
+    return 12.0 + 6.0 * math.log2(max(qscale, 1e-6) / 0.85)
+
+
+@dataclass
+class RCConfig:
+    mode: str = "cqp"            # cqp | crf | abr
+    qp: int = 32
+    crf: float = 28.0
+    bitrate_kbps: int = 0
+    fps: float = 25.0
+    width: int = 0
+    height: int = 0
+    q_compress: float = 0.6
+    ip_factor: float = 1.4
+    qp_min: int = 4
+    qp_max: int = 51
+
+
+class RateControl:
+    def __init__(self, cfg: RCConfig):
+        self.cfg = cfg
+        self.frame = 0
+        self.total_bits = 0.0
+        self.cplx_sum = 0.0
+        self.cplx_count = 0.0
+        self.short_term_cplx = 0.0
+        self.short_term_count = 0.0
+        self.last_qscale = QP_TO_QSCALE(cfg.qp)
+        if cfg.mode == "abr":
+            self.bits_per_frame = cfg.bitrate_kbps * 1000.0 / cfg.fps
+            # initial rate factor from a blind complexity guess (reference
+            # ratecontrol.cpp init: 0.04 * pixels heuristic class)
+            guess_cplx = 0.01 * (cfg.width * cfg.height) ** 1.0 + 1
+            self.rate_factor = (guess_cplx ** (1 - cfg.q_compress)) / \
+                QP_TO_QSCALE(max(cfg.qp, 1))
+        elif cfg.mode == "crf":
+            base_cplx = (cfg.width * cfg.height) / 256.0 * 120.0
+            self.rate_factor = (base_cplx ** (1 - cfg.q_compress)) / \
+                QP_TO_QSCALE(cfg.crf)
+
+    # ------------------------------------------------------------------
+    def frame_qp(self, is_intra: bool) -> int:
+        cfg = self.cfg
+        if cfg.mode == "cqp":
+            qp = cfg.qp
+        else:
+            if self.short_term_count > 0:
+                cplx = self.short_term_cplx / self.short_term_count
+            else:
+                cplx = (cfg.width * cfg.height) / 256.0 * 120.0
+            qscale = (cplx ** (1 - cfg.q_compress)) / self.rate_factor
+            if cfg.mode == "abr" and self.frame > 0:
+                wanted = self.bits_per_frame * self.frame
+                abr_buffer = 2.0 * self.bits_per_frame * max(self.frame ** 0.5, 4)
+                overflow = 1.0 + (self.total_bits - wanted) / abr_buffer
+                overflow = min(max(overflow, 0.5), 2.0)
+                qscale *= overflow
+            # mild smoothing against oscillation
+            qscale = min(max(qscale, self.last_qscale / 2.2),
+                         self.last_qscale * 2.2)
+            self.last_qscale = qscale
+            qp = qscale_to_qp(qscale)
+        if is_intra and cfg.mode != "cqp":
+            qp -= 6.0 * math.log2(cfg.ip_factor)
+        return int(round(min(max(qp, cfg.qp_min), cfg.qp_max)))
+
+    # ------------------------------------------------------------------
+    def frame_done(self, qp_used: int, bits: int):
+        qscale = QP_TO_QSCALE(qp_used)
+        cplx = bits * qscale
+        self.cplx_sum = self.cplx_sum * 0.95 + cplx
+        self.cplx_count = self.cplx_count * 0.95 + 1
+        self.short_term_cplx = self.short_term_cplx * 0.6 + cplx
+        self.short_term_count = self.short_term_count * 0.6 + 1
+        self.total_bits += bits
+        self.frame += 1
+        if self.cfg.mode == "abr" and self.frame >= 2:
+            # renormalize rate factor toward hitting the target with the
+            # observed complexity (slow adaptation)
+            cplx_avg = self.cplx_sum / self.cplx_count
+            ideal_qscale = (cplx_avg / max(self.bits_per_frame, 1.0))
+            want_rf = (cplx_avg ** (1 - self.cfg.q_compress)) / max(ideal_qscale, 1e-6)
+            self.rate_factor = 0.9 * self.rate_factor + 0.1 * want_rf

@@ -28,17 +28,26 @@ def transform_shift(log2_tr_size: int, bit_depth: int) -> int:
     return 15 - bit_depth - log2_tr_size
 
 
-def quant(coef, qp: int, log2_tr_size: int, bit_depth: int = 8,
+def quant(coef, qp, log2_tr_size: int, bit_depth: int = 8,
           is_intra_slice: bool = True, xp=np):
     """Forward quant with the reference's RDO-less rounding offset.
 
-    coef: int32 [..., N, N] transform coefficients.
+    coef: int32 [..., N, N] transform coefficients. qp may be a Python int or
+    a traced scalar (runtime QP — needed for rate control without recompiles).
     Returns (levels int32 [..., N, N] signed, delta_u int32 for sign hiding).
     """
-    per, rem = qp // 6, qp % 6
-    qbits = 14 + per + transform_shift(log2_tr_size, bit_depth)
-    add = (171 if is_intra_slice else 85) << (qbits - 9)
-    scale = int(QUANT_SCALES[rem])
+    tshift = transform_shift(log2_tr_size, bit_depth)
+    if isinstance(qp, (int, np.integer)):
+        per, rem = qp // 6, qp % 6
+        scale = int(QUANT_SCALES[rem])
+    else:
+        qp = qp.astype(xp.int32)
+        per, rem = qp // 6, qp % 6
+        scale = xp.take(xp.asarray(QUANT_SCALES), rem)
+    qbits = 14 + per + tshift
+    add = xp.left_shift((171 if is_intra_slice else 85) + 0 * per, qbits - 9) \
+        if not isinstance(qp, (int, np.integer)) else \
+        ((171 if is_intra_slice else 85) << (qbits - 9))
     c = coef.astype(xp.int32)
     sign = xp.sign(c)
     tmp = xp.abs(c) * scale
@@ -48,11 +57,17 @@ def quant(coef, qp: int, log2_tr_size: int, bit_depth: int = 8,
     return level, delta_u
 
 
-def dequant(levels, qp: int, log2_tr_size: int, bit_depth: int = 8, xp=np):
-    """Flat-list dequant (dequant_normal): int levels -> int32 coefficients."""
-    per, rem = qp // 6, qp % 6
+def dequant(levels, qp, log2_tr_size: int, bit_depth: int = 8, xp=np):
+    """Flat-list dequant (dequant_normal): int levels -> int32 coefficients.
+    qp may be a Python int or a traced scalar."""
     shift = 20 - 14 - transform_shift(log2_tr_size, bit_depth)
-    scale = int(INV_QUANT_SCALES[rem]) << per
+    if isinstance(qp, (int, np.integer)):
+        per, rem = qp // 6, qp % 6
+        scale = int(INV_QUANT_SCALES[rem]) << per
+    else:
+        qp = qp.astype(xp.int32)
+        per, rem = qp // 6, qp % 6
+        scale = xp.left_shift(xp.take(xp.asarray(INV_QUANT_SCALES), rem), per)
     add = 1 << (shift - 1)
     c = xp.right_shift(levels.astype(xp.int32) * scale + add, shift)
     return xp.clip(c, -32768, 32767)
