@@ -63,3 +63,18 @@ def test_ippp_static_scene_skips():
 
 def test_ippp_odd_size():
     _run(52, 36, 32, 10, _motion_clip(52, 36, 3, seed=5))
+
+
+def test_ippp_subpel_motion():
+    """Fractional-pel MVs exercise the 8-tap/4-tap interpolators in-loop."""
+    rng = np.random.default_rng(11)
+    W, H = 64, 48
+    base = np.add.outer(np.arange(H) * 3, np.arange(W) * 2).astype(np.float64)
+    frames = []
+    for t in range(4):
+        # non-integer shift => encoder should pick subpel MVs
+        yy = np.clip(base + t * 1.5 + rng.integers(0, 5, (H, W)), 0, 255)
+        frames.append((yy.astype(np.uint8),
+                       np.full((H // 2, W // 2), 100, np.uint8),
+                       np.full((H // 2, W // 2), 150, np.uint8)))
+    _run(W, H, 28, 8, frames)

@@ -41,7 +41,8 @@ class IntraEncoderSession:
 
     def __init__(self, width: int, height: int, qp: int = 32, cu_size: int = 16,
                  fps: Tuple[int, int] = (25, 1), hash_sei: bool = True,
-                 deblock: bool = False, lossless: bool = False):
+                 deblock: bool = False, lossless: bool = False,
+                 bit_depth: int = 8):
         self.src_w = width
         self.src_h = height
         self.qp = qp
@@ -49,6 +50,7 @@ class IntraEncoderSession:
         self.hash_sei = hash_sei
         self.deblock = deblock and not lossless
         self.lossless = lossless
+        self.bit_depth = bit_depth
         if lossless:
             qp = 4            # reference behavior: lossless forces QP4 signaling
             self.qp = qp
@@ -60,12 +62,15 @@ class IntraEncoderSession:
 
         self.frame_encoder = IntraFrameEncoder(IntraFrameConfig(
             width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp,
-            lossless=lossless))
+            bit_depth=bit_depth, lossless=lossless))
 
+        ptl = HDR.ProfileTierLevel(profile_idc=2 if bit_depth > 8 else 1,
+                                   bit_depth_constraint=bit_depth)
         self.sps = HDR.SPSInfo(
             width=self.coded_w, height=self.coded_h,
             conf_win=(0, self.coded_w - width, 0, self.coded_h - height),
-            chroma_format_idc=1, bit_depth=8,
+            ptl=ptl,
+            chroma_format_idc=1, bit_depth=bit_depth,
             log2_min_cb=log2cu, log2_diff_max_min_cb=0,
             log2_min_tb=2, log2_diff_max_min_tb=log2cu - 2,
             max_transform_hierarchy_depth_inter=0,
@@ -104,10 +109,12 @@ class IntraEncoderSession:
         bits = len(nals) * 8
         mse = float(np.mean((out["recon_y"][:self.src_h, :self.src_w]
                              .astype(np.float64) - y) ** 2))
-        psnr = 99.99 if mse == 0 else 10 * np.log10(255 * 255 / mse)
-        recon = (out["recon_y"][:self.src_h, :self.src_w].astype(np.uint8),
-                 out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8),
-                 out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8))
+        pk = (1 << self.bit_depth) - 1
+        psnr = 99.99 if mse == 0 else 10 * np.log10(pk * pk / mse)
+        pdt = np.uint16 if self.bit_depth > 8 else np.uint8
+        recon = (out["recon_y"][:self.src_h, :self.src_w].astype(pdt),
+                 out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(pdt),
+                 out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(pdt))
         return FrameResult(nals=nals, recon=recon, bits=bits, psnr_y=psnr)
 
     # ------------------------------------------------------------------
@@ -187,9 +194,10 @@ class IntraEncoderSession:
         bw = BitWriter()
         bw.write_bits(132, 8)          # payload type: decoded_picture_hash
         payload = bytearray([0])       # hash_type = 0 (MD5)
+        pdt = np.uint16 if self.bit_depth > 8 else np.uint8
         for plane in ("recon_y", "recon_u", "recon_v"):
             payload += hashlib.md5(
-                out[plane].astype(np.uint8).tobytes()).digest()
+                out[plane].astype(pdt).tobytes()).digest()
         bw.write_bits(len(payload), 8)
         for b in payload:
             bw.write_byte(b)
@@ -300,7 +308,7 @@ class VideoEncoderSession:
             return IS.InterCTUDecision(
                 is_intra=True, intra_mode=int(out["modes"][r, c]),
                 luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)
-        mv = (int(out["mvx"][r, c]) * 4, int(out["mvy"][r, c]) * 4)
+        mv = (int(out["mvx"][r, c]), int(out["mvy"][r, c]))   # quarter-pel
         cands = IS.merge_candidates(grid, r, c, self.max_merge)
         if mv in cands:
             return IS.InterCTUDecision(

@@ -31,6 +31,7 @@ class InterFrameConfig:
     qp: int = 32
     bit_depth: int = 8
     search_range: int = 16
+    subpel: bool = True     # half+quarter-pel refinement (SATD-driven)
     intra_bias: int = 0     # added to intra SATD before comparison
 
     @property
@@ -99,18 +100,42 @@ class InterFrameEncoder:
             grid_c = jnp.arange(ncu, dtype=jnp.int32) % cols
             py = grid_r * n
             px = grid_c * n
-            mvx, mvy, sad = me.full_search_sad(ref_y, yb, px, py, n, R,
-                                               lambda_bits=2, xp=jnp)
-            # luma prediction (integer MV -> plain shifted copy via MC path)
-            pred_y = interp.mc_luma_qpel(ref_y, px, py, mvx * 4, mvy * 4, n,
-                                         bd, xp=jnp)
+            mvx_i, mvy_i, sad = me.full_search_sad(ref_y, yb, px, py, n, R,
+                                                   lambda_bits=2, xp=jnp)
+            mvx = mvx_i * 4     # quarter-pel units
+            mvy = mvy_i * 4
+            yb32 = yb.astype(jnp.int32)
+
+            def eval_mv(mx, my):
+                p = interp.mc_luma_qpel(ref_y, px, py, mx, my, n, bd, xp=jnp)
+                return pixel.satd(yb32, p, xp=jnp)
+
+            if cfg.subpel:
+                # half-pel then quarter-pel refinement, 8 neighbors each
+                # (reference: motion.cpp subpel iterations, SATD-costed)
+                best = eval_mv(mvx, mvy)
+                for stepq in (2, 1):
+                    cand_best = best
+                    bx, by = mvx, mvy
+                    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1),
+                                   (-1, -1), (1, -1), (-1, 1), (1, 1)):
+                        mx = mvx + dx * stepq
+                        my = mvy + dy * stepq
+                        c = eval_mv(mx, my)
+                        better = c < cand_best
+                        bx = jnp.where(better, mx, bx)
+                        by = jnp.where(better, my, by)
+                        cand_best = jnp.minimum(c, cand_best)
+                    mvx, mvy, best = bx, by, cand_best
+
+            pred_y = interp.mc_luma_qpel(ref_y, px, py, mvx, mvy, n, bd, xp=jnp)
             # chroma: quarter-luma-pel MV = eighth-chroma-pel
             pxc, pyc = px // 2, py // 2
-            pred_u = interp.mc_chroma_qpel(ref_u, pxc, pyc, mvx * 4, mvy * 4,
+            pred_u = interp.mc_chroma_qpel(ref_u, pxc, pyc, mvx, mvy,
                                            nc, bd, xp=jnp)
-            pred_v = interp.mc_chroma_qpel(ref_v, pxc, pyc, mvx * 4, mvy * 4,
+            pred_v = interp.mc_chroma_qpel(ref_v, pxc, pyc, mvx, mvy,
                                            nc, bd, xp=jnp)
-            inter_satd = pixel.satd(yb.astype(jnp.int32), pred_y, xp=jnp)
+            inter_satd = pixel.satd(yb32, pred_y, xp=jnp)
             return mvx, mvy, pred_y, pred_u, pred_v, inter_satd
 
         # ---------- phase B: wavefront decision + recon -------------------
@@ -216,8 +241,11 @@ class InterFrameEncoder:
             return step
 
         def encode(y, u, v, ref_y, ref_u, ref_v, qp):
-            qp_y = qp.astype(jnp.int32)
-            qp_c = jnp.take(jnp.asarray(CHROMA_QP_TABLE), jnp.clip(qp_y, 0, 57))
+            qp_sig = qp.astype(jnp.int32)
+            # internal quant QP includes the bit-depth offset (Qp' = Qp + 6*(bd-8))
+            qp_y = qp_sig + 6 * (bd - 8)
+            qp_c = jnp.take(jnp.asarray(CHROMA_QP_TABLE),
+                            jnp.clip(qp_sig, 0, 57)) + 6 * (bd - 8)
             y32 = y.astype(jnp.int32)
             u32 = u.astype(jnp.int32)
             v32 = v.astype(jnp.int32)

@@ -91,17 +91,22 @@ class IntraFrameEncoder:
         # that don't need recon on the host (no hash SEI / recon output)
         self._encode_batch_light = jax.jit(jax.vmap(self._build(with_recon=False)))
 
+    @property
+    def _pix_dtype(self):
+        return jnp.uint16 if self.cfg.bit_depth > 8 else jnp.uint8
+
     # ------------------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      qp: int = None):
-        """y: [H, W] uint8 padded to coded size; u, v: [H/2, W/2].
+        """y: [H, W] pixels padded to coded size; u, v: [H/2, W/2].
         Returns dict of decision tensors + recon planes (numpy)."""
         cfg = self.cfg
         assert y.shape == (cfg.height, cfg.width), y.shape
         qp = cfg.qp if qp is None else qp
-        buf = np.asarray(self._encode(jnp.asarray(y, jnp.uint8),
-                                      jnp.asarray(u, jnp.uint8),
-                                      jnp.asarray(v, jnp.uint8),
+        dt = self._pix_dtype
+        buf = np.asarray(self._encode(jnp.asarray(y, dt),
+                                      jnp.asarray(u, dt),
+                                      jnp.asarray(v, dt),
                                       jnp.int32(qp)))
         return self._unpack(buf)
 
@@ -114,9 +119,10 @@ class IntraFrameEncoder:
         if qp is None:
             qp = self.cfg.qp
         qp_arr = np.broadcast_to(np.asarray(qp, np.int32), (y.shape[0],))
-        buf = np.asarray(fn(jnp.asarray(y, jnp.uint8),
-                            jnp.asarray(u, jnp.uint8),
-                            jnp.asarray(v, jnp.uint8),
+        dt = self._pix_dtype
+        buf = np.asarray(fn(jnp.asarray(y, dt),
+                            jnp.asarray(u, dt),
+                            jnp.asarray(v, dt),
                             jnp.asarray(qp_arr)))
         return [self._unpack(buf[i], with_recon) for i in range(buf.shape[0])]
 
@@ -233,9 +239,11 @@ class IntraFrameEncoder:
                     .transpose(0, 2, 1, 3).reshape(hh, ww))
 
         def encode(y, u, v, qp):
-            qp_y = qp.astype(jnp.int32)
+            qp_sig = qp.astype(jnp.int32)
+            # internal quant QP includes the bit-depth offset (Qp' = Qp + 6*(bd-8))
+            qp_y = qp_sig + 6 * (bd - 8)
             qp_c = jnp.take(jnp.asarray(CHROMA_QP_TABLE),
-                            jnp.clip(qp_y, 0, 57))
+                            jnp.clip(qp_sig, 0, 57)) + 6 * (bd - 8)
             yb = to_blocks(y.astype(jnp.int32), n)
             ub = to_blocks(u.astype(jnp.int32), nc)
             vb = to_blocks(v.astype(jnp.int32), nc)
@@ -275,11 +283,16 @@ class IntraFrameEncoder:
             levels8 = jax.lax.bitcast_convert_type(levels16, jnp.uint8).reshape(-1)
             if not with_recon:
                 return jnp.concatenate([modes8, levels8])
-            recon8 = jnp.concatenate([
+            rec_cat = jnp.concatenate([
                 from_blocks(rec_y, n, H, W).reshape(-1),
                 from_blocks(rec_u, nc, H // 2, W // 2).reshape(-1),
                 from_blocks(rec_v, nc, H // 2, W // 2).reshape(-1),
-            ]).astype(jnp.uint8)
+            ])
+            if bd > 8:
+                recon8 = jax.lax.bitcast_convert_type(
+                    rec_cat.astype(jnp.int16), jnp.uint8).reshape(-1)
+            else:
+                recon8 = rec_cat.astype(jnp.uint8)
             return jnp.concatenate([recon8, modes8, levels8])
 
         return encode
@@ -291,12 +304,20 @@ class IntraFrameEncoder:
         rows, cols, ncu = cfg.rows, cfg.cols, cfg.rows * cfg.cols
         W, H = cfg.width, cfg.height
         ny, nuv = H * W, (H // 2) * (W // 2)
+        bsz = 2 if cfg.bit_depth > 8 else 1
         o = 0
         rec_y = rec_u = rec_v = None
         if with_recon:
-            rec_y = buf[o:o + ny].reshape(H, W); o += ny
-            rec_u = buf[o:o + nuv].reshape(H // 2, W // 2); o += nuv
-            rec_v = buf[o:o + nuv].reshape(H // 2, W // 2); o += nuv
+            def plane(count, hh, ww):
+                nonlocal o
+                raw = buf[o:o + count * bsz]
+                o += count * bsz
+                if bsz == 2:
+                    return raw.view(np.int16).reshape(hh, ww)
+                return raw.reshape(hh, ww)
+            rec_y = plane(ny, H, W)
+            rec_u = plane(nuv, H // 2, W // 2)
+            rec_v = plane(nuv, H // 2, W // 2)
         modes = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
         lv = buf[o:].view(np.int16)
         sy = ncu * n * n
