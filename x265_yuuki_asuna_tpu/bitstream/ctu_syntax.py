@@ -172,3 +172,113 @@ def decode_intra_ctu_full(dec: CabacDecoder, log2_cu: int, cand_left: int,
     cr = (decode_residual(dec, log2_cu - 1, False, chroma_mode, sign_hiding)
           if cbf_cr else np.zeros((n // 2, n // 2), np.int32))
     return luma_mode, chroma_mode, luma, cb, cr
+
+
+# ---------------------------------------------------------------------------
+# SAO per-CTU syntax (spec 7.3.8.3). params per CTU:
+#   {"luma": (type, aux, offs), "cb": (type, aux, offs), "cr": (type, aux, offs)}
+# with chroma sharing type and EO class (cb's aux when EO).
+# ---------------------------------------------------------------------------
+
+SAO_OFF, SAO_BO, SAO_EO = 0, 1, 2
+
+
+def _enc_offsets_abs(enc, offs, cmax):
+    for o in offs:
+        a = abs(int(o))
+        for _ in range(a):
+            enc.encode_bin_ep(1)
+        if a < cmax:
+            enc.encode_bin_ep(0)
+
+
+def _dec_offsets_abs(dec, cmax):
+    out = []
+    for _ in range(4):
+        a = 0
+        while a < cmax and dec.decode_bin_ep():
+            a += 1
+        out.append(a)
+    return out
+
+
+def _enc_type(enc, t):
+    enc.encode_bin(0 if t == SAO_OFF else 1, CTX["sao_type"])
+    if t != SAO_OFF:
+        enc.encode_bin_ep(1 if t == SAO_EO else 0)
+
+
+def _dec_type(dec):
+    if not dec.decode_bin(CTX["sao_type"]):
+        return SAO_OFF
+    return SAO_EO if dec.decode_bin_ep() else SAO_BO
+
+
+def encode_sao_ctu(enc: CabacEncoder, params, left_params, up_params,
+                   luma_on: bool, chroma_on: bool, bit_depth: int = 8):
+    cmax = (1 << (min(bit_depth, 10) - 5)) - 1
+    if left_params is not None:
+        merge_left = params == left_params
+        enc.encode_bin(1 if merge_left else 0, CTX["sao_merge"])
+        if merge_left:
+            return
+    if up_params is not None:
+        merge_up = params == up_params
+        enc.encode_bin(1 if merge_up else 0, CTX["sao_merge"])
+        if merge_up:
+            return
+    comps = ([("luma",)] if luma_on else []) + ([("cb", "cr")] if chroma_on else [])
+    for group in comps:
+        t = params[group[0]][0]
+        _enc_type(enc, t)
+        if t == SAO_OFF:
+            continue
+        for name in group:
+            typ, aux, offs = params[name]
+            _enc_offsets_abs(enc, offs, cmax)
+            if typ == SAO_BO:
+                for o in offs:
+                    if o != 0:
+                        enc.encode_bin_ep(1 if o < 0 else 0)
+                enc.encode_bins_ep(aux, 5)
+            elif name in ("luma", "cb"):
+                enc.encode_bins_ep(aux, 2)     # eo_class (cr inherits)
+
+
+def decode_sao_ctu(dec: CabacDecoder, left_params, up_params,
+                   luma_on: bool, chroma_on: bool, bit_depth: int = 8):
+    cmax = (1 << (min(bit_depth, 10) - 5)) - 1
+    if left_params is not None and dec.decode_bin(CTX["sao_merge"]):
+        return dict(left_params)
+    if up_params is not None and dec.decode_bin(CTX["sao_merge"]):
+        return dict(up_params)
+    out = {}
+    groups = ([("luma",)] if luma_on else []) + ([("cb", "cr")] if chroma_on else [])
+    for group in groups:
+        t = _dec_type(dec)
+        if t == SAO_OFF:
+            for name in group:
+                out[name] = (SAO_OFF, 0, [0, 0, 0, 0])
+            continue
+        shared_cls = None
+        for name in group:
+            absv = _dec_offsets_abs(dec, cmax)
+            if t == SAO_BO:
+                offs = []
+                for a in absv:
+                    if a != 0:
+                        offs.append(-a if dec.decode_bin_ep() else a)
+                    else:
+                        offs.append(0)
+                band = dec.decode_bins_ep(5)
+                out[name] = (SAO_BO, band, offs)
+            else:
+                if name in ("luma", "cb"):
+                    shared_cls = dec.decode_bins_ep(2)
+                # EO sign inference: cats 1,2 positive; 3,4 negative
+                offs = [absv[0], absv[1], -absv[2], -absv[3]]
+                out[name] = (SAO_EO, shared_cls, offs)
+    for name in ("luma", "cb", "cr"):
+        if name not in out:
+            out[name] = (SAO_OFF, 0, [0, 0, 0, 0])
+    return out

@@ -41,6 +41,8 @@ def main(argv=None):
     ap.add_argument("--crf", type=float, default=None, help="CRF rate control")
     ap.add_argument("--bitrate", type=int, default=None, help="ABR bitrate (kbps)")
     ap.add_argument("--lossless", action="store_true")
+    ap.add_argument("--sao", action="store_true", help="enable SAO (intra)")
+    ap.add_argument("--deblock", action="store_true", help="enable deblocking (intra)")
     ap.add_argument("--csv", default=None)
     args, extra = ap.parse_known_args(argv)
 
@@ -92,7 +94,8 @@ def main(argv=None):
                                    cu_size=args.ctu,
                                    fps=(info.fps_num, info.fps_denom),
                                    hash_sei=not args.no_hash,
-                                   lossless=args.lossless)
+                                   lossless=args.lossless,
+                                   sao=args.sao, deblock=args.deblock)
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None

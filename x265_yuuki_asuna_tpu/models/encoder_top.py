@@ -42,7 +42,7 @@ class IntraEncoderSession:
     def __init__(self, width: int, height: int, qp: int = 32, cu_size: int = 16,
                  fps: Tuple[int, int] = (25, 1), hash_sei: bool = True,
                  deblock: bool = False, lossless: bool = False,
-                 bit_depth: int = 8):
+                 bit_depth: int = 8, sao: bool = False):
         self.src_w = width
         self.src_h = height
         self.qp = qp
@@ -51,6 +51,7 @@ class IntraEncoderSession:
         self.deblock = deblock and not lossless
         self.lossless = lossless
         self.bit_depth = bit_depth
+        self.sao = sao and not lossless
         if lossless:
             qp = 4            # reference behavior: lossless forces QP4 signaling
             self.qp = qp
@@ -75,7 +76,8 @@ class IntraEncoderSession:
             log2_min_tb=2, log2_diff_max_min_tb=log2cu - 2,
             max_transform_hierarchy_depth_inter=0,
             max_transform_hierarchy_depth_intra=0,
-            sao_enabled=0, temporal_mvp=0, strong_intra_smoothing=0,
+            sao_enabled=1 if (sao and not lossless) else 0,
+            temporal_mvp=0, strong_intra_smoothing=0,
             timing_info=(fps[1], fps[0]),
         )
         self.pps = HDR.PPSInfo(init_qp=26,
@@ -102,7 +104,10 @@ class IntraEncoderSession:
                 self.qp, chroma_qp_from_luma(self.qp))
             out["recon_y"], out["recon_u"], out["recon_v"] = (
                 np.asarray(dy), np.asarray(du), np.asarray(dv))
-        slice_nal = self._assemble_slice(out)
+        sao_params = None
+        if self.sao:
+            sao_params = self._sao_decide(out, yp, up, vp)
+        slice_nal = self._assemble_slice(out, sao_params=sao_params)
         nals = slice_nal
         if self.hash_sei:
             nals += self._hash_sei(out)
@@ -153,13 +158,16 @@ class IntraEncoderSession:
         return results
 
     # ------------------------------------------------------------------
-    def _assemble_slice(self, out: dict, qp: int = None) -> bytes:
+    def _assemble_slice(self, out: dict, qp: int = None,
+                        sao_params=None) -> bytes:
         qp = self.qp if qp is None else qp
         log2cu = self.cu.bit_length() - 1
         modes = out["modes"]
         bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
-                                    slice_qp=qp)
-        res = None if self.lossless else native.encode_intra_slice(
+                                    slice_qp=qp,
+                                    sao_luma=1 if sao_params else 0,
+                                    sao_chroma=1 if sao_params else 0)
+        res = None if (self.lossless or sao_params) else native.encode_intra_slice(
             modes, out["levels_y"], out["levels_cb"], out["levels_cr"],
             log2cu, qp)
         if res is not None:   # production path: C++ CABAC runtime
@@ -170,6 +178,12 @@ class IntraEncoderSession:
             last = self.rows * self.cols - 1
             for r in range(self.rows):
                 for c in range(self.cols):
+                    if sao_params is not None:
+                        CS.encode_sao_ctu(
+                            enc, sao_params[r][c],
+                            sao_params[r][c - 1] if c > 0 else None,
+                            sao_params[r - 1][c] if r > 0 else None,
+                            True, True, self.bit_depth)
                     d = CS.CTUDecisions(
                         luma_mode=int(modes[r, c]),
                         luma_levels=out["levels_y"][r, c],
@@ -188,6 +202,33 @@ class IntraEncoderSession:
         bw.write_bits(tail, tail_bits)
         bw.rbsp_trailing_bits()
         return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
+
+    # ------------------------------------------------------------------
+    def _sao_decide(self, out: dict, yp, up, vp):
+        """Per-CTU SAO decision + recon update (decoder-exact application)."""
+        from ..ops import sao as SAO
+        bd = self.bit_depth
+        n, nc = self.cu, self.cu // 2
+        st_y = SAO.sao_stats(out["recon_y"], yp, n, bd)
+        st_cb = SAO.sao_stats(out["recon_u"], up, nc, bd)
+        st_cr = SAO.sao_stats(out["recon_v"], vp, nc, bd)
+        params = []
+        for r in range(self.rows):
+            row = []
+            for c in range(self.cols):
+                ty, ay, oy, _ = SAO.decide_sao_ctu(st_y, r, c, bd)
+                tc, acb, acr, ocb, ocr = SAO.decide_sao_chroma(
+                    st_cb, st_cr, r, c, bd)
+                row.append({"luma": (ty, ay, oy),
+                            "cb": (tc, acb, ocb), "cr": (tc, acr, ocr)})
+            params.append(row)
+        out["recon_y"] = SAO.apply_sao_component(
+            out["recon_y"], [[p["luma"] for p in row] for row in params], n, bd)
+        out["recon_u"] = SAO.apply_sao_component(
+            out["recon_u"], [[p["cb"] for p in row] for row in params], nc, bd)
+        out["recon_v"] = SAO.apply_sao_component(
+            out["recon_v"], [[p["cr"] for p in row] for row in params], nc, bd)
+        return params
 
     # ------------------------------------------------------------------
     def _hash_sei(self, out: dict) -> bytes:
