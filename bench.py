@@ -79,10 +79,18 @@ def main():
     BATCH = 8
     sess.encode_batch(frames[:BATCH])
 
+    # two-deep pipeline: device batch k+1 overlaps host CABAC of batch k
     t0 = time.time()
     total_bits = 0
-    for i in range(0, len(frames), BATCH):
-        for fr in sess.encode_batch(frames[i:i + BATCH]):
+    handles = []
+    i = 0
+    handles.append(sess.submit_batch(frames[i:i + BATCH]))
+    i += BATCH
+    while handles:
+        if i < len(frames):
+            handles.append(sess.submit_batch(frames[i:i + BATCH]))
+            i += BATCH
+        for fr in sess.finish_batch(handles.pop(0)):
             total_bits += fr.bits
     dt = time.time() - t0
     fps = len(frames) / dt

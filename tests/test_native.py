@@ -65,3 +65,75 @@ def test_native_slice_golden():
         res = native.encode_intra_slice(modes, lv_y, lv_cb, lv_cr, log2cu, qp)
         assert res is not None
         assert res == (pdata, ptail, ptb), trial
+
+
+def test_native_p_slice_golden():
+    """Native P-slice (incl. merge/AMVP/skip decisions) must be byte-identical
+    to the Python reference path."""
+    from x265_yuuki_asuna_tpu.bitstream import inter_syntax as IS
+
+    rows, cols, log2cu = 3, 4, 4
+    n, nc = 16, 8
+    for trial in range(6):
+        qp = int(RNG.integers(15, 45))
+        use_intra = (RNG.random((rows, cols)) < 0.25)
+        modes = RNG.integers(0, 35, (rows, cols)).astype(np.int32)
+        mvx = (RNG.integers(-16, 17, (rows, cols)) * 4).astype(np.int32)
+        mvy = (RNG.integers(-16, 17, (rows, cols)) * 4).astype(np.int32)
+        # create merge/skip opportunities: copy some neighbors' MVs / zero resid
+        for r in range(rows):
+            for c in range(1, cols):
+                if RNG.random() < 0.4:
+                    mvx[r, c], mvy[r, c] = mvx[r, c - 1], mvy[r, c - 1]
+        dens = 0.15
+        lv_y = (RNG.integers(-6, 7, (rows, cols, n, n)) *
+                (RNG.random((rows, cols, n, n)) < dens)).astype(np.int32)
+        lv_cb = (RNG.integers(-4, 5, (rows, cols, nc, nc)) *
+                 (RNG.random((rows, cols, nc, nc)) < dens)).astype(np.int32)
+        lv_cr = (RNG.integers(-4, 5, (rows, cols, nc, nc)) *
+                 (RNG.random((rows, cols, nc, nc)) < dens)).astype(np.int32)
+        for r in range(rows):
+            for c in range(cols):
+                if RNG.random() < 0.4:   # skip candidates
+                    lv_y[r, c] = 0
+                    lv_cb[r, c] = 0
+                    lv_cr[r, c] = 0
+
+        out = {"use_intra": use_intra, "modes": modes, "mvx": mvx, "mvy": mvy,
+               "levels_y": lv_y, "levels_cb": lv_cb, "levels_cr": lv_cr}
+
+        # python reference path (mirrors VideoEncoderSession._decide_cu)
+        enc = CabacEncoder()
+        enc.init_contexts(1, qp)
+        grid = [[None] * cols for _ in range(rows)]
+        last = rows * cols - 1
+        for r in range(rows):
+            for c in range(cols):
+                if use_intra[r, c]:
+                    d = IS.InterCTUDecision(
+                        is_intra=True, intra_mode=int(modes[r, c]),
+                        luma_levels=lv_y[r, c], cb_levels=lv_cb[r, c],
+                        cr_levels=lv_cr[r, c])
+                else:
+                    mv = (int(mvx[r, c]), int(mvy[r, c]))
+                    cands = IS.merge_candidates(grid, r, c, 3)
+                    if mv in cands:
+                        d = IS.InterCTUDecision(
+                            is_intra=False, mv=mv, merge_idx=cands.index(mv),
+                            luma_levels=lv_y[r, c], cb_levels=lv_cb[r, c],
+                            cr_levels=lv_cr[r, c])
+                    else:
+                        preds = IS.amvp_candidates(grid, r, c)
+                        costs = [abs(mv[0] - p[0]) + abs(mv[1] - p[1]) for p in preds]
+                        f = 0 if costs[0] <= costs[1] else 1
+                        d = IS.InterCTUDecision(
+                            is_intra=False, mv=mv, merge_idx=-1, mvp_flag=f,
+                            mvd=(mv[0] - preds[f][0], mv[1] - preds[f][1]),
+                            luma_levels=lv_y[r, c], cb_levels=lv_cb[r, c],
+                            cr_levels=lv_cr[r, c])
+                IS.encode_inter_ctu(enc, d, grid, r, c, log2cu, 3)
+                enc.encode_bin_trm(1 if r * cols + c == last else 0)
+        ref = enc.finish()
+        got = native.encode_p_slice(use_intra, modes, mvx, mvy,
+                                    lv_y, lv_cb, lv_cr, log2cu, qp, 3)
+        assert got == ref, trial

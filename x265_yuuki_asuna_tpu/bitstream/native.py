@@ -50,6 +50,14 @@ def load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int)]
+        lib.asuna_encode_p_slice.restype = ctypes.c_int
+        lib.asuna_encode_p_slice.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int)]
         lib.asuna_encode_residual_test.restype = ctypes.c_int
         lib.asuna_encode_residual_test.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -104,6 +112,38 @@ def encode_residual_test(levels: np.ndarray, log2: int, is_luma: bool,
     tail_bits = ctypes.c_int()
     nbytes = lib.asuna_encode_residual_test(
         lv.ctypes.data, log2, 1 if is_luma else 0, intra_mode, qp,
+        out.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
+    if nbytes < 0:
+        return None
+    return bytes(out[:nbytes]), int(tail.value), int(tail_bits.value)
+
+
+def encode_p_slice(use_intra: np.ndarray, intra_modes: np.ndarray,
+                   mvx_q: np.ndarray, mvy_q: np.ndarray,
+                   levels_y: np.ndarray, levels_cb: np.ndarray,
+                   levels_cr: np.ndarray, log2cu: int, qp: int,
+                   max_merge: int = 3, sign_hiding: bool = False):
+    """Native P-slice CABAC incl. merge/AMVP/skip decisions.
+    Returns (payload, tail, tail_bits) or None if unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    rows, cols = use_intra.shape
+    ui = np.ascontiguousarray(use_intra, np.uint8)
+    im = np.ascontiguousarray(intra_modes, np.int32)
+    mx = np.ascontiguousarray(mvx_q, np.int32)
+    my = np.ascontiguousarray(mvy_q, np.int32)
+    ly = np.ascontiguousarray(levels_y, np.int32)
+    lcb = np.ascontiguousarray(levels_cb, np.int32)
+    lcr = np.ascontiguousarray(levels_cr, np.int32)
+    cap = int(ly.nbytes + lcb.nbytes + lcr.nbytes + 65536)
+    out = np.empty(cap, np.uint8)
+    tail = ctypes.c_uint32()
+    tail_bits = ctypes.c_int()
+    nbytes = lib.asuna_encode_p_slice(
+        ui.ctypes.data, im.ctypes.data, mx.ctypes.data, my.ctypes.data,
+        ly.ctypes.data, lcb.ctypes.data, lcr.ctypes.data,
+        rows, cols, log2cu, qp, max_merge, 1 if sign_hiding else 0,
         out.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
     if nbytes < 0:
         return None

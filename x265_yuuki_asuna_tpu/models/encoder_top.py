@@ -123,6 +123,50 @@ class IntraEncoderSession:
         return FrameResult(nals=nals, recon=recon, bits=bits, psnr_y=psnr)
 
     # ------------------------------------------------------------------
+    def submit_batch(self, frames, need_recon: bool = False):
+        """Async: pad + submit a batch to the device; returns a handle for
+        finish_batch(). Lets the caller overlap the next batch's device time
+        with this batch's host entropy coding."""
+        need_recon = self.hash_sei or self.deblock or need_recon
+        ys = np.stack([G.pad_plane(f[0], self.coded_h, self.coded_w) for f in frames])
+        us = np.stack([G.pad_plane(f[1], self.coded_h // 2, self.coded_w // 2) for f in frames])
+        vs = np.stack([G.pad_plane(f[2], self.coded_h // 2, self.coded_w // 2) for f in frames])
+        fut = self.frame_encoder.submit_frames(ys, us, vs, with_recon=need_recon)
+        return (fut, frames, need_recon)
+
+    def finish_batch(self, handle) -> List["FrameResult"]:
+        fut, frames, need_recon = handle
+        outs = self.frame_encoder.collect_frames(fut, with_recon=need_recon)
+        return self._serialize_outs(outs, frames)
+
+    def _serialize_outs(self, outs, frames):
+        results = []
+        for i, (y, u, v) in enumerate(frames):
+            out = outs[i]
+            if self.deblock:
+                dy, du, dv = DB.deblock_frame_uniform(
+                    out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
+                    self.qp, chroma_qp_from_luma(self.qp))
+                out["recon_y"], out["recon_u"], out["recon_v"] = (
+                    np.asarray(dy), np.asarray(du), np.asarray(dv))
+            nals = self._assemble_slice(out)
+            if self.hash_sei:
+                nals += self._hash_sei(out)
+            if out["recon_y"] is not None:
+                mse = float(np.mean((out["recon_y"][:self.src_h, :self.src_w]
+                                     .astype(np.float64) - y) ** 2))
+                pk = (1 << self.bit_depth) - 1
+                psnr = 99.99 if mse == 0 else 10 * np.log10(pk * pk / mse)
+                pdt = np.uint16 if self.bit_depth > 8 else np.uint8
+                recon = (out["recon_y"][:self.src_h, :self.src_w].astype(pdt),
+                         out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(pdt),
+                         out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(pdt))
+            else:
+                psnr, recon = 0.0, None
+            results.append(FrameResult(nals=nals, recon=recon,
+                                       bits=len(nals) * 8, psnr_y=psnr))
+        return results
+
     def encode_batch(self, frames, need_recon: bool = False) -> List["FrameResult"]:
         """Encode a list of (y, u, v) frames through the device-batched
         wavefront (frame-parallelism), then serialize each on the host."""
@@ -322,16 +366,23 @@ class VideoEncoderSession:
         bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=1,
                                     slice_qp=qp, nal_type=NAL_TRAIL_R,
                                     poc=self.poc, max_merge=self.max_merge)
-        enc = CabacEncoder()
-        enc.init_contexts(1, qp)    # P-slice init row
-        grid = [[None] * self.cols for _ in range(self.rows)]
-        last = self.rows * self.cols - 1
-        for r in range(self.rows):
-            for c in range(self.cols):
-                d = self._decide_cu(out, grid, r, c)
-                IS.encode_inter_ctu(enc, d, grid, r, c, log2cu, self.max_merge)
-                enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
-        data, tail, tail_bits = enc.finish()
+        res = native.encode_p_slice(
+            out["use_intra"], out["modes"], out["mvx"], out["mvy"],
+            out["levels_y"], out["levels_cb"], out["levels_cr"],
+            log2cu, qp, self.max_merge)
+        if res is not None:       # production path: C++ CABAC runtime
+            data, tail, tail_bits = res
+        else:                     # Python reference fallback
+            enc = CabacEncoder()
+            enc.init_contexts(1, qp)    # P-slice init row
+            grid = [[None] * self.cols for _ in range(self.rows)]
+            last = self.rows * self.cols - 1
+            for r in range(self.rows):
+                for c in range(self.cols):
+                    d = self._decide_cu(out, grid, r, c)
+                    IS.encode_inter_ctu(enc, d, grid, r, c, log2cu, self.max_merge)
+                    enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
+            data, tail, tail_bits = enc.finish()
         for b in data:
             bw.write_byte(b)
         bw.write_bits(tail, tail_bits)

@@ -111,6 +111,22 @@ class IntraFrameEncoder:
         return self._unpack(buf)
 
     # ------------------------------------------------------------------
+    def submit_frames(self, y, u, v, with_recon: bool = True, qp=None):
+        """Async submit: returns the device buffer future (does not block).
+        Pair with collect_frames() to overlap device compute with host work."""
+        fn = self._encode_batch if with_recon else self._encode_batch_light
+        if qp is None:
+            qp = self.cfg.qp
+        qp_arr = np.broadcast_to(np.asarray(qp, np.int32), (y.shape[0],))
+        dt = self._pix_dtype
+        return fn(jnp.asarray(y, dt), jnp.asarray(u, dt), jnp.asarray(v, dt),
+                  jnp.asarray(qp_arr))
+
+    def collect_frames(self, fut, with_recon: bool = True):
+        buf = np.asarray(fut)
+        return [self._unpack(buf[i], with_recon) for i in range(buf.shape[0])]
+
+    # ------------------------------------------------------------------
     def encode_frames(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                       with_recon: bool = True, qp=None):
         """Batched encode: y [F, H, W]; independent frames in parallel.

@@ -623,3 +623,237 @@ int asuna_encode_residual_test(const int32_t* levels, int log2, int isLuma,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// P-slice syntax (uniform 2Nx2N grid, one L0 ref) — mirrors
+// bitstream/inter_syntax.py (golden-tested byte-identical).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct CUState {
+    uint8_t decoded = 0;
+    uint8_t isIntra = 0;
+    uint8_t skip = 0;
+    int32_t mvx = 0, mvy = 0;       // quarter-pel
+    int32_t intraMode = 1;
+};
+
+struct Grid {
+    std::vector<CUState> cu;
+    int rows, cols;
+    CUState* at(int r, int c) {
+        if (r < 0 || c < 0 || r >= rows || c >= cols) return nullptr;
+        CUState* s = &cu[r * cols + c];
+        return s->decoded ? s : nullptr;
+    }
+};
+
+static int mergeCandidates(Grid& g, int r, int c, int maxCands,
+                           int32_t (*out)[2]) {
+    int n = 0;
+    auto interMv = [&](int rr, int cc, int32_t* mv) -> bool {
+        CUState* s = g.at(rr, cc);
+        if (!s || s->isIntra) return false;
+        mv[0] = s->mvx; mv[1] = s->mvy;
+        return true;
+    };
+    int32_t a1[2], b1[2], b0[2], b2[2];
+    bool hasA1 = interMv(r, c - 1, a1);
+    bool hasB1 = interMv(r - 1, c, b1);
+    bool hasB0 = interMv(r - 1, c + 1, b0);
+    bool hasB2 = interMv(r - 1, c - 1, b2);
+    if (hasA1) { out[n][0] = a1[0]; out[n][1] = a1[1]; n++; }
+    if (hasB1 && !(hasA1 && b1[0] == a1[0] && b1[1] == a1[1])) {
+        out[n][0] = b1[0]; out[n][1] = b1[1]; n++;
+    }
+    if (hasB0 && !(hasB1 && b0[0] == b1[0] && b0[1] == b1[1])) {
+        out[n][0] = b0[0]; out[n][1] = b0[1]; n++;
+    }
+    if (n < 4 && hasB2 && !(hasA1 && b2[0] == a1[0] && b2[1] == a1[1])
+        && !(hasB1 && b2[0] == b1[0] && b2[1] == b1[1])) {
+        out[n][0] = b2[0]; out[n][1] = b2[1]; n++;
+    }
+    while (n < maxCands) { out[n][0] = 0; out[n][1] = 0; n++; }
+    return maxCands;
+}
+
+static void amvpCandidates(Grid& g, int r, int c, int32_t (*out)[2]) {
+    int n = 0;
+    auto interMv = [&](int rr, int cc, int32_t* mv) -> bool {
+        CUState* s = g.at(rr, cc);
+        if (!s || s->isIntra) return false;
+        mv[0] = s->mvx; mv[1] = s->mvy;
+        return true;
+    };
+    int32_t a[2], b[2];
+    bool hasA = interMv(r, c - 1, a);
+    if (hasA) { out[n][0] = a[0]; out[n][1] = a[1]; n++; }
+    bool hasB = false;
+    const int nb[3][2] = {{r - 1, c + 1}, {r - 1, c}, {r - 1, c - 1}};
+    for (int i = 0; i < 3 && !hasB; i++)
+        hasB = interMv(nb[i][0], nb[i][1], b);
+    if (hasB && !(hasA && b[0] == a[0] && b[1] == a[1])) {
+        out[n][0] = b[0]; out[n][1] = b[1]; n++;
+    }
+    while (n < 2) { out[n][0] = 0; out[n][1] = 0; n++; }
+}
+
+static void encodeMergeIdx(Cabac& cb, int idx, int maxCands) {
+    if (maxCands <= 1) return;
+    cb.encodeBin(idx > 0 ? 1 : 0, CTX_MERGE_IDX);
+    if (idx > 0) {
+        for (int i = 1; i < idx; i++) cb.encodeBinEP(1);
+        if (idx < maxCands - 1) cb.encodeBinEP(0);
+    }
+}
+
+static void writeEG1(Cabac& cb, uint32_t v) {
+    int k = 1;
+    while (v >= (1u << k)) {
+        cb.encodeBinEP(1);
+        v -= 1u << k;
+        k++;
+    }
+    cb.encodeBinEP(0);
+    cb.encodeBinsEP(v, k);
+}
+
+static void encodeMvd(Cabac& cb, int mvdx, int mvdy) {
+    int gx0 = mvdx != 0, gy0 = mvdy != 0;
+    cb.encodeBin(gx0, CTX_MVD);
+    cb.encodeBin(gy0, CTX_MVD);
+    if (gx0) cb.encodeBin(abs(mvdx) > 1 ? 1 : 0, CTX_MVD + 1);
+    if (gy0) cb.encodeBin(abs(mvdy) > 1 ? 1 : 0, CTX_MVD + 1);
+    const int vs[2] = {mvdx, mvdy};
+    for (int i = 0; i < 2; i++) {
+        int v = vs[i];
+        if (v != 0) {
+            if (abs(v) > 1) writeEG1(cb, uint32_t(abs(v) - 2));
+            cb.encodeBinEP(v < 0 ? 1 : 0);
+        }
+    }
+}
+
+static void deriveMPMState(Grid& g, int r, int c, int mpm[3]) {
+    CUState* left = g.at(r, c - 1);
+    int cl = (left && left->isIntra) ? left->intraMode : 1;
+    deriveMPM(cl, 1, mpm);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode a P-slice's CTU data. Per-CU inputs (raster, [ncu]):
+//   useIntra (0/1), intraModes, mvxQ, mvyQ (quarter-pel from ME),
+//   levelsY [ncu, n*n], levelsCb/Cr [ncu, (n/2)^2].
+// Performs the merge/AMVP/skip signaling decisions exactly like the Python
+// reference (merge when the ME MV equals a candidate; skip when no
+// residual), keeping the decoder-derived CU grid in sync.
+int asuna_encode_p_slice(
+    const uint8_t* useIntra, const int32_t* intraModes,
+    const int32_t* mvxQ, const int32_t* mvyQ,
+    const int32_t* levelsY, const int32_t* levelsCb, const int32_t* levelsCr,
+    int rows, int cols, int log2cu, int qp, int maxMerge, int signHiding,
+    uint8_t* outBuf, int outCap, uint32_t* tailValue, int* tailBits)
+{
+    Cabac cb;
+    cb.init(1, qp);   // P-slice ctx row
+    const int n = 1 << log2cu;
+    const int nc = n >> 1;
+    const int ncu = rows * cols;
+    Grid grid;
+    grid.rows = rows; grid.cols = cols;
+    grid.cu.resize(ncu);
+
+    for (int r = 0; r < rows; r++) {
+        for (int c = 0; c < cols; c++) {
+            int idx = r * cols + c;
+            const int32_t* ly = levelsY + (size_t)idx * n * n;
+            const int32_t* lcb = levelsCb + (size_t)idx * nc * nc;
+            const int32_t* lcr = levelsCr + (size_t)idx * nc * nc;
+            bool hasResid = anyNonzero(ly, n * n) || anyNonzero(lcb, nc * nc)
+                            || anyNonzero(lcr, nc * nc);
+            int cbfY = anyNonzero(ly, n * n);
+            int cbfCb = anyNonzero(lcb, nc * nc);
+            int cbfCr = anyNonzero(lcr, nc * nc);
+
+            // skip flag context from left/above skip states
+            CUState* l = grid.at(r, c - 1);
+            CUState* a = grid.at(r - 1, c);
+            int sctx = (l && l->skip ? 1 : 0) + (a && a->skip ? 1 : 0);
+
+            if (!useIntra[idx]) {
+                int32_t mv[2] = {mvxQ[idx], mvyQ[idx]};
+                int32_t cands[5][2];
+                mergeCandidates(grid, r, c, maxMerge, cands);
+                int mergeIdx = -1;
+                for (int i = 0; i < maxMerge; i++)
+                    if (cands[i][0] == mv[0] && cands[i][1] == mv[1]) {
+                        mergeIdx = i;
+                        break;
+                    }
+                bool isSkip = mergeIdx >= 0 && !hasResid;
+                cb.encodeBin(isSkip ? 1 : 0, CTX_SKIP + sctx);
+                if (isSkip) {
+                    encodeMergeIdx(cb, mergeIdx, maxMerge);
+                    grid.cu[idx] = {1, 0, 1, mv[0], mv[1], 1};
+                    cb.encodeBinTrm(idx == ncu - 1 ? 1 : 0);
+                    continue;
+                }
+                cb.encodeBin(0, CTX_PRED_MODE);      // inter
+                cb.encodeBin(1, CTX_PART_SIZE);      // 2Nx2N
+                int rqt;
+                if (mergeIdx >= 0) {
+                    cb.encodeBin(1, CTX_MERGE_FLAG);
+                    encodeMergeIdx(cb, mergeIdx, maxMerge);
+                    rqt = 1;                          // inferred for 2Nx2N merge
+                } else {
+                    cb.encodeBin(0, CTX_MERGE_FLAG);
+                    int32_t preds[2][2];
+                    amvpCandidates(grid, r, c, preds);
+                    int c0 = abs(mv[0] - preds[0][0]) + abs(mv[1] - preds[0][1]);
+                    int c1 = abs(mv[0] - preds[1][0]) + abs(mv[1] - preds[1][1]);
+                    int flag = c0 <= c1 ? 0 : 1;
+                    encodeMvd(cb, mv[0] - preds[flag][0], mv[1] - preds[flag][1]);
+                    cb.encodeBin(flag, CTX_MVP_IDX);
+                    rqt = hasResid ? 1 : 0;
+                    cb.encodeBin(rqt, CTX_QT_ROOT_CBF);
+                }
+                if (rqt) {
+                    cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
+                    cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
+                    if (cbfCb || cbfCr)
+                        cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+                    if (cbfY) encodeResidual(cb, ly, log2cu, true, -1, signHiding);
+                    if (cbfCb) encodeResidual(cb, lcb, log2cu - 1, false, -1, signHiding);
+                    if (cbfCr) encodeResidual(cb, lcr, log2cu - 1, false, -1, signHiding);
+                }
+                grid.cu[idx] = {1, 0, 0, mv[0], mv[1], 1};
+            } else {
+                cb.encodeBin(0, CTX_SKIP + sctx);
+                cb.encodeBin(1, CTX_PRED_MODE);      // intra
+                cb.encodeBin(1, CTX_PART_SIZE);
+                int mpm[3];
+                deriveMPMState(grid, r, c, mpm);
+                encodeIntraLumaMode(cb, intraModes[idx], mpm);
+                cb.encodeBin(0, CTX_INTRA_CHROMA);   // DM
+                cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
+                cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
+                cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+                if (cbfY) encodeResidual(cb, ly, log2cu, true, intraModes[idx], signHiding);
+                if (cbfCb) encodeResidual(cb, lcb, log2cu - 1, false, intraModes[idx], signHiding);
+                if (cbfCr) encodeResidual(cb, lcr, log2cu - 1, false, intraModes[idx], signHiding);
+                grid.cu[idx] = {1, 1, 0, 0, 0, intraModes[idx]};
+            }
+            cb.encodeBinTrm(idx == ncu - 1 ? 1 : 0);
+        }
+    }
+    cb.finish(tailValue, tailBits);
+    if ((int)cb.out.size() > outCap) return -1;
+    memcpy(outBuf, cb.out.data(), cb.out.size());
+    return (int)cb.out.size();
+}
+
+}  // extern "C"
