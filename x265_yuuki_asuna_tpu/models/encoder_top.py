@@ -324,20 +324,28 @@ class VideoEncoderSession:
         self.rc = RateControl(RCConfig(
             mode=rc_mode, qp=qp, crf=crf, bitrate_kbps=bitrate_kbps,
             fps=fps[0] / max(fps[1], 1), width=width, height=height))
+        from .lookahead import Lookahead
+        self.lookahead = Lookahead(self.coded_w, self.coded_h)
+        self.scenecut_enabled = True
 
     def headers(self) -> bytes:
         return self.intra_sess.headers()
 
     def encode_frame(self, y, u, v) -> FrameResult:
-        is_idr = (self.frame_idx % self.keyint == 0) or self.ref is None
-        qp = self.rc.frame_qp(is_idr)
-        yp = G.pad_plane(y, self.coded_h, self.coded_w)
+        yp0 = G.pad_plane(y, self.coded_h, self.coded_w)
+        icost, pcost, scenecut = self.lookahead.push(yp0)
+        is_idr = (self.frame_idx % self.keyint == 0) or self.ref is None \
+            or (self.scenecut_enabled and scenecut)
+        la_cost = icost if is_idr else pcost
+        qp = self.rc.frame_qp(is_idr, lookahead_cost=la_cost)
+        yp = yp0
         up = G.pad_plane(u, self.coded_h // 2, self.coded_w // 2)
         vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
         if is_idr:
             out = self.intra_sess.frame_encoder.encode_frame(yp, up, vp, qp=qp)
             nals = self.intra_sess._assemble_slice(out, qp=qp)
             self.poc = 0
+            self.frame_idx = 0   # scenecut restarts the GOP
         else:
             out = self.inter_encoder.encode_frame(
                 yp, up, vp, self.ref[0], self.ref[1], self.ref[2], qp=qp)

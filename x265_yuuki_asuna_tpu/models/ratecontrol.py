@@ -61,12 +61,19 @@ class RateControl:
                 QP_TO_QSCALE(cfg.crf)
 
     # ------------------------------------------------------------------
-    def frame_qp(self, is_intra: bool) -> int:
+    def frame_qp(self, is_intra: bool, lookahead_cost: float = None) -> int:
+        """lookahead_cost: the frame's lowres SATD cost (real complexity);
+        when absent, falls back to the encoded-history proxy."""
         cfg = self.cfg
         if cfg.mode == "cqp":
             qp = cfg.qp
         else:
-            if self.short_term_count > 0:
+            if lookahead_cost is not None and lookahead_cost > 0:
+                # blur with history like the reference's complexity blur
+                self.la_blur = getattr(self, "la_blur", lookahead_cost) * 0.6 \
+                    + lookahead_cost * 0.4
+                cplx = self.la_blur
+            elif self.short_term_count > 0:
                 cplx = self.short_term_cplx / self.short_term_count
             else:
                 cplx = (cfg.width * cfg.height) / 256.0 * 120.0
