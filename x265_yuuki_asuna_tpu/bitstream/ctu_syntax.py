@@ -108,7 +108,8 @@ def encode_intra_ctu_full(enc: CabacEncoder, d: CTUDecisions, log2_cu: int,
                           part_mode_coded: bool = True,
                           sign_hiding: bool = False,
                           tq_bypass: bool = False,
-                          bypass_enabled: bool = False):
+                          bypass_enabled: bool = False,
+                          cu_qp_delta=None):
     if bypass_enabled:
         enc.encode_bin(1 if tq_bypass else 0, CTX["tq_bypass"])
     if part_mode_coded:
@@ -129,6 +130,9 @@ def encode_intra_ctu_full(enc: CabacEncoder, d: CTUDecisions, log2_cu: int,
     # cbf_luma: always coded for intra; ctx 1 at depth 0
     enc.encode_bin(cbf_luma, CTX["qt_cbf"] + 1)
 
+    if cu_qp_delta is not None and (cbf_luma or cbf_cb or cbf_cr):
+        encode_cu_qp_delta(enc, cu_qp_delta)
+
     if cbf_luma:
         encode_residual(enc, d.luma_levels, log2_cu, True, d.luma_mode,
                         sign_hiding)
@@ -144,7 +148,8 @@ def decode_intra_ctu_full(dec: CabacDecoder, log2_cu: int, cand_left: int,
                           cand_above: int, chroma_present: bool = True,
                           part_mode_coded: bool = True,
                           sign_hiding: bool = False,
-                          bypass_enabled: bool = False):
+                          bypass_enabled: bool = False,
+                          qp_delta_enabled: bool = False):
     if bypass_enabled:
         dec.decode_bin(CTX["tq_bypass"])
     if part_mode_coded:
@@ -164,6 +169,10 @@ def decode_intra_ctu_full(dec: CabacDecoder, log2_cu: int, cand_left: int,
     else:
         cbf_cb = cbf_cr = 0
     cbf_luma = dec.decode_bin(CTX["qt_cbf"] + 1)
+
+    qp_delta = 0
+    if qp_delta_enabled and (cbf_luma or cbf_cb or cbf_cr):
+        qp_delta = decode_cu_qp_delta(dec)
 
     luma = (decode_residual(dec, log2_cu, True, luma_mode, sign_hiding)
             if cbf_luma else np.zeros((n, n), np.int32))
@@ -282,3 +291,47 @@ def decode_sao_ctu(dec: CabacDecoder, left_params, up_params,
         if name not in out:
             out[name] = (SAO_OFF, 0, [0, 0, 0, 0])
     return out
+
+
+# ---------------------------------------------------------------------------
+# cu_qp_delta (spec 7.3.8.10 / 9.3.3.8): TU prefix (cMax 5, ctx bin0 then
+# ctx bin1+) + EG0 bypass suffix + sign.
+# ---------------------------------------------------------------------------
+
+def encode_cu_qp_delta(enc: CabacEncoder, delta: int):
+    a = abs(delta)
+    prefix = min(a, 5)
+    for i in range(prefix):
+        enc.encode_bin(1, CTX["delta_qp"] + (0 if i == 0 else 1))
+    if prefix < 5:
+        enc.encode_bin(0, CTX["delta_qp"] + (0 if prefix == 0 else 1))
+    else:
+        # EG0 suffix for a - 5
+        v = a - 5
+        k = 0
+        while v >= (1 << k):
+            enc.encode_bin_ep(1)
+            v -= 1 << k
+            k += 1
+        enc.encode_bin_ep(0)
+        if k:
+            enc.encode_bins_ep(v, k)
+    if a:
+        enc.encode_bin_ep(1 if delta < 0 else 0)
+
+
+def decode_cu_qp_delta(dec: CabacDecoder) -> int:
+    prefix = 0
+    while prefix < 5 and dec.decode_bin(CTX["delta_qp"] + (0 if prefix == 0 else 1)):
+        prefix += 1
+    a = prefix
+    if prefix == 5:
+        k = 0
+        base = 0
+        while dec.decode_bin_ep():
+            base += 1 << k
+            k += 1
+        a = 5 + base + (dec.decode_bins_ep(k) if k else 0)
+    if a and dec.decode_bin_ep():
+        return -a
+    return a

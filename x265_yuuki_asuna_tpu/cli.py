@@ -43,6 +43,8 @@ def main(argv=None):
     ap.add_argument("--lossless", action="store_true")
     ap.add_argument("--sao", action="store_true", help="enable SAO (intra)")
     ap.add_argument("--deblock", action="store_true", help="enable deblocking (intra)")
+    ap.add_argument("--aq-mode", type=int, default=0, choices=[0, 2])
+    ap.add_argument("--aq-strength", type=float, default=1.0)
     ap.add_argument("--csv", default=None)
     args, extra = ap.parse_known_args(argv)
 
@@ -95,7 +97,9 @@ def main(argv=None):
                                    fps=(info.fps_num, info.fps_denom),
                                    hash_sei=not args.no_hash,
                                    lossless=args.lossless,
-                                   sao=args.sao, deblock=args.deblock)
+                                   sao=args.sao, deblock=args.deblock,
+                                   aq_mode=args.aq_mode,
+                                   aq_strength=args.aq_strength)
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None

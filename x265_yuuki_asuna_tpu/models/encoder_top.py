@@ -42,7 +42,8 @@ class IntraEncoderSession:
     def __init__(self, width: int, height: int, qp: int = 32, cu_size: int = 16,
                  fps: Tuple[int, int] = (25, 1), hash_sei: bool = True,
                  deblock: bool = False, lossless: bool = False,
-                 bit_depth: int = 8, sao: bool = False):
+                 bit_depth: int = 8, sao: bool = False,
+                 aq_mode: int = 0, aq_strength: float = 1.0):
         self.src_w = width
         self.src_h = height
         self.qp = qp
@@ -52,6 +53,8 @@ class IntraEncoderSession:
         self.lossless = lossless
         self.bit_depth = bit_depth
         self.sao = sao and not lossless
+        self.aq_mode = 0 if lossless else aq_mode
+        self.aq_strength = aq_strength
         if lossless:
             qp = 4            # reference behavior: lossless forces QP4 signaling
             self.qp = qp
@@ -82,7 +85,8 @@ class IntraEncoderSession:
         )
         self.pps = HDR.PPSInfo(init_qp=26,
                                deblocking_disabled=0 if self.deblock else 1,
-                               transquant_bypass=1 if lossless else 0)
+                               transquant_bypass=1 if lossless else 0,
+                               cu_qp_delta=1 if self.aq_mode else 0)
 
     # ------------------------------------------------------------------
     def headers(self) -> bytes:
@@ -97,7 +101,15 @@ class IntraEncoderSession:
         up = G.pad_plane(u, self.coded_h // 2, self.coded_w // 2)
         vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
 
-        out = self.frame_encoder.encode_frame(yp, up, vp)
+        qp_map = None
+        if self.aq_mode:
+            from .ratecontrol import compute_aq_offsets
+            offs = compute_aq_offsets(yp, self.cu, self.aq_strength)
+            qp_map = np.clip(self.qp + offs, 0, 51).astype(np.int32)
+        out = self.frame_encoder.encode_frame(
+            yp, up, vp, qp=qp_map.reshape(-1) if qp_map is not None else None)
+        if qp_map is not None:
+            out["qp_map"] = qp_map
         if self.deblock:
             dy, du, dv = DB.deblock_frame_uniform(
                 out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
@@ -207,11 +219,13 @@ class IntraEncoderSession:
         qp = self.qp if qp is None else qp
         log2cu = self.cu.bit_length() - 1
         modes = out["modes"]
+        qp_map = out.get("qp_map")
         bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
                                     slice_qp=qp,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
-        res = None if (self.lossless or sao_params) else native.encode_intra_slice(
+        res = None if (self.lossless or sao_params or qp_map is not None) \
+            else native.encode_intra_slice(
             modes, out["levels_y"], out["levels_cb"], out["levels_cr"],
             log2cu, qp)
         if res is not None:   # production path: C++ CABAC runtime
@@ -220,6 +234,8 @@ class IntraEncoderSession:
             enc = CabacEncoder()
             enc.init_contexts(2, qp)   # I-slice init row
             last = self.rows * self.cols - 1
+            qp_prev = qp          # decoder's qPY_PREV chain (QG == CTU:
+                                  # left/above neighbors are outside the CTB)
             for r in range(self.rows):
                 for c in range(self.cols):
                     if sao_params is not None:
@@ -235,10 +251,20 @@ class IntraEncoderSession:
                         cr_levels=out["levels_cr"][r, c])
                     cand_left = int(modes[r, c - 1]) if c > 0 else DC_MODE
                     cand_above = DC_MODE  # above CTU row: outside current CTU
+                    delta = None
+                    if qp_map is not None:
+                        has_cbf = (np.any(d.luma_levels) or np.any(d.cb_levels)
+                                   or np.any(d.cr_levels))
+                        if has_cbf:
+                            delta = int(qp_map[r, c]) - qp_prev
+                            qp_prev = int(qp_map[r, c])
+                        # else: no residual -> delta not signaled; effective
+                        # QP for this QG stays qp_prev (prediction chain)
                     CS.encode_intra_ctu_full(enc, d, log2cu, cand_left,
                                              cand_above,
                                              tq_bypass=self.lossless,
-                                             bypass_enabled=self.lossless)
+                                             bypass_enabled=self.lossless,
+                                             cu_qp_delta=delta)
                     enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
             data, tail, tail_bits = enc.finish()
         for b in data:

@@ -103,11 +103,13 @@ class IntraFrameEncoder:
         cfg = self.cfg
         assert y.shape == (cfg.height, cfg.width), y.shape
         qp = cfg.qp if qp is None else qp
+        qp_map = np.broadcast_to(np.asarray(qp, np.int32),
+                                 (cfg.rows * cfg.cols,))
         dt = self._pix_dtype
         buf = np.asarray(self._encode(jnp.asarray(y, dt),
                                       jnp.asarray(u, dt),
                                       jnp.asarray(v, dt),
-                                      jnp.int32(qp)))
+                                      jnp.asarray(qp_map)))
         return self._unpack(buf)
 
     # ------------------------------------------------------------------
@@ -117,7 +119,12 @@ class IntraFrameEncoder:
         fn = self._encode_batch if with_recon else self._encode_batch_light
         if qp is None:
             qp = self.cfg.qp
-        qp_arr = np.broadcast_to(np.asarray(qp, np.int32), (y.shape[0],))
+        ncu = self.cfg.rows * self.cfg.cols
+        qp_arr = np.asarray(qp, np.int32)
+        if qp_arr.ndim <= 1:
+            qp_arr = np.broadcast_to(qp_arr.reshape(-1, 1) if qp_arr.ndim else qp_arr,
+                                     (y.shape[0], ncu)).copy() if qp_arr.ndim == 0 else \
+                np.broadcast_to(qp_arr[:, None], (y.shape[0], ncu)).copy()
         dt = self._pix_dtype
         return fn(jnp.asarray(y, dt), jnp.asarray(u, dt), jnp.asarray(v, dt),
                   jnp.asarray(qp_arr))
@@ -134,7 +141,12 @@ class IntraFrameEncoder:
         fn = self._encode_batch if with_recon else self._encode_batch_light
         if qp is None:
             qp = self.cfg.qp
-        qp_arr = np.broadcast_to(np.asarray(qp, np.int32), (y.shape[0],))
+        ncu = self.cfg.rows * self.cfg.cols
+        qp_arr = np.asarray(qp, np.int32)
+        if qp_arr.ndim == 0:
+            qp_arr = np.broadcast_to(qp_arr, (y.shape[0], ncu))
+        elif qp_arr.ndim == 1:
+            qp_arr = np.broadcast_to(qp_arr[:, None], (y.shape[0], ncu))
         dt = self._pix_dtype
         buf = np.asarray(fn(jnp.asarray(y, dt),
                             jnp.asarray(u, dt),
@@ -208,7 +220,7 @@ class IntraFrameEncoder:
             recon = jnp.clip(pred + rr, 0, maxv)
             return modes, levels, recon
 
-        def make_step(src_y_blocks, src_u_blocks, src_v_blocks, qp_y, qp_c):
+        def make_step(src_y_blocks, src_u_blocks, src_v_blocks, qp_y_map, qp_c_map):
             # src_*_blocks: [ncu, nn, nn] block-layout source
             def step(carry, xs):
                 (bry, rcy, bru, rcu_, brv, rcv) = carry
@@ -224,6 +236,8 @@ class IntraFrameEncoder:
                 src_y = jnp.take(src_y_blocks, cu_s, axis=0)
                 src_u = jnp.take(src_u_blocks, cu_s, axis=0)
                 src_v = jnp.take(src_v_blocks, cu_s, axis=0)
+                qp_y = jnp.take(qp_y_map, cu_s, axis=0)    # [S] per-CU QP
+                qp_c = jnp.take(qp_c_map, cu_s, axis=0)
 
                 modes, lv_y, rec_y = process_plane(
                     bry, rcy, src_y, cu, r, c, n, log2n, qp_y, True, None, avail)
@@ -255,15 +269,18 @@ class IntraFrameEncoder:
                     .transpose(0, 2, 1, 3).reshape(hh, ww))
 
         def encode(y, u, v, qp):
+            # qp: per-CU map [ncu]; internal quant QP includes the bit-depth
+            # offset (Qp' = Qp + 6*(bd-8))
             qp_sig = qp.astype(jnp.int32)
-            # internal quant QP includes the bit-depth offset (Qp' = Qp + 6*(bd-8))
-            qp_y = qp_sig + 6 * (bd - 8)
-            qp_c = jnp.take(jnp.asarray(CHROMA_QP_TABLE),
-                            jnp.clip(qp_sig, 0, 57)) + 6 * (bd - 8)
+            qp_y_map = jnp.concatenate([qp_sig + 6 * (bd - 8),
+                                        jnp.zeros((1,), jnp.int32)])
+            qp_c_map = jnp.concatenate([
+                jnp.take(jnp.asarray(CHROMA_QP_TABLE), jnp.clip(qp_sig, 0, 57))
+                + 6 * (bd - 8), jnp.zeros((1,), jnp.int32)])
             yb = to_blocks(y.astype(jnp.int32), n)
             ub = to_blocks(u.astype(jnp.int32), nc)
             vb = to_blocks(v.astype(jnp.int32), nc)
-            step = make_step(yb, ub, vb, qp_y, qp_c)
+            step = make_step(yb, ub, vb, qp_y_map, qp_c_map)
             z0 = y.reshape(-1)[0] * 0   # ties carry varying-ness to inputs
             init = (
                 jnp.full((ncu + 1, n), fill, jnp.int32) + z0,

@@ -110,3 +110,20 @@ class RateControl:
             ideal_qscale = (cplx_avg / max(self.bits_per_frame, 1.0))
             want_rf = (cplx_avg ** (1 - self.cfg.q_compress)) / max(ideal_qscale, 1e-6)
             self.rate_factor = 0.9 * self.rate_factor + 0.1 * want_rf
+
+
+def compute_aq_offsets(y_plane, cu_size: int, strength: float = 1.0,
+                       qp_range: int = 6):
+    """Variance-based adaptive quantization (reference aq-mode 2 shape:
+    auto-variance, normalized to the frame mean — slicetype.cpp:444).
+    Returns per-CU integer QP offsets [rows, cols]."""
+    import numpy as np
+    H, W = y_plane.shape
+    rows, cols = H // cu_size, W // cu_size
+    blocks = (y_plane[:rows * cu_size, :cols * cu_size]
+              .reshape(rows, cu_size, cols, cu_size)
+              .astype(np.float64))
+    var = blocks.var(axis=(1, 3))
+    energy = np.log2(var + 1.0)
+    offsets = strength * (energy - energy.mean())
+    return np.clip(np.round(offsets), -qp_range, qp_range).astype(np.int32)

@@ -40,14 +40,16 @@ def quant(coef, qp, log2_tr_size: int, bit_depth: int = 8,
     if isinstance(qp, (int, np.integer)):
         per, rem = qp // 6, qp % 6
         scale = int(QUANT_SCALES[rem])
+        qbits = 14 + per + tshift
+        add = (171 if is_intra_slice else 85) << (qbits - 9)
     else:
         qp = qp.astype(xp.int32)
+        if qp.ndim == 1:     # per-block QP vector -> broadcast over [B, N, N]
+            qp = qp[:, None, None]
         per, rem = qp // 6, qp % 6
         scale = xp.take(xp.asarray(QUANT_SCALES), rem)
-    qbits = 14 + per + tshift
-    add = xp.left_shift((171 if is_intra_slice else 85) + 0 * per, qbits - 9) \
-        if not isinstance(qp, (int, np.integer)) else \
-        ((171 if is_intra_slice else 85) << (qbits - 9))
+        qbits = 14 + per + tshift
+        add = xp.left_shift((171 if is_intra_slice else 85) + 0 * per, qbits - 9)
     c = coef.astype(xp.int32)
     sign = xp.sign(c)
     tmp = xp.abs(c) * scale
@@ -66,6 +68,8 @@ def dequant(levels, qp, log2_tr_size: int, bit_depth: int = 8, xp=np):
         scale = int(INV_QUANT_SCALES[rem]) << per
     else:
         qp = qp.astype(xp.int32)
+        if qp.ndim == 1:
+            qp = qp[:, None, None]
         per, rem = qp // 6, qp % 6
         scale = xp.left_shift(xp.take(xp.asarray(INV_QUANT_SCALES), rem), per)
     add = 1 << (shift - 1)
