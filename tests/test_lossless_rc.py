@@ -72,3 +72,26 @@ def test_abr_tracks_target_direction():
             bits += sess.encode_frame(y, u, v).bits
         totals.append(bits)
     assert totals[1] > totals[0] * 1.3
+
+
+def test_two_pass_improves_target_accuracy(tmp_path):
+    import numpy as np
+    rng = np.random.default_rng(4)
+    W, H = 64, 48
+    base = (np.add.outer(np.arange(H), np.arange(W)) % 256).astype(np.uint8)
+    frames = [((np.roll(base, t * 2, axis=1)
+                + rng.integers(0, 15, (H, W))).astype(np.uint8),
+               np.full((H // 2, W // 2), 90, np.uint8),
+               np.full((H // 2, W // 2), 160, np.uint8)) for t in range(10)]
+    stats = str(tmp_path / "2p.log")
+    s1 = VideoEncoderSession(W, H, cu_size=16, keyint=5, hash_sei=False,
+                             rc_mode="abr", bitrate_kbps=150,
+                             stats_write=stats)
+    b1 = sum(s1.encode_frame(*f).bits for f in frames)
+    s1.stats_writer.close()
+    s2 = VideoEncoderSession(W, H, cu_size=16, keyint=5, hash_sei=False,
+                             rc_mode="abr", bitrate_kbps=150,
+                             stats_read=stats)
+    b2 = sum(s2.encode_frame(*f).bits for f in frames)
+    target = 150 * 1000 / 25 * 10
+    assert abs(b2 - target) < abs(b1 - target)

@@ -45,6 +45,8 @@ def main(argv=None):
     ap.add_argument("--deblock", action="store_true", help="enable deblocking (intra)")
     ap.add_argument("--aq-mode", type=int, default=0, choices=[0, 2])
     ap.add_argument("--aq-strength", type=float, default=1.0)
+    ap.add_argument("--pass", dest="rc_pass", type=int, default=0, choices=[0, 1, 2])
+    ap.add_argument("--stats", default="x265_2pass.log")
     ap.add_argument("--csv", default=None)
     args, extra = ap.parse_known_args(argv)
 
@@ -89,7 +91,9 @@ def main(argv=None):
                                    hash_sei=not args.no_hash,
                                    rc_mode=rc_mode,
                                    crf=args.crf if args.crf is not None else 28.0,
-                                   bitrate_kbps=args.bitrate or 0)
+                                   bitrate_kbps=args.bitrate or 0,
+                                   stats_write=args.stats if args.rc_pass == 1 else None,
+                                   stats_read=args.stats if args.rc_pass == 2 else None)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         sess = IntraEncoderSession(info.width, info.height, qp=args.qp,
@@ -150,6 +154,8 @@ def main(argv=None):
     if args.csv:
         with open(args.csv, "w") as f:
             f.write("\n".join(csv_lines) + "\n")
+    if getattr(sess, "stats_writer", None) is not None:
+        sess.stats_writer.close()
     return 0
 
 

@@ -325,7 +325,8 @@ class VideoEncoderSession:
                  fps: Tuple[int, int] = (25, 1), keyint: int = 25,
                  search_range: int = 16, hash_sei: bool = True,
                  max_merge: int = 3, rc_mode: str = "cqp", crf: float = 28.0,
-                 bitrate_kbps: int = 0):
+                 bitrate_kbps: int = 0, stats_write: str = None,
+                 stats_read: str = None):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
@@ -353,6 +354,10 @@ class VideoEncoderSession:
         from .lookahead import Lookahead
         self.lookahead = Lookahead(self.coded_w, self.coded_h)
         self.scenecut_enabled = True
+        from .ratecontrol import StatsWriter, TwoPassRC
+        self.stats_writer = StatsWriter(stats_write) if stats_write else None
+        self.two_pass = TwoPassRC(stats_read, bitrate_kbps,
+                                  fps[0] / max(fps[1], 1)) if stats_read else None
 
     def headers(self) -> bytes:
         return self.intra_sess.headers()
@@ -363,7 +368,10 @@ class VideoEncoderSession:
         is_idr = (self.frame_idx % self.keyint == 0) or self.ref is None \
             or (self.scenecut_enabled and scenecut)
         la_cost = icost if is_idr else pcost
-        qp = self.rc.frame_qp(is_idr, lookahead_cost=la_cost)
+        if self.two_pass is not None:
+            qp = self.two_pass.frame_qp()
+        else:
+            qp = self.rc.frame_qp(is_idr, lookahead_cost=la_cost)
         yp = yp0
         up = G.pad_plane(u, self.coded_h // 2, self.coded_w // 2)
         vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
@@ -382,6 +390,9 @@ class VideoEncoderSession:
         self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         self.frame_idx += 1
         self.rc.frame_done(qp, len(nals) * 8)
+        if self.stats_writer is not None:
+            self.stats_writer.add("I" if is_idr else "P", qp, len(nals) * 8,
+                                  la_cost)
         mse = float(np.mean((out["recon_y"][:self.src_h, :self.src_w]
                              .astype(np.float64) - y) ** 2))
         psnr = 99.99 if mse == 0 else 10 * np.log10(255 * 255 / mse)

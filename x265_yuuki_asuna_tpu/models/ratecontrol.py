@@ -127,3 +127,48 @@ def compute_aq_offsets(y_plane, cu_size: int, strength: float = 1.0,
     energy = np.log2(var + 1.0)
     offsets = strength * (energy - energy.mean())
     return np.clip(np.round(offsets), -qp_range, qp_range).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Two-pass rate control (reference: x265_2pass.log flow, ratecontrol.cpp:819
+# analyseABR2Pass — simplified to uniform qscale rescaling, which preserves
+# pass-1 relative allocation while hitting the target exactly in expectation).
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+
+class StatsWriter:
+    def __init__(self, path: str):
+        self.path = path
+        self.records = []
+
+    def add(self, frame_type: str, qp: int, bits: int, cost: float):
+        self.records.append({"type": frame_type, "qp": qp, "bits": bits,
+                             "cost": cost})
+
+    def close(self):
+        with open(self.path, "w") as f:
+            for r in self.records:
+                f.write(_json.dumps(r) + "\n")
+
+
+class TwoPassRC:
+    """Pass-2 QP assignment from pass-1 statistics."""
+
+    def __init__(self, stats_path: str, bitrate_kbps: int, fps: float,
+                 qp_min: int = 4, qp_max: int = 51):
+        with open(stats_path) as f:
+            self.records = [_json.loads(line) for line in f if line.strip()]
+        target_total = bitrate_kbps * 1000.0 / fps * len(self.records)
+        actual_total = sum(r["bits"] for r in self.records)
+        # bits ~ cplx / qscale: scaling every qscale by K scales total by 1/K
+        self.scale = actual_total / max(target_total, 1.0)
+        self.qp_min, self.qp_max = qp_min, qp_max
+        self.idx = 0
+
+    def frame_qp(self) -> int:
+        r = self.records[min(self.idx, len(self.records) - 1)]
+        self.idx += 1
+        q = QP_TO_QSCALE(r["qp"]) * self.scale
+        return int(round(min(max(qscale_to_qp(q), self.qp_min), self.qp_max)))
