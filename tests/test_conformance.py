@@ -64,3 +64,26 @@ def test_conformance_qp_sweep():
 @pytest.mark.slow
 def test_conformance_cu32():
     _roundtrip(96, 64, 30, 32, _mk_frames(96, 64, 2, seed=2))
+
+
+def test_multi_slice_conformance():
+    """Independent slice bands (the --slices / row-tile-sharding analog)."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    W, H = 64, 96
+    sess = IntraEncoderSession(W, H, qp=30, cu_size=16, hash_sei=False,
+                               slices=3)
+    stream = sess.headers()
+    recons = []
+    for _ in range(2):
+        y = rng.integers(0, 256, (H, W)).astype(np.uint8)
+        u = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+        v = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+        fr = sess.encode_frame(y, u, v)
+        stream += fr.nals
+        recons.append(fr.recon)
+    decoded = decode_hevc(stream, W, H)
+    assert len(decoded) == 2
+    for d, r in zip(decoded, recons):
+        for p in range(3):
+            assert np.array_equal(d[p].astype(np.uint8), r[p])

@@ -45,6 +45,8 @@ def main(argv=None):
     ap.add_argument("--deblock", action="store_true", help="enable deblocking (intra)")
     ap.add_argument("--aq-mode", type=int, default=0, choices=[0, 2])
     ap.add_argument("--aq-strength", type=float, default=1.0)
+    ap.add_argument("--slices", type=int, default=1,
+                    help="independent slice bands per frame (intra)")
     ap.add_argument("--pass", dest="rc_pass", type=int, default=0, choices=[0, 1, 2])
     ap.add_argument("--stats", default="x265_2pass.log")
     ap.add_argument("--csv", default=None)
@@ -103,7 +105,8 @@ def main(argv=None):
                                    lossless=args.lossless,
                                    sao=args.sao, deblock=args.deblock,
                                    aq_mode=args.aq_mode,
-                                   aq_strength=args.aq_strength)
+                                   aq_strength=args.aq_strength,
+                                   slices=args.slices)
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None

@@ -43,7 +43,8 @@ class IntraEncoderSession:
                  fps: Tuple[int, int] = (25, 1), hash_sei: bool = True,
                  deblock: bool = False, lossless: bool = False,
                  bit_depth: int = 8, sao: bool = False,
-                 aq_mode: int = 0, aq_strength: float = 1.0):
+                 aq_mode: int = 0, aq_strength: float = 1.0,
+                 slices: int = 1):
         self.src_w = width
         self.src_h = height
         self.qp = qp
@@ -55,6 +56,10 @@ class IntraEncoderSession:
         self.sao = sao and not lossless
         self.aq_mode = 0 if lossless else aq_mode
         self.aq_strength = aq_strength
+        rows_total = G.cdiv(height, cu_size)
+        self.slices = max(1, min(slices, rows_total))
+        if rows_total % self.slices != 0:
+            self.slices = 1          # v1: equal bands only
         if lossless:
             qp = 4            # reference behavior: lossless forces QP4 signaling
             self.qp = qp
@@ -64,8 +69,11 @@ class IntraEncoderSession:
         self.cols = self.coded_w // cu_size
         log2cu = cu_size.bit_length() - 1
 
+        band_h = self.coded_h // self.slices
+        self.band_rows = band_h // cu_size
         self.frame_encoder = IntraFrameEncoder(IntraFrameConfig(
-            width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp,
+            width=self.coded_w, height=band_h if self.slices > 1 else self.coded_h,
+            cu_size=cu_size, qp=qp,
             bit_depth=bit_depth, lossless=lossless))
 
         ptl = HDR.ProfileTierLevel(profile_idc=2 if bit_depth > 8 else 1,
@@ -101,6 +109,8 @@ class IntraEncoderSession:
         up = G.pad_plane(u, self.coded_h // 2, self.coded_w // 2)
         vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
 
+        if self.slices > 1:
+            return self._encode_frame_sliced(y, yp, up, vp)
         qp_map = None
         if self.aq_mode:
             from .ratecontrol import compute_aq_offsets
@@ -133,6 +143,59 @@ class IntraEncoderSession:
                  out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(pdt),
                  out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(pdt))
         return FrameResult(nals=nals, recon=recon, bits=bits, psnr_y=psnr)
+
+    # ------------------------------------------------------------------
+    def _encode_frame_sliced(self, y, yp, up, vp):
+        """Split the picture into independent horizontal-band slices (no
+        cross-band prediction — the reference's --slices; SURVEY §2c) and
+        encode every band as one device batch. Each band emits its own
+        slice NAL with its slice_segment_address."""
+        K = self.slices
+        bh = self.coded_h // K
+        ys = np.stack([yp[i * bh:(i + 1) * bh] for i in range(K)])
+        us = np.stack([up[i * bh // 2:(i + 1) * bh // 2] for i in range(K)])
+        vs = np.stack([vp[i * bh // 2:(i + 1) * bh // 2] for i in range(K)])
+        outs = self.frame_encoder.encode_frames(ys, us, vs, with_recon=True)
+        total_ctus = self.rows * self.cols
+        addr_bits = max(1, (total_ctus - 1).bit_length())
+        nals = b""
+        for i, out in enumerate(outs):
+            nals += self._assemble_band_slice(
+                out, first=(i == 0),
+                slice_addr=i * self.band_rows * self.cols,
+                addr_bits=addr_bits)
+        rec_y = np.concatenate([o["recon_y"] for o in outs], axis=0)
+        rec_u = np.concatenate([o["recon_u"] for o in outs], axis=0)
+        rec_v = np.concatenate([o["recon_v"] for o in outs], axis=0)
+        out_all = {"recon_y": rec_y, "recon_u": rec_u, "recon_v": rec_v}
+        if self.hash_sei:
+            nals += self._hash_sei(out_all)
+        mse = float(np.mean((rec_y[:self.src_h, :self.src_w]
+                             .astype(np.float64) - y) ** 2))
+        pk = (1 << self.bit_depth) - 1
+        psnr = 99.99 if mse == 0 else 10 * np.log10(pk * pk / mse)
+        pdt = np.uint16 if self.bit_depth > 8 else np.uint8
+        recon = (rec_y[:self.src_h, :self.src_w].astype(pdt),
+                 rec_u[:self.src_h // 2, :self.src_w // 2].astype(pdt),
+                 rec_v[:self.src_h // 2, :self.src_w // 2].astype(pdt))
+        return FrameResult(nals=nals, recon=recon, bits=len(nals) * 8,
+                           psnr_y=psnr)
+
+    def _assemble_band_slice(self, out, first, slice_addr, addr_bits):
+        log2cu = self.cu.bit_length() - 1
+        bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
+                                    slice_qp=self.qp, first_slice=first,
+                                    slice_addr=slice_addr,
+                                    slice_addr_bits=addr_bits)
+        res = native.encode_intra_slice(
+            out["modes"], out["levels_y"], out["levels_cb"], out["levels_cr"],
+            log2cu, self.qp)
+        data, tail, tail_bits = res
+        for b in data:
+            bw.write_byte(b)
+        bw.write_bits(tail, tail_bits)
+        bw.rbsp_trailing_bits()
+        return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
 
     # ------------------------------------------------------------------
     def submit_batch(self, frames, need_recon: bool = False):

@@ -94,8 +94,11 @@ def split_access_units(stream: bytes) -> List[bytes]:
     for nal in split_annexb(stream):
         ntype = (nal[0] >> 1) & 0x3F
         is_vcl = ntype < 32
+        # a VCL NAL starts a new AU only when first_slice_segment_in_pic_flag
+        # is set (multi-slice pictures keep their slices in one AU)
+        first_slice = is_vcl and len(nal) > 2 and (nal[2] >> 7) == 1
         is_suffix = ntype in (40, 45)   # suffix SEI / filler attach backward
-        if have_vcl and not is_suffix:
+        if have_vcl and not is_suffix and (not is_vcl or first_slice):
             aus.append(bytes(cur))
             cur = bytearray()
             have_vcl = False
