@@ -1,0 +1,76 @@
+"""B-frame conformance: IBPBP mini-GOP streams (bi-prediction, two reference
+lists, display reordering) must decode bit-exactly in libavcodec."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("cv2")
+
+from x265_yuuki_asuna_tpu.models.encoder_top import VideoEncoderSession
+from x265_yuuki_asuna_tpu.utils.av_decode import decode_hevc
+
+
+def _moving_scene(w, h, n, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h + 64, w + 64)).astype(np.uint8)
+    bu = rng.integers(0, 256, (h // 2 + 32, w // 2 + 32)).astype(np.uint8)
+    bv = rng.integers(0, 256, (h // 2 + 32, w // 2 + 32)).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        dx, dy = 2 * i, i
+        y = base[dy:dy + h, dx:dx + w].copy()
+        u = bu[dy // 2:dy // 2 + h // 2, dx // 2:dx // 2 + w // 2].copy()
+        v = bv[dy // 2:dy // 2 + h // 2, dx // 2:dx // 2 + w // 2].copy()
+        frames.append((y, u, v))
+    return frames
+
+
+def _run(w, h, frames, qp=30, bframes=1, keyint=100, max_merge=3):
+    sess = VideoEncoderSession(w, h, qp=qp, cu_size=16, keyint=keyint,
+                               hash_sei=False, bframes=bframes,
+                               max_merge=max_merge)
+    stream = sess.headers()
+    results = []
+    for (y, u, v) in frames:
+        results += sess.push_frame(y, u, v)
+    results += sess.flush()
+    for fr in results:
+        stream += fr.nals
+    # libavcodec outputs in display order; our results carry GOP poc.
+    decoded = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(decoded) == len(frames)
+    # poc restarts at each IDR: sort per GOP segment, concatenate segments
+    segments, cur = [], []
+    for fr in results:
+        if fr.poc == 0 and cur:        # IDR starts a new segment
+            segments.append(cur)
+            cur = []
+        cur.append(fr)
+    segments.append(cur)
+    display = [fr for seg in segments for fr in sorted(seg, key=lambda f: f.poc)]
+    assert len(display) == len(frames)
+    for i, (d, fr) in enumerate(zip(decoded, display)):
+        for p in range(3):
+            got = d[p][:fr.recon[p].shape[0], :fr.recon[p].shape[1]]
+            assert np.array_equal(got.astype(np.uint8), fr.recon[p]), \
+                f"frame {i} plane {p} mismatch"
+    return results
+
+
+def test_bframe_ibpb_conformance():
+    _run(64, 48, _moving_scene(64, 48, 5), qp=30, bframes=1)
+
+
+def test_bframe_b2_conformance():
+    """Two consecutive B pictures per mini-GOP."""
+    _run(64, 48, _moving_scene(64, 48, 7, seed=2), qp=32, bframes=2)
+
+
+def test_bframe_tail_flush():
+    """Stream ends mid-mini-GOP: flush closes it with a P anchor."""
+    _run(48, 32, _moving_scene(48, 32, 4, seed=3), qp=28, bframes=2)
+
+
+def test_bframe_keyint_idr():
+    """IDR inside the sequence forces the open mini-GOP closed."""
+    _run(48, 32, _moving_scene(48, 32, 6, seed=4), qp=30, bframes=1, keyint=4)

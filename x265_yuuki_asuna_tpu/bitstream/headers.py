@@ -253,6 +253,7 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
                        slice_addr_bits: int = 0,
                        num_entry_points: int = 0,
                        ref_poc_delta: int = 1, max_merge: int = 3,
+                       pos_poc_delta: int = 0,
                        deblocking_disabled: Optional[bool] = None) -> BitWriter:
     """Returns a BitWriter positioned after byte_alignment() — ready for the
     caller to append CABAC slice data. slice_type: 0=B 1=P 2=I."""
@@ -269,9 +270,12 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
         bw.write_flag(0)                     # short_term_ref_pic_set_sps_flag
         # st_ref_pic_set (spec 7.3.7): one negative ref at poc - ref_delta
         bw.write_ue(1)                       # num_negative_pics
-        bw.write_ue(0)                       # num_positive_pics
+        bw.write_ue(1 if pos_poc_delta else 0)   # num_positive_pics
         bw.write_ue(ref_poc_delta - 1)       # delta_poc_s0_minus1[0]
         bw.write_flag(1)                     # used_by_curr_pic_s0_flag[0]
+        if pos_poc_delta:
+            bw.write_ue(pos_poc_delta - 1)   # delta_poc_s1_minus1[0]
+            bw.write_flag(1)                 # used_by_curr_pic_s1_flag[0]
         if sps.temporal_mvp:
             bw.write_flag(1)                 # slice_temporal_mvp_enabled_flag
     if sps.sao_enabled:
@@ -280,6 +284,8 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
             bw.write_flag(sao_chroma)
     if slice_type != 2:                      # P/B
         bw.write_flag(0)                     # num_ref_idx_active_override_flag
+        if slice_type == 0:                  # B
+            bw.write_flag(0)                 # mvd_l1_zero_flag
         bw.write_ue(5 - max_merge)           # five_minus_max_num_merge_cand
     bw.write_se(slice_qp - pps.init_qp)
     if deblocking_disabled is not None and deblocking_disabled != pps.deblocking_disabled:

@@ -344,3 +344,317 @@ def decode_inter_ctu(dec: CabacDecoder, grid: List[List[Optional[CUInfo]]],
     cu = CUInfo(False, mv, skip=False)
     grid[r][c] = cu
     return cu, ly, cb, cr
+
+
+# ---------------------------------------------------------------------------
+# B-slice extensions: bi-directional motion (dir 1=L0, 2=L1, 3=BI), merge
+# with full-motion copy, AMVP with POC scaling (spec 8.5.3.2.7), and the
+# B coding_unit syntax (inter_pred_idc etc.). Uniform 2Nx2N grid; one
+# reference per list; TMVP off.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BMotion:
+    dir: int = 1                       # 1=L0, 2=L1, 3=BI
+    mv0: Tuple[int, int] = (0, 0)
+    mv1: Tuple[int, int] = (0, 0)
+
+    def key(self):
+        return (self.dir,
+                self.mv0 if self.dir & 1 else None,
+                self.mv1 if self.dir & 2 else None)
+
+
+@dataclass
+class BCUState:
+    is_intra: bool
+    motion: Optional[BMotion] = None
+    intra_mode: int = DC_MODE
+    skip: bool = False
+
+
+def merge_candidates_b(grid, r, c, max_cands) -> List[BMotion]:
+    rows, cols = len(grid), len(grid[0])
+
+    def nb(rr, cc):
+        if 0 <= rr < rows and 0 <= cc < cols:
+            s = grid[rr][cc]
+            if s is not None and not s.is_intra:
+                return s.motion
+        return None
+
+    a1 = nb(r, c - 1)
+    b1 = nb(r - 1, c)
+    b0 = nb(r - 1, c + 1)
+    b2 = nb(r - 1, c - 1)
+    cands: List[BMotion] = []
+    if a1 is not None:
+        cands.append(a1)
+    if b1 is not None and (a1 is None or b1.key() != a1.key()):
+        cands.append(b1)
+    if b0 is not None and (b1 is None or b0.key() != b1.key()):
+        cands.append(b0)
+    if len(cands) < 4 and b2 is not None and \
+            (a1 is None or b2.key() != a1.key()) and \
+            (b1 is None or b2.key() != b1.key()):
+        cands.append(b2)
+    while len(cands) < max_cands:
+        cands.append(BMotion(3, (0, 0), (0, 0)))   # bi zero fill (B slice)
+    return cands[:max_cands]
+
+
+def _scale_mv(mv, tb, td):
+    """Spec 8.5.3.2.7 POC-distance motion scaling."""
+    tx = (16384 + (abs(td) >> 1)) // td if td > 0 else -((16384 + (abs(td) >> 1)) // -td)
+    dsf = min(max((tb * tx + 32) >> 6, -4096), 4095)
+    def s(v):
+        val = dsf * v
+        sign = 1 if val >= 0 else -1
+        return min(max(sign * ((abs(val) + 127) >> 8), -32768), 32767)
+    return (s(mv[0]), s(mv[1]))
+
+
+def amvp_candidates_b(grid, r, c, lx: int, poc_cur: int, poc_l0: int,
+                      poc_l1: int) -> List[Tuple[int, int]]:
+    """AMVP for list lx (0/1). Single ref per list; A0 undecoded; TMVP off.
+    Implements the no-scale checks then the scaled fallback with the
+    isScaledFlag rule (scaled B only when the left is unavailable)."""
+    rows, cols = len(grid), len(grid[0])
+    poc_target = poc_l0 if lx == 0 else poc_l1
+
+    def nb(rr, cc):
+        if 0 <= rr < rows and 0 <= cc < cols:
+            s = grid[rr][cc]
+            if s is not None and not s.is_intra:
+                return s.motion
+        return None
+
+    def mv_of(m: BMotion, which: int):
+        return m.mv0 if which == 0 else m.mv1
+
+    def poc_of_list(which: int):
+        return poc_l0 if which == 0 else poc_l1
+
+    def noscale(m: BMotion):
+        # 1) same list, same ref; 2) other list with same target POC
+        if m.dir & (1 << lx):
+            return mv_of(m, lx)
+        oy = 1 - lx
+        if (m.dir & (1 << oy)) and poc_of_list(oy) == poc_target:
+            return mv_of(m, oy)
+        return None
+
+    def scaled(m: BMotion):
+        # prefer same list, else the other list; scale by POC distances
+        for which in (lx, 1 - lx):
+            if m.dir & (1 << which):
+                tb = poc_cur - poc_target
+                td = poc_cur - poc_of_list(which)
+                if td == 0:
+                    return None
+                if tb == td:
+                    return mv_of(m, which)
+                return _scale_mv(mv_of(m, which), tb, td)
+        return None
+
+    a1 = nb(r, c - 1)
+    cand_a = None
+    if a1 is not None:
+        cand_a = noscale(a1)
+        if cand_a is None:
+            cand_a = scaled(a1)
+    left_available = a1 is not None     # isScaledFlag (A1 present & inter)
+
+    cand_b = None
+    for rr, cc in ((r - 1, c + 1), (r - 1, c), (r - 1, c - 1)):
+        m = nb(rr, cc)
+        if m is not None:
+            v = noscale(m)
+            if v is not None:
+                cand_b = v
+                break
+    if cand_b is None and not left_available:
+        for rr, cc in ((r - 1, c + 1), (r - 1, c), (r - 1, c - 1)):
+            m = nb(rr, cc)
+            if m is not None:
+                v = scaled(m)
+                if v is not None:
+                    cand_b = v
+                    break
+
+    out = []
+    if cand_a is not None:
+        out.append(cand_a)
+    if cand_b is not None and cand_b != cand_a:
+        out.append(cand_b)
+    while len(out) < 2:
+        out.append((0, 0))
+    return out[:2]
+
+
+@dataclass
+class BCTUDecision:
+    is_intra: bool
+    intra_mode: int = DC_MODE
+    motion: Optional[BMotion] = None
+    merge_idx: int = -1
+    mvp_flag0: int = 0
+    mvp_flag1: int = 0
+    mvd0: Tuple[int, int] = (0, 0)
+    mvd1: Tuple[int, int] = (0, 0)
+    luma_levels: Optional[np.ndarray] = None
+    cb_levels: Optional[np.ndarray] = None
+    cr_levels: Optional[np.ndarray] = None
+
+    @property
+    def has_residual(self) -> bool:
+        return (np.any(self.luma_levels) or np.any(self.cb_levels)
+                or np.any(self.cr_levels))
+
+
+def _skip_ctx_b(grid, r, c):
+    left = grid[r][c - 1] if c > 0 else None
+    above = grid[r - 1][c] if r > 0 else None
+    return (1 if (left is not None and left.skip) else 0) + \
+           (1 if (above is not None and above.skip) else 0)
+
+
+def encode_b_ctu(enc: CabacEncoder, d: BCTUDecision, grid, r, c,
+                 log2_cu: int, max_merge: int, sign_hiding: bool = False):
+    is_skip = (not d.is_intra and d.merge_idx >= 0 and not d.has_residual)
+    enc.encode_bin(1 if is_skip else 0, CTX["skip"] + _skip_ctx_b(grid, r, c))
+    if is_skip:
+        encode_merge_idx(enc, d.merge_idx, max_merge)
+        grid[r][c] = BCUState(False, d.motion, skip=True)
+        return
+    enc.encode_bin(1 if d.is_intra else 0, CTX["pred_mode"])
+    if d.is_intra:
+        enc.encode_bin(1, CTX["part_size"])
+        left = grid[r][c - 1] if c > 0 else None
+        cl = left.intra_mode if (left is not None and left.is_intra) else DC_MODE
+        mpm = derive_mpm(cl, DC_MODE)
+        encode_intra_luma_mode(enc, d.intra_mode, mpm)
+        enc.encode_bin(0, CTX["intra_chroma"])
+        cbf_cb = 1 if np.any(d.cb_levels) else 0
+        cbf_cr = 1 if np.any(d.cr_levels) else 0
+        cbf_y = 1 if np.any(d.luma_levels) else 0
+        enc.encode_bin(cbf_cb, CTX["qt_cbf"] + 2)
+        enc.encode_bin(cbf_cr, CTX["qt_cbf"] + 2)
+        enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
+        if cbf_y:
+            encode_residual(enc, d.luma_levels, log2_cu, True, d.intra_mode, sign_hiding)
+        if cbf_cb:
+            encode_residual(enc, d.cb_levels, log2_cu - 1, False, d.intra_mode, sign_hiding)
+        if cbf_cr:
+            encode_residual(enc, d.cr_levels, log2_cu - 1, False, d.intra_mode, sign_hiding)
+        grid[r][c] = BCUState(True, None, d.intra_mode)
+        return
+
+    enc.encode_bin(1, CTX["part_size"])       # 2Nx2N
+    if d.merge_idx >= 0:
+        enc.encode_bin(1, CTX["merge_flag"])
+        encode_merge_idx(enc, d.merge_idx, max_merge)
+        rqt = 1
+        assert d.has_residual, "residual-less merge must be skip"
+    else:
+        enc.encode_bin(0, CTX["merge_flag"])
+        m = d.motion
+        # inter_pred_idc: bin0 (ctx depth 0) = BI?; else bin1 (ctx 4) = L1?
+        enc.encode_bin(1 if m.dir == 3 else 0, CTX["inter_dir"] + 0)
+        if m.dir != 3:
+            enc.encode_bin(0 if m.dir == 1 else 1, CTX["inter_dir"] + 4)
+        if m.dir & 1:
+            encode_mvd(enc, d.mvd0[0], d.mvd0[1])
+            enc.encode_bin(d.mvp_flag0, CTX["mvp_idx"])
+        if m.dir & 2:
+            encode_mvd(enc, d.mvd1[0], d.mvd1[1])
+            enc.encode_bin(d.mvp_flag1, CTX["mvp_idx"])
+        rqt = 1 if d.has_residual else 0
+        enc.encode_bin(rqt, CTX["qt_root_cbf"])
+    if rqt:
+        cbf_cb = 1 if np.any(d.cb_levels) else 0
+        cbf_cr = 1 if np.any(d.cr_levels) else 0
+        cbf_y = 1 if np.any(d.luma_levels) else 0
+        enc.encode_bin(cbf_cb, CTX["qt_cbf"] + 2)
+        enc.encode_bin(cbf_cr, CTX["qt_cbf"] + 2)
+        if cbf_cb or cbf_cr:
+            enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
+        else:
+            assert cbf_y
+        if cbf_y:
+            encode_residual(enc, d.luma_levels, log2_cu, True, -1, sign_hiding)
+        if cbf_cb:
+            encode_residual(enc, d.cb_levels, log2_cu - 1, False, -1, sign_hiding)
+        if cbf_cr:
+            encode_residual(enc, d.cr_levels, log2_cu - 1, False, -1, sign_hiding)
+    grid[r][c] = BCUState(False, d.motion, skip=False)
+
+
+def decode_b_ctu(dec: CabacDecoder, grid, r, c, log2_cu: int, max_merge: int,
+                 poc_cur: int, poc_l0: int, poc_l1: int,
+                 sign_hiding: bool = False):
+    n = 1 << log2_cu
+    nc = n // 2
+    z = lambda k: np.zeros((k, k), np.int32)
+    if dec.decode_bin(CTX["skip"] + _skip_ctx_b(grid, r, c)):
+        idx = decode_merge_idx(dec, max_merge)
+        cands = merge_candidates_b(grid, r, c, max_merge)
+        cu = BCUState(False, cands[idx], skip=True)
+        grid[r][c] = cu
+        return cu, z(n), z(nc), z(nc)
+    if dec.decode_bin(CTX["pred_mode"]):
+        part = dec.decode_bin(CTX["part_size"])
+        assert part == 1
+        left = grid[r][c - 1] if c > 0 else None
+        cl = left.intra_mode if (left is not None and left.is_intra) else DC_MODE
+        mpm = derive_mpm(cl, DC_MODE)
+        mode = decode_intra_luma_mode(dec, mpm)
+        cmode = decode_intra_chroma_mode(dec, mode)
+        cbf_cb = dec.decode_bin(CTX["qt_cbf"] + 2)
+        cbf_cr = dec.decode_bin(CTX["qt_cbf"] + 2)
+        cbf_y = dec.decode_bin(CTX["qt_cbf"] + 1)
+        ly = decode_residual(dec, log2_cu, True, mode, sign_hiding) if cbf_y else z(n)
+        cb = decode_residual(dec, log2_cu - 1, False, cmode, sign_hiding) if cbf_cb else z(nc)
+        cr = decode_residual(dec, log2_cu - 1, False, cmode, sign_hiding) if cbf_cr else z(nc)
+        cu = BCUState(True, None, mode)
+        grid[r][c] = cu
+        return cu, ly, cb, cr
+    part = dec.decode_bin(CTX["part_size"])
+    assert part == 1
+    if dec.decode_bin(CTX["merge_flag"]):
+        idx = decode_merge_idx(dec, max_merge)
+        cands = merge_candidates_b(grid, r, c, max_merge)
+        motion = cands[idx]
+        rqt = 1
+    else:
+        if dec.decode_bin(CTX["inter_dir"] + 0):
+            dirv = 3
+        else:
+            dirv = 2 if dec.decode_bin(CTX["inter_dir"] + 4) else 1
+        mv0 = mv1 = (0, 0)
+        if dirv & 1:
+            mvd = decode_mvd(dec)
+            f = dec.decode_bin(CTX["mvp_idx"])
+            preds = amvp_candidates_b(grid, r, c, 0, poc_cur, poc_l0, poc_l1)
+            mv0 = (preds[f][0] + mvd[0], preds[f][1] + mvd[1])
+        if dirv & 2:
+            mvd = decode_mvd(dec)
+            f = dec.decode_bin(CTX["mvp_idx"])
+            preds = amvp_candidates_b(grid, r, c, 1, poc_cur, poc_l0, poc_l1)
+            mv1 = (preds[f][0] + mvd[0], preds[f][1] + mvd[1])
+        motion = BMotion(dirv, mv0, mv1)
+        rqt = dec.decode_bin(CTX["qt_root_cbf"])
+    ly, cb, cr = z(n), z(nc), z(nc)
+    if rqt:
+        cbf_cb = dec.decode_bin(CTX["qt_cbf"] + 2)
+        cbf_cr = dec.decode_bin(CTX["qt_cbf"] + 2)
+        cbf_y = dec.decode_bin(CTX["qt_cbf"] + 1) if (cbf_cb or cbf_cr) else 1
+        if cbf_y:
+            ly = decode_residual(dec, log2_cu, True, -1, sign_hiding)
+        if cbf_cb:
+            cb = decode_residual(dec, log2_cu - 1, False, -1, sign_hiding)
+        if cbf_cr:
+            cr = decode_residual(dec, log2_cu - 1, False, -1, sign_hiding)
+    cu = BCUState(False, motion, skip=False)
+    grid[r][c] = cu
+    return cu, ly, cb, cr

@@ -38,6 +38,8 @@ def main(argv=None):
     ap.add_argument("--keyint", type=int, default=0,
                     help="GOP length: 0/1 = all-intra, N>1 = IPPP with IDR every N")
     ap.add_argument("--merange", type=int, default=16, help="ME search range")
+    ap.add_argument("--bframes", type=int, default=0,
+                    help="max consecutive B frames (mini-GOP size - 1)")
     ap.add_argument("--crf", type=float, default=None, help="CRF rate control")
     ap.add_argument("--bitrate", type=int, default=None, help="ABR bitrate (kbps)")
     ap.add_argument("--lossless", action="store_true")
@@ -83,7 +85,7 @@ def main(argv=None):
 
     rc_mode = "crf" if args.crf is not None else (
         "abr" if args.bitrate else "cqp")
-    if args.keyint > 1 or rc_mode != "cqp":
+    if args.keyint > 1 or rc_mode != "cqp" or args.bframes:
         from .models.encoder_top import VideoEncoderSession
         sess = VideoEncoderSession(info.width, info.height, qp=args.qp,
                                    cu_size=args.ctu,
@@ -95,7 +97,8 @@ def main(argv=None):
                                    crf=args.crf if args.crf is not None else 28.0,
                                    bitrate_kbps=args.bitrate or 0,
                                    stats_write=args.stats if args.rc_pass == 1 else None,
-                                   stats_read=args.stats if args.rc_pass == 2 else None)
+                                   stats_read=args.stats if args.rc_pass == 2 else None,
+                                   bframes=args.bframes)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         sess = IntraEncoderSession(info.width, info.height, qp=args.qp,
@@ -118,9 +121,38 @@ def main(argv=None):
     pending = []
     done = False
 
+    use_bframes = getattr(sess, "bframes", 0) > 0
+
+    def emit(results):
+        nonlocal n, total_bits
+        for fr in results:              # bitstream stays in encode order
+            out.write(fr.nals)
+            total_bits += fr.bits
+        # recon/stats in display order: each burst covers a contiguous
+        # display range; poc==0 (IDR) starts a new GOP segment
+        segments, cur = [], []
+        for fr in results:
+            if fr.poc == 0 and cur:
+                segments.append(cur)
+                cur = []
+            cur.append(fr)
+        segments.append(cur)
+        for seg in segments:
+            for fr in sorted(seg, key=lambda f: f.poc):
+                if recon_writer:
+                    recon_writer.write_frame(*fr.recon)
+                if csv_lines is not None:
+                    csv_lines.append(f"{n}, {args.qp}, {fr.bits}, {fr.psnr_y:.4f}")
+                n += 1
+
     def flush_batch():
         nonlocal n, total_bits
         if not pending:
+            return
+        if use_bframes:
+            for f in pending:
+                emit(sess.push_frame(*f))
+            pending.clear()
             return
         for fr in (sess.encode_batch(pending, need_recon=bool(recon_writer or csv_lines))
                    if (len(pending) > 1 and hasattr(sess, "encode_batch"))
@@ -147,6 +179,8 @@ def main(argv=None):
         if args.frames and seen >= args.frames:
             break
     flush_batch()
+    if use_bframes:
+        emit(sess.flush())       # close the tail mini-GOP
     elapsed = time.time() - t0
     print(f"\nencoded {n} frames in {elapsed:.2f}s ({n / max(elapsed, 1e-9):.2f} fps), "
           f"{total_bits * info.fps_num / max(n * info.fps_denom, 1) / 1000:.2f} kb/s",

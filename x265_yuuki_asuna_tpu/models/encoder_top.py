@@ -34,6 +34,7 @@ class FrameResult:
     recon: Tuple[np.ndarray, np.ndarray, np.ndarray]   # cropped to source size
     bits: int
     psnr_y: float
+    poc: int = 0           # display order within the GOP (B-frame pipeline)
 
 
 class IntraEncoderSession:
@@ -389,7 +390,7 @@ class VideoEncoderSession:
                  search_range: int = 16, hash_sei: bool = True,
                  max_merge: int = 3, rc_mode: str = "cqp", crf: float = 28.0,
                  bitrate_kbps: int = 0, stats_write: str = None,
-                 stats_read: str = None):
+                 stats_read: str = None, bframes: int = 0):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
@@ -421,6 +422,18 @@ class VideoEncoderSession:
         self.stats_writer = StatsWriter(stats_write) if stats_write else None
         self.two_pass = TwoPassRC(stats_read, bitrate_kbps,
                                   fps[0] / max(fps[1], 1)) if stats_read else None
+        # ---- B-frame mini-GOP state (bframes > 0) -------------------------
+        self.bframes = max(0, bframes)
+        self.bi_encoder = None
+        if self.bframes:
+            self.intra_sess.sps.max_dec_pic_buffering = 4
+            self.intra_sess.sps.num_reorder_pics = 1
+            self.bi_encoder = InterFrameEncoder(InterFrameConfig(
+                width=self.coded_w, height=self.coded_h, cu_size=cu_size,
+                qp=qp, search_range=search_range, bi=True))
+        self.pending = []           # buffered display-order frames (y, u, v)
+        self.display_idx = 0
+        self.anchor = None          # (recon planes, poc) of last I/P anchor
 
     def headers(self) -> bytes:
         return self.intra_sess.headers()
@@ -465,7 +478,160 @@ class VideoEncoderSession:
         return FrameResult(nals=nals, recon=recon, bits=len(nals) * 8,
                            psnr_y=psnr)
 
-    def _assemble_p_slice(self, out: dict, qp: int = None) -> bytes:
+    # ------------------------------------------------------------------
+    # B-frame pipeline (bframes > 0): push display-order frames, receive
+    # encode-order results in bursts per mini-GOP (anchor first, then its
+    # leading B pictures). Reference structure: IDR/P anchors at mini-GOP
+    # boundaries, non-reference B pictures between (no pyramid yet).
+    # ------------------------------------------------------------------
+
+    def push_frame(self, y, u, v) -> List["FrameResult"]:
+        assert self.bframes, "push_frame requires bframes > 0"
+        results: List[FrameResult] = []
+        idr_due = (self.display_idx % self.keyint == 0) or self.anchor is None
+        if idr_due:
+            results += self.flush()
+            results.append(self._encode_anchor(y, u, v, idr=True))
+        else:
+            self.pending.append((y, u, v))
+            if len(self.pending) == self.bframes + 1:
+                results += self.flush()
+        self.display_idx += 1
+        return results
+
+    def flush(self) -> List["FrameResult"]:
+        """Close the open mini-GOP: last pending frame becomes the P anchor,
+        earlier pending frames encode as B against (prev anchor, new anchor)."""
+        if not self.pending:
+            return []
+        frames = self.pending
+        self.pending = []
+        prev_anchor, prev_poc = self.anchor
+        out: List[FrameResult] = []
+        anchor_poc = prev_poc + len(frames)
+        y, u, v = frames[-1]
+        out.append(self._encode_anchor(y, u, v, idr=False,
+                                       poc=anchor_poc,
+                                       ref_delta=anchor_poc - prev_poc))
+        new_anchor = self.anchor[0]
+        for i, (y, u, v) in enumerate(frames[:-1]):
+            poc = prev_poc + 1 + i
+            out.append(self._encode_b(y, u, v, poc, prev_anchor, prev_poc,
+                                      new_anchor, anchor_poc))
+        return out
+
+    def _pad(self, y, u, v):
+        return (G.pad_plane(y, self.coded_h, self.coded_w),
+                G.pad_plane(u, self.coded_h // 2, self.coded_w // 2),
+                G.pad_plane(v, self.coded_h // 2, self.coded_w // 2))
+
+    def _result(self, out, nals, qp, poc, src_y=None) -> "FrameResult":
+        recon = tuple(
+            out[k][:h, :w].astype(np.uint8)
+            for k, h, w in (("recon_y", self.src_h, self.src_w),
+                            ("recon_u", self.src_h // 2, self.src_w // 2),
+                            ("recon_v", self.src_h // 2, self.src_w // 2)))
+        psnr = 0.0
+        if src_y is not None:
+            mse = float(np.mean((recon[0].astype(np.float64) - src_y) ** 2))
+            psnr = 99.99 if mse == 0 else 10 * np.log10(255 * 255 / mse)
+        return FrameResult(nals=nals, recon=recon, bits=len(nals) * 8,
+                           psnr_y=psnr, poc=poc)
+
+    def _encode_anchor(self, y, u, v, idr: bool, poc: int = 0,
+                       ref_delta: int = 1) -> "FrameResult":
+        yp, up, vp = self._pad(y, u, v)
+        qp = self.rc.frame_qp(idr)
+        if idr:
+            out = self.intra_sess.frame_encoder.encode_frame(yp, up, vp, qp=qp)
+            nals = self.intra_sess._assemble_slice(out, qp=qp)
+            poc = 0
+        else:
+            out = self.inter_encoder.encode_frame(
+                yp, up, vp, self.anchor[0][0], self.anchor[0][1],
+                self.anchor[0][2], qp=qp)
+            nals = self._assemble_p_slice(out, qp, poc=poc, ref_delta=ref_delta)
+        if self.hash_sei:
+            nals += self.intra_sess._hash_sei(out)
+        self.anchor = ((out["recon_y"], out["recon_u"], out["recon_v"]), poc)
+        self.rc.frame_done(qp, len(nals) * 8)
+        return self._result(out, nals, qp, poc, src_y=y)
+
+    def _encode_b(self, y, u, v, poc, ref0, poc0, ref1, poc1) -> "FrameResult":
+        yp, up, vp = self._pad(y, u, v)
+        qp = min(self.rc.frame_qp(False) + 2, 51)   # pbFactor-style B offset
+        out = self.bi_encoder.encode_frame(
+            yp, up, vp, ref0[0], ref0[1], ref0[2], qp=qp,
+            ref1_y=ref1[0], ref1_u=ref1[1], ref1_v=ref1[2])
+        nals = self._assemble_b_slice(out, qp, poc, poc0, poc1)
+        if self.hash_sei:
+            nals += self.intra_sess._hash_sei(out)
+        self.rc.frame_done(qp, len(nals) * 8)
+        return self._result(out, nals, qp, poc, src_y=y)
+
+    def _assemble_b_slice(self, out: dict, qp: int, poc: int, poc0: int,
+                          poc1: int) -> bytes:
+        from ..bitstream import inter_syntax as IS
+        from ..bitstream.bitio import NAL_TRAIL_N
+        sess = self.intra_sess
+        log2cu = self.cu.bit_length() - 1
+        bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=0,
+                                    slice_qp=qp, nal_type=NAL_TRAIL_N,
+                                    poc=poc, max_merge=self.max_merge,
+                                    ref_poc_delta=poc - poc0,
+                                    pos_poc_delta=poc1 - poc)
+        enc = CabacEncoder()
+        enc.init_contexts(0, qp)        # B-slice context init row
+        grid = [[None] * self.cols for _ in range(self.rows)]
+        last = self.rows * self.cols - 1
+        for r in range(self.rows):
+            for c in range(self.cols):
+                d = self._decide_cu_b(out, grid, r, c, poc, poc0, poc1)
+                IS.encode_b_ctu(enc, d, grid, r, c, log2cu, self.max_merge)
+                enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
+        data, tail, tail_bits = enc.finish()
+        for b in data:
+            bw.write_byte(b)
+        bw.write_bits(tail, tail_bits)
+        bw.rbsp_trailing_bits()
+        return wrap_nal(NAL_TRAIL_N, bw.get_bytes())
+
+    def _decide_cu_b(self, out, grid, r, c, poc, poc0, poc1):
+        from ..bitstream import inter_syntax as IS
+        lv_y = out["levels_y"][r, c]
+        lv_cb = out["levels_cb"][r, c]
+        lv_cr = out["levels_cr"][r, c]
+        if out["use_intra"][r, c]:
+            return IS.BCTUDecision(
+                is_intra=True, intra_mode=int(out["modes"][r, c]),
+                luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)
+        pdir = int(out["pdir"][r, c])
+        mv0 = (int(out["mvx"][r, c]), int(out["mvy"][r, c])) if pdir & 1 else (0, 0)
+        mv1 = (int(out["mv1x"][r, c]), int(out["mv1y"][r, c])) if pdir & 2 else (0, 0)
+        motion = IS.BMotion(pdir, mv0, mv1)
+        cands = IS.merge_candidates_b(grid, r, c, self.max_merge)
+        for i, cand in enumerate(cands):
+            if cand.key() == motion.key():
+                return IS.BCTUDecision(
+                    is_intra=False, motion=motion, merge_idx=i,
+                    luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)
+        d = IS.BCTUDecision(is_intra=False, motion=motion, merge_idx=-1,
+                            luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)
+        for lx, mv in ((0, mv0), (1, mv1)):
+            if not (pdir & (1 << lx)):
+                continue
+            preds = IS.amvp_candidates_b(grid, r, c, lx, poc, poc0, poc1)
+            costs = [abs(mv[0] - p[0]) + abs(mv[1] - p[1]) for p in preds]
+            flag = 0 if costs[0] <= costs[1] else 1
+            mvd = (mv[0] - preds[flag][0], mv[1] - preds[flag][1])
+            if lx == 0:
+                d.mvp_flag0, d.mvd0 = flag, mvd
+            else:
+                d.mvp_flag1, d.mvd1 = flag, mvd
+        return d
+
+    def _assemble_p_slice(self, out: dict, qp: int = None, poc: int = None,
+                          ref_delta: int = 1) -> bytes:
         from ..bitstream import inter_syntax as IS
         from ..bitstream.bitio import NAL_TRAIL_R
         qp = self.qp if qp is None else qp
@@ -473,7 +639,9 @@ class VideoEncoderSession:
         log2cu = self.cu.bit_length() - 1
         bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=1,
                                     slice_qp=qp, nal_type=NAL_TRAIL_R,
-                                    poc=self.poc, max_merge=self.max_merge)
+                                    poc=self.poc if poc is None else poc,
+                                    ref_poc_delta=ref_delta,
+                                    max_merge=self.max_merge)
         res = native.encode_p_slice(
             out["use_intra"], out["modes"], out["mvx"], out["mvy"],
             out["levels_y"], out["levels_cb"], out["levels_cr"],

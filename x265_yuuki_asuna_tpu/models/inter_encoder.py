@@ -33,6 +33,7 @@ class InterFrameConfig:
     search_range: int = 16
     subpel: bool = True     # half+quarter-pel refinement (SATD-driven)
     intra_bias: int = 0     # added to intra SATD before comparison
+    bi: bool = False        # B-frame mode: two references + bi-prediction
 
     @property
     def rows(self):
@@ -57,15 +58,19 @@ class InterFrameEncoder:
         self._valid = jnp.asarray(valid)
         self._encode = jax.jit(self._build())
 
-    def encode_frame(self, y, u, v, ref_y, ref_u, ref_v, qp: int = None):
+    def encode_frame(self, y, u, v, ref_y, ref_u, ref_v, qp: int = None,
+                     ref1_y=None, ref1_u=None, ref1_v=None):
         """All planes padded to coded size. ref_* are the decoded reference
-        planes. Returns decision dict (numpy)."""
+        planes (L0; ref1_* = L1 when cfg.bi). Returns decision dict (numpy)."""
         qp = self.cfg.qp if qp is None else qp
-        buf = np.asarray(self._encode(
-            jnp.asarray(y, jnp.uint8), jnp.asarray(u, jnp.uint8),
-            jnp.asarray(v, jnp.uint8), jnp.asarray(ref_y, jnp.uint8),
-            jnp.asarray(ref_u, jnp.uint8), jnp.asarray(ref_v, jnp.uint8),
-            jnp.int32(qp)))
+        a = lambda x: jnp.asarray(x, jnp.uint8)
+        if self.cfg.bi:
+            buf = np.asarray(self._encode(
+                a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
+                a(ref1_y), a(ref1_u), a(ref1_v), jnp.int32(qp)))
+        else:
+            buf = np.asarray(self._encode(
+                a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v), jnp.int32(qp)))
         return self._unpack(buf)
 
     # ------------------------------------------------------------------
@@ -94,17 +99,19 @@ class InterFrameEncoder:
                     .transpose(0, 2, 1, 3).reshape(hh, ww))
 
         # ---------- phase A: dense ME + MC over all CUs -------------------
-        def motion_phase(src_y, ref_y, ref_u, ref_v):
-            yb = to_blocks(src_y, n)
-            grid_r = jnp.arange(ncu, dtype=jnp.int32) // cols
-            grid_c = jnp.arange(ncu, dtype=jnp.int32) % cols
-            py = grid_r * n
-            px = grid_c * n
-            mvx_i, mvy_i, sad = me.full_search_sad(ref_y, yb, px, py, n, R,
-                                                   lambda_bits=2, xp=jnp)
+        grid_r0 = np.arange(ncu, dtype=np.int32) // cols
+        grid_c0 = np.arange(ncu, dtype=np.int32) % cols
+        PX = jnp.asarray(grid_c0 * n)
+        PY = jnp.asarray(grid_r0 * n)
+
+        def search_ref(yb32, ref_y):
+            """Full search + subpel refinement against one reference.
+            Returns quarter-pel (mvx, mvy)."""
+            px, py = PX, PY
+            mvx_i, mvy_i, _ = me.full_search_sad(
+                ref_y, yb32, px, py, n, R, lambda_bits=2, xp=jnp)
             mvx = mvx_i * 4     # quarter-pel units
             mvy = mvy_i * 4
-            yb32 = yb.astype(jnp.int32)
 
             def eval_mv(mx, my):
                 p = interp.mc_luma_qpel(ref_y, px, py, mx, my, n, bd, xp=jnp)
@@ -127,16 +134,68 @@ class InterFrameEncoder:
                         by = jnp.where(better, my, by)
                         cand_best = jnp.minimum(c, cand_best)
                     mvx, mvy, best = bx, by, cand_best
+            return mvx, mvy
 
-            pred_y = interp.mc_luma_qpel(ref_y, px, py, mvx, mvy, n, bd, xp=jnp)
+        def uni_pred(refs, mvx, mvy):
+            ref_y, ref_u, ref_v = refs
+            pred_y = interp.mc_luma_qpel(ref_y, PX, PY, mvx, mvy, n, bd, xp=jnp)
             # chroma: quarter-luma-pel MV = eighth-chroma-pel
-            pxc, pyc = px // 2, py // 2
+            pxc, pyc = PX // 2, PY // 2
             pred_u = interp.mc_chroma_qpel(ref_u, pxc, pyc, mvx, mvy,
                                            nc, bd, xp=jnp)
             pred_v = interp.mc_chroma_qpel(ref_v, pxc, pyc, mvx, mvy,
                                            nc, bd, xp=jnp)
+            return pred_y, pred_u, pred_v
+
+        def motion_phase(src_y, ref_y, ref_u, ref_v):
+            yb32 = to_blocks(src_y, n)
+            mvx, mvy = search_ref(yb32, ref_y)
+            pred_y, pred_u, pred_v = uni_pred((ref_y, ref_u, ref_v), mvx, mvy)
             inter_satd = pixel.satd(yb32, pred_y, xp=jnp)
             return mvx, mvy, pred_y, pred_u, pred_v, inter_satd
+
+        def motion_phase_b(src_y, refs0, refs1):
+            """Two-list ME + uni/uni/bi decision. Bi prediction uses the
+            short-domain pipeline (mc_*_qpel_ps + add_avg) exactly as the
+            decoder will reconstruct it."""
+            yb32 = to_blocks(src_y, n)
+            mv0x, mv0y = search_ref(yb32, refs0[0])
+            mv1x, mv1y = search_ref(yb32, refs1[0])
+            p0 = uni_pred(refs0, mv0x, mv0y)
+            p1 = uni_pred(refs1, mv1x, mv1y)
+            pxc, pyc = PX // 2, PY // 2
+
+            def ps_pred(refs, mvx, mvy):
+                return (interp.mc_luma_qpel_ps(refs[0], PX, PY, mvx, mvy, n,
+                                               bd, xp=jnp),
+                        interp.mc_chroma_qpel_ps(refs[1], pxc, pyc, mvx, mvy,
+                                                 nc, bd, xp=jnp),
+                        interp.mc_chroma_qpel_ps(refs[2], pxc, pyc, mvx, mvy,
+                                                 nc, bd, xp=jnp))
+
+            ps0 = ps_pred(refs0, mv0x, mv0y)
+            ps1 = ps_pred(refs1, mv1x, mv1y)
+            pbi = tuple(interp.add_avg(a, b, bd, xp=jnp)
+                        for a, b in zip(ps0, ps1))
+            s0 = pixel.satd(yb32, p0[0], xp=jnp)
+            s1 = pixel.satd(yb32, p1[0], xp=jnp)
+            sbi = pixel.satd(yb32, pbi[0], xp=jnp)
+            # order [L0, L1, BI]: argmin picks the first minimum, so ties
+            # favor cheaper-to-signal uni-prediction
+            costs = jnp.stack([s0, s1, sbi], axis=1)
+            sel = jnp.argmin(costs, axis=1).astype(jnp.int32)   # 0/1/2
+            pdir = jnp.where(sel == 2, 3, sel + 1)              # 1/2/3
+
+            def pick(a, b, c):
+                s = sel[:, None, None]
+                return jnp.where(s == 0, a, jnp.where(s == 1, b, c))
+
+            pred_y = pick(p0[0], p1[0], pbi[0])
+            pred_u = pick(p0[1], p1[1], pbi[1])
+            pred_v = pick(p0[2], p1[2], pbi[2])
+            inter_satd = jnp.min(costs, axis=1)
+            return (pdir, mv0x, mv0y, mv1x, mv1y,
+                    pred_y, pred_u, pred_v, inter_satd)
 
         # ---------- phase B: wavefront decision + recon -------------------
         def build_v(botrow, rightcol, cu, nn, avail):
@@ -240,7 +299,11 @@ class InterFrameEncoder:
                 return (bry, rcy, bru, rcu_, brv, rcv), ys
             return step
 
-        def encode(y, u, v, ref_y, ref_u, ref_v, qp):
+        def encode(y, u, v, ref_y, ref_u, ref_v, *rest):
+            if cfg.bi:
+                ref1_y, ref1_u, ref1_v, qp = rest
+            else:
+                (qp,) = rest
             qp_sig = qp.astype(jnp.int32)
             # internal quant QP includes the bit-depth offset (Qp' = Qp + 6*(bd-8))
             qp_y = qp_sig + 6 * (bd - 8)
@@ -252,8 +315,15 @@ class InterFrameEncoder:
             refy32 = ref_y.astype(jnp.int32)
             refu32 = ref_u.astype(jnp.int32)
             refv32 = ref_v.astype(jnp.int32)
-            mvx, mvy, pred_y, pred_u, pred_v, inter_satd = motion_phase(
-                y32, refy32, refu32, refv32)
+            if cfg.bi:
+                (pdir, mvx, mvy, mv1x, mv1y, pred_y, pred_u, pred_v,
+                 inter_satd) = motion_phase_b(
+                    y32, (refy32, refu32, refv32),
+                    (ref1_y.astype(jnp.int32), ref1_u.astype(jnp.int32),
+                     ref1_v.astype(jnp.int32)))
+            else:
+                mvx, mvy, pred_y, pred_u, pred_v, inter_satd = motion_phase(
+                    y32, refy32, refu32, refv32)
             # sentinel row for invalid slots
             def padded(a, shape):
                 return jnp.concatenate([a, jnp.zeros((1,) + shape, a.dtype)], 0)
@@ -294,9 +364,14 @@ class InterFrameEncoder:
                 from_blocks(rec_u, nc, H // 2, W // 2).reshape(-1),
                 from_blocks(rec_v, nc, H // 2, W // 2).reshape(-1),
             ]).astype(jnp.uint8)
-            head8 = jnp.concatenate([
-                use_intra, imode.astype(jnp.uint8)]).astype(jnp.uint8)
-            mv16 = jnp.concatenate([mvx.astype(jnp.int16), mvy.astype(jnp.int16)])
+            head_parts = [use_intra, imode.astype(jnp.uint8)]
+            if cfg.bi:
+                head_parts.append(pdir.astype(jnp.uint8))
+            head8 = jnp.concatenate(head_parts).astype(jnp.uint8)
+            mv_parts = [mvx.astype(jnp.int16), mvy.astype(jnp.int16)]
+            if cfg.bi:
+                mv_parts += [mv1x.astype(jnp.int16), mv1y.astype(jnp.int16)]
+            mv16 = jnp.concatenate(mv_parts)
             mv8 = jax.lax.bitcast_convert_type(mv16, jnp.uint8).reshape(-1)
             levels16 = jnp.concatenate([
                 lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)
@@ -319,15 +394,24 @@ class InterFrameEncoder:
         rec_v = buf[o:o + nuv].reshape(H // 2, W // 2); o += nuv
         use_intra = buf[o:o + ncu].reshape(rows, cols).astype(bool); o += ncu
         imode = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
-        mv = buf[o:o + 4 * ncu].view(np.int16); o += 4 * ncu
+        pdir = None
+        if cfg.bi:
+            pdir = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
+        nmv = 8 * ncu if cfg.bi else 4 * ncu
+        mv = buf[o:o + nmv].view(np.int16); o += nmv
         mvx = mv[:ncu].astype(np.int32).reshape(rows, cols)
-        mvy = mv[ncu:].astype(np.int32).reshape(rows, cols)
+        mvy = mv[ncu:2 * ncu].astype(np.int32).reshape(rows, cols)
+        mv1x = mv1y = None
+        if cfg.bi:
+            mv1x = mv[2 * ncu:3 * ncu].astype(np.int32).reshape(rows, cols)
+            mv1y = mv[3 * ncu:4 * ncu].astype(np.int32).reshape(rows, cols)
         lv = buf[o:].view(np.int16)
         sy, sc = ncu * n * n, ncu * nc * nc
         return {
             "use_intra": use_intra,
             "modes": imode,
             "mvx": mvx, "mvy": mvy,
+            "pdir": pdir, "mv1x": mv1x, "mv1y": mv1y,
             "levels_y": lv[:sy].astype(np.int32).reshape(rows, cols, n, n),
             "levels_cb": lv[sy:sy + sc].astype(np.int32).reshape(rows, cols, nc, nc),
             "levels_cr": lv[sy + sc:sy + 2 * sc].astype(np.int32).reshape(rows, cols, nc, nc),

@@ -106,3 +106,60 @@ def mc_chroma_qpel(ref_plane, px_c, py_c, mv_qpel_x, mv_qpel_y, n: int,
                           xp.right_shift(mv_qpel_y, 3),
                           mv_qpel_x & 7, mv_qpel_y & 7,
                           n, False, bit_depth, xp)
+
+
+def mc_block_batch_ps(ref_plane, px, py, mv_int_x, mv_int_y, frac_x, frac_y,
+                      n: int, luma: bool = True, bit_depth: int = 8, xp=np):
+    """MC to the 14-bit "short" intermediate domain (for bi-prediction):
+    horizontal pixel->short stage then vertical short->short (shift 6, no
+    rounding/clipping) — reference interp_*_ps + interp_*_ss semantics."""
+    taps = 8 if luma else 4
+    half = taps // 2 - 1
+    filters = LUMA_FILTERS if luma else CHROMA_FILTERS
+    if xp is not np:
+        filters = xp.asarray(filters)
+    H, W = ref_plane.shape
+    B = px.shape[0]
+    ext = n + taps - 1
+    rows = (py + mv_int_y)[:, None] + (xp.arange(ext) - half)[None, :]
+    cols = (px + mv_int_x)[:, None] + (xp.arange(ext) - half)[None, :]
+    rows = xp.clip(rows, 0, H - 1)
+    cols = xp.clip(cols, 0, W - 1)
+    win = xp.take(ref_plane.reshape(-1),
+                  rows[:, :, None] * W + cols[:, None, :], axis=0).astype(xp.int32)
+    cfx = filters[frac_x]
+    cfy = filters[frac_y]
+    headroom = 14 - bit_depth
+    shift1 = 6 - headroom
+    acc = xp.zeros((B, ext, n), xp.int32)
+    for k in range(taps):
+        acc = acc + cfx[:, k, None, None] * win[:, :, k:k + n]
+    if shift1 >= 0:
+        mid = xp.right_shift(acc - (IF_INTERNAL_OFFS << shift1), shift1)
+    else:
+        mid = xp.left_shift(acc, -shift1) - IF_INTERNAL_OFFS
+    acc2 = xp.zeros((B, n, n), xp.int32)
+    for k in range(taps):
+        acc2 = acc2 + cfy[:, k, None, None] * mid[:, k:k + n, :]
+    return xp.right_shift(acc2, 6)      # ss-domain output (no offset/clip)
+
+
+def add_avg(ps0, ps1, bit_depth: int = 8, xp=np):
+    """Default bi-prediction combine (reference addAvg): clip-rounded mean of
+    two short-domain predictions."""
+    shift = 15 - bit_depth
+    offset = (1 << (shift - 1)) + 2 * IF_INTERNAL_OFFS
+    return xp.clip(xp.right_shift(ps0 + ps1 + offset, shift), 0,
+                   (1 << bit_depth) - 1)
+
+
+def mc_luma_qpel_ps(ref_plane, px, py, mvq_x, mvq_y, n, bit_depth=8, xp=np):
+    return mc_block_batch_ps(ref_plane, px, py, xp.right_shift(mvq_x, 2),
+                             xp.right_shift(mvq_y, 2), mvq_x & 3, mvq_y & 3,
+                             n, True, bit_depth, xp)
+
+
+def mc_chroma_qpel_ps(ref_plane, px_c, py_c, mvq_x, mvq_y, n, bit_depth=8, xp=np):
+    return mc_block_batch_ps(ref_plane, px_c, py_c, xp.right_shift(mvq_x, 3),
+                             xp.right_shift(mvq_y, 3), mvq_x & 7, mvq_y & 7,
+                             n, False, bit_depth, xp)
