@@ -398,6 +398,18 @@ def merge_candidates_b(grid, r, c, max_cands) -> List[BMotion]:
             (a1 is None or b2.key() != a1.key()) and \
             (b1 is None or b2.key() != b1.key()):
         cands.append(b2)
+    # combined bi-predictive candidates (spec 8.5.3.2.3): ordered index pairs
+    # in priority order, L0 motion of one spatial candidate + L1 of another.
+    # Our L0/L1 reference pictures always differ (different POCs), so the
+    # "different picture or different MV" condition is always met. Not pruned.
+    n_orig = len(cands)
+    PAIRS = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
+             (0, 3), (3, 0), (1, 3), (3, 1), (2, 3), (3, 2))
+    for i, j in PAIRS[:n_orig * (n_orig - 1)]:
+        if len(cands) >= max_cands:
+            break
+        if (cands[i].dir & 1) and (cands[j].dir & 2):
+            cands.append(BMotion(3, cands[i].mv0, cands[j].mv1))
     while len(cands) < max_cands:
         cands.append(BMotion(3, (0, 0), (0, 0)))   # bi zero fill (B slice)
     return cands[:max_cands]
@@ -457,36 +469,40 @@ def amvp_candidates_b(grid, r, c, lx: int, poc_cur: int, poc_l0: int,
                 return _scale_mv(mv_of(m, which), tb, td)
         return None
 
+    # Left slot: no-scale then scaled from A1 (A0 is undecoded in raster
+    # order). If neither exists, the above no-scale candidate takes the first
+    # slot and a SECOND, independently scaled above candidate fills slot two
+    # (spec: when isScaledFlagLX == 0, mvpLXA := mvpLXB and the B candidate
+    # is re-derived with scaling; reference getPMV's bAddedSmvp gate).
     a1 = nb(r, c - 1)
     cand_a = None
     if a1 is not None:
         cand_a = noscale(a1)
         if cand_a is None:
             cand_a = scaled(a1)
-    left_available = a1 is not None     # isScaledFlag (A1 present & inter)
+    left_added = cand_a is not None
 
-    cand_b = None
-    for rr, cc in ((r - 1, c + 1), (r - 1, c), (r - 1, c - 1)):
+    ABOVE = ((r - 1, c + 1), (r - 1, c), (r - 1, c - 1))   # B0, B1, B2
+    out = []
+    if left_added:
+        out.append(cand_a)
+    for rr, cc in ABOVE:                 # direct (no-scale) above candidate
         m = nb(rr, cc)
         if m is not None:
             v = noscale(m)
             if v is not None:
-                cand_b = v
+                out.append(v)
                 break
-    if cand_b is None and not left_available:
-        for rr, cc in ((r - 1, c + 1), (r - 1, c), (r - 1, c - 1)):
+    if not left_added and len(out) < 2:  # indirect (scaled) above candidate
+        for rr, cc in ABOVE:
             m = nb(rr, cc)
             if m is not None:
                 v = scaled(m)
                 if v is not None:
-                    cand_b = v
+                    out.append(v)
                     break
-
-    out = []
-    if cand_a is not None:
-        out.append(cand_a)
-    if cand_b is not None and cand_b != cand_a:
-        out.append(cand_b)
+    if len(out) == 2 and out[0] == out[1]:
+        out.pop()
     while len(out) < 2:
         out.append((0, 0))
     return out[:2]

@@ -44,7 +44,7 @@ def main(argv=None):
     ap.add_argument("--bitrate", type=int, default=None, help="ABR bitrate (kbps)")
     ap.add_argument("--lossless", action="store_true")
     ap.add_argument("--sao", action="store_true", help="enable SAO (intra)")
-    ap.add_argument("--deblock", action="store_true", help="enable deblocking (intra)")
+    ap.add_argument("--deblock", action="store_true", help="enable deblocking")
     ap.add_argument("--aq-mode", type=int, default=0, choices=[0, 2])
     ap.add_argument("--aq-strength", type=float, default=1.0)
     ap.add_argument("--slices", type=int, default=1,
@@ -98,7 +98,8 @@ def main(argv=None):
                                    bitrate_kbps=args.bitrate or 0,
                                    stats_write=args.stats if args.rc_pass == 1 else None,
                                    stats_read=args.stats if args.rc_pass == 2 else None,
-                                   bframes=args.bframes)
+                                   bframes=args.bframes,
+                                   deblock=args.deblock)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         sess = IntraEncoderSession(info.width, info.height, qp=args.qp,

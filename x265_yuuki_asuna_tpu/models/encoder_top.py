@@ -390,11 +390,13 @@ class VideoEncoderSession:
                  search_range: int = 16, hash_sei: bool = True,
                  max_merge: int = 3, rc_mode: str = "cqp", crf: float = 28.0,
                  bitrate_kbps: int = 0, stats_write: str = None,
-                 stats_read: str = None, bframes: int = 0):
+                 stats_read: str = None, bframes: int = 0,
+                 deblock: bool = False):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
-                                              hash_sei=False, deblock=False)
+                                              hash_sei=False, deblock=deblock)
+        self.deblock = deblock
         # share geometry/headers with the intra session but fix DPB size
         self.intra_sess.sps.max_dec_pic_buffering = 2
         self.src_w, self.src_h = width, height
@@ -453,6 +455,7 @@ class VideoEncoderSession:
         vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
         if is_idr:
             out = self.intra_sess.frame_encoder.encode_frame(yp, up, vp, qp=qp)
+            self._deblock_frame(out, qp, is_idr=True)
             nals = self.intra_sess._assemble_slice(out, qp=qp)
             self.poc = 0
             self.frame_idx = 0   # scenecut restarts the GOP
@@ -461,6 +464,7 @@ class VideoEncoderSession:
                 yp, up, vp, self.ref[0], self.ref[1], self.ref[2], qp=qp)
             self.poc += 1
             nals = self._assemble_p_slice(out, qp)
+            self._deblock_frame(out, qp, is_idr=False)
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
@@ -477,6 +481,37 @@ class VideoEncoderSession:
                  out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8))
         return FrameResult(nals=nals, recon=recon, bits=len(nals) * 8,
                            psnr_y=psnr)
+
+    # ------------------------------------------------------------------
+    def _deblock_frame(self, out: dict, qp: int, is_idr: bool):
+        """Apply the in-loop deblocking filter to the frame's recon (this is
+        normative: the decoder does the same, and the filtered picture is the
+        reference for subsequent frames)."""
+        if not self.deblock:
+            return
+        if is_idr:
+            dy, du, dv = DB.deblock_frame_uniform(
+                out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
+                qp, chroma_qp_from_luma(qp))
+        else:
+            cbf = out["levels_y"].any(axis=(2, 3))
+            pdir = out.get("pdir")
+            mvx, mvy = out["mvx"], out["mvy"]
+            mv1x = mv1y = None
+            if pdir is not None:
+                m0 = (pdir & 1).astype(bool)
+                m1 = (pdir & 2).astype(bool)
+                mvx = np.where(m0, mvx, 0)
+                mvy = np.where(m0, mvy, 0)
+                mv1x = np.where(m1, out["mv1x"], 0)
+                mv1y = np.where(m1, out["mv1y"], 0)
+            bs_v, bs_h = DB.compute_bs_uniform(
+                out["use_intra"], cbf, pdir, mvx, mvy, mv1x, mv1y)
+            dy, du, dv = DB.deblock_frame_inter(
+                out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
+                qp, chroma_qp_from_luma(qp), bs_v, bs_h)
+        out["recon_y"], out["recon_u"], out["recon_v"] = (
+            np.asarray(dy), np.asarray(du), np.asarray(dv))
 
     # ------------------------------------------------------------------
     # B-frame pipeline (bframes > 0): push display-order frames, receive
@@ -544,6 +579,7 @@ class VideoEncoderSession:
         qp = self.rc.frame_qp(idr)
         if idr:
             out = self.intra_sess.frame_encoder.encode_frame(yp, up, vp, qp=qp)
+            self._deblock_frame(out, qp, is_idr=True)
             nals = self.intra_sess._assemble_slice(out, qp=qp)
             poc = 0
         else:
@@ -551,6 +587,7 @@ class VideoEncoderSession:
                 yp, up, vp, self.anchor[0][0], self.anchor[0][1],
                 self.anchor[0][2], qp=qp)
             nals = self._assemble_p_slice(out, qp, poc=poc, ref_delta=ref_delta)
+            self._deblock_frame(out, qp, is_idr=False)
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         self.anchor = ((out["recon_y"], out["recon_u"], out["recon_v"]), poc)
@@ -564,6 +601,7 @@ class VideoEncoderSession:
             yp, up, vp, ref0[0], ref0[1], ref0[2], qp=qp,
             ref1_y=ref1[0], ref1_u=ref1[1], ref1_v=ref1[2])
         nals = self._assemble_b_slice(out, qp, poc, poc0, poc1)
+        self._deblock_frame(out, qp, is_idr=False)
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         self.rc.frame_done(qp, len(nals) * 8)

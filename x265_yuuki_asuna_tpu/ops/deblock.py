@@ -45,11 +45,22 @@ def _filter_vertical_edges(plane, edge_cols, beta, tc, maxv, xp):
 
     Layout: for an edge at x0, p_i = plane[:, x0-1-i], q_i = plane[:, x0+i].
     Decisions are made per 4-row segment from rows 0 and 3 (spec 8.7.2.5.3).
+
+    `tc` may be a scalar (uniform BS) or an [H/4, E] per-segment array
+    (inter frames: BS varies per block pair; tc == 0 disables a segment).
     """
-    if not edge_cols or tc == 0:
+    if not edge_cols:
+        return plane
+    tc_is_arr = not np.isscalar(tc)
+    if not tc_is_arr and tc == 0:
         return plane
     H = plane.shape[0]
     E = len(edge_cols)
+    if tc_is_arr:
+        tc_seg = tc                                    # [H/4, E]
+        tc = xp.repeat(tc_seg, 4, axis=0)              # [H, E] row-broadcast
+    else:
+        tc_seg = tc
     x0 = np.asarray(edge_cols, dtype=np.int32)          # [E]
     # gather p3..p0, q0..q3: [H, E]
     cols_p = x0[None, :] - 1 - np.arange(4)[:, None]    # [4, E] p0..p3 cols
@@ -84,7 +95,7 @@ def _filter_vertical_edges(plane, edge_cols, beta, tc, maxv, xp):
     def strong_line(i, dpq):
         return ((2 * dpq < (beta >> 2)) &
                 (sdist[:, i] < (beta >> 3)) &
-                (pq[:, i] < ((5 * tc + 1) >> 1)))
+                (pq[:, i] < ((5 * tc_seg + 1) >> 1)))
     strong = strong_line(0, dpq0) & strong_line(3, dpq3)   # [H/4, E]
 
     # broadcast segment decisions to rows
@@ -147,9 +158,10 @@ def _filter_vertical_edges(plane, edge_cols, beta, tc, maxv, xp):
     return out
 
 
-def _filter_vertical_edges_chroma(plane, edge_cols, tc, maxv, xp):
-    """Chroma deblock (BS==2 edges only): 1 pixel each side (spec 8.7.2.5.5)."""
-    if not edge_cols or tc == 0:
+def _filter_vertical_edges_chroma(plane, edge_cols, tc, maxv, xp, mask=None):
+    """Chroma deblock (BS==2 edges only): 1 pixel each side (spec 8.7.2.5.5).
+    mask: optional [Hc, E] bool — rows where the edge has BS==2."""
+    if not edge_cols or (np.isscalar(tc) and tc == 0):
         return plane
     x0 = np.asarray(edge_cols, dtype=np.int32)
     cols_p = x0[None, :] - 1 - np.arange(2)[:, None]
@@ -163,6 +175,9 @@ def _filter_vertical_edges_chroma(plane, edge_cols, tc, maxv, xp):
     delta = xp.clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tc, tc)
     np0 = xp.clip(p0 + delta, 0, maxv)
     nq0 = xp.clip(q0 - delta, 0, maxv)
+    if mask is not None:
+        np0 = xp.where(mask, np0, p0)
+        nq0 = xp.where(mask, nq0, q0)
     if xp is np:
         out = plane.copy()
         out[:, cols_p[0]] = np0
@@ -207,4 +222,109 @@ def deblock_frame_uniform(recon_y, recon_u, recon_v, cu_size: int, qp_y: int,
     v = _filter_vertical_edges_chroma(v, vcols_c, tc_c, maxv, xp)
     v = xp.swapaxes(
         _filter_vertical_edges_chroma(xp.swapaxes(v, 0, 1), hrows_c, tc_c, maxv, xp), 0, 1)
+    return y, u, v
+
+
+# ---------------------------------------------------------------------------
+# Inter-frame deblocking: per-edge boundary strength (spec 8.7.2.4).
+# Uniform CU grid (CU == PU == TU), so the only filtered edges are CU
+# boundaries and every 4-sample segment along one edge shares the BS of
+# its block pair.
+# ---------------------------------------------------------------------------
+
+def compute_bs_uniform(is_intra, cbf, pdir, mv0x, mv0y, mv1x=None, mv1y=None):
+    """Boundary strengths for the uniform grid.
+
+    is_intra/cbf: [rows, cols] bool; pdir: [rows, cols] int (1/2/3, or None
+    for a P frame = all L0); mv*: quarter-pel MVs, unused lists zeroed.
+    Returns (bs_v [rows, cols-1], bs_h [rows-1, cols]) int arrays.
+    """
+    is_intra = np.asarray(is_intra, bool)
+    cbf = np.asarray(cbf, bool)
+    if pdir is None:
+        pdir = np.ones(is_intra.shape, np.int32)
+    if mv1x is None:
+        mv1x = np.zeros_like(mv0x)
+        mv1y = np.zeros_like(mv0y)
+
+    def pair(a, b):
+        """BS between block tuples a=(ia,ca,da,x0,y0,x1,y1) and b."""
+        ia, ca, da, ax0, ay0, ax1, ay1 = a
+        ib, cb, db, bx0, by0, bx1, by1 = b
+        intra = ia | ib
+        coded = ca | cb
+        # different prediction direction counts as different refs/mv count;
+        # equal dirs compare per-list MVs (unused lists are zeroed on both
+        # sides, so they never trigger)
+        mis = ((da != db) |
+               (np.abs(ax0 - bx0) >= 4) | (np.abs(ay0 - by0) >= 4) |
+               (np.abs(ax1 - bx1) >= 4) | (np.abs(ay1 - by1) >= 4))
+        return np.where(intra, 2, np.where(coded | mis, 1, 0))
+
+    def blocks(sl):
+        return (is_intra[sl], cbf[sl], pdir[sl], mv0x[sl], mv0y[sl],
+                mv1x[sl], mv1y[sl])
+
+    bs_v = pair(blocks(np.s_[:, :-1]), blocks(np.s_[:, 1:]))
+    bs_h = pair(blocks(np.s_[:-1, :]), blocks(np.s_[1:, :]))
+    return bs_v, bs_h
+
+
+def _tc_seg_from_bs(bs_seg, qp, tc_offset, shift):
+    """Per-segment tc from BS (0 disables the segment)."""
+    idx = np.clip(qp + DEFAULT_INTRA_TC_OFFSET * (bs_seg - 1) + tc_offset, 0, 53)
+    return np.where(bs_seg > 0, TC_TABLE[idx] << shift, 0).astype(np.int32)
+
+
+def deblock_frame_inter(recon_y, recon_u, recon_v, cu_size: int, qp_y: int,
+                        qp_c: int, bs_v, bs_h, bit_depth: int = 8,
+                        beta_offset: int = 0, tc_offset: int = 0, xp=np):
+    """Deblock an inter frame on the uniform grid with per-edge BS.
+
+    bs_v: [rows, cols-1] vertical-edge strengths; bs_h: [rows-1, cols].
+    Chroma is filtered only on BS==2 segments (spec 8.7.2.5.5)."""
+    H, W = recon_y.shape
+    n = cu_size
+    nc = n // 2
+    maxv = (1 << bit_depth) - 1
+    shift = bit_depth - 8
+    beta = int(BETA_TABLE[int(np.clip(qp_y + beta_offset, 0, 51))]) << shift
+
+    y = recon_y.astype(xp.int32)
+    u = recon_u.astype(xp.int32)
+    v = recon_v.astype(xp.int32)
+
+    vcols = list(range(n, W, n))
+    hrows = list(range(n, H, n))
+    vcols_c = list(range(nc, W // 2, nc))
+    hrows_c = list(range(nc, H // 2, nc))
+
+    # vertical edges: per-segment tc [H/4, cols-1]
+    tc_v = np.repeat(_tc_seg_from_bs(bs_v, qp_y, tc_offset, shift),
+                     n // 4, axis=0)
+    tc_h = np.repeat(_tc_seg_from_bs(bs_h, qp_y, tc_offset, shift).T,
+                     n // 4, axis=0)          # transposed pass: [W/4, rows-1]
+    if xp is not np:
+        tc_v, tc_h = xp.asarray(tc_v), xp.asarray(tc_h)
+    y = _filter_vertical_edges(y, vcols, beta, tc_v, maxv, xp)
+    y = xp.swapaxes(
+        _filter_vertical_edges(xp.swapaxes(y, 0, 1), hrows, beta, tc_h,
+                               maxv, xp), 0, 1)
+
+    tc_c = int(TC_TABLE[int(np.clip(qp_c + DEFAULT_INTRA_TC_OFFSET
+                                    + tc_offset, 0, 53))]) << shift
+    mask_v = np.repeat(bs_v == 2, nc, axis=0)            # [Hc, cols-1]
+    mask_h = np.repeat((bs_h == 2).T, nc, axis=0)        # [Wc, rows-1]
+    if xp is not np:
+        mask_v, mask_h = xp.asarray(mask_v), xp.asarray(mask_h)
+    for pl in ("u", "v"):
+        p = u if pl == "u" else v
+        p = _filter_vertical_edges_chroma(p, vcols_c, tc_c, maxv, xp, mask_v)
+        p = xp.swapaxes(
+            _filter_vertical_edges_chroma(xp.swapaxes(p, 0, 1), hrows_c, tc_c,
+                                          maxv, xp, mask_h), 0, 1)
+        if pl == "u":
+            u = p
+        else:
+            v = p
     return y, u, v
