@@ -99,7 +99,7 @@ def main(argv=None):
                                    stats_write=args.stats if args.rc_pass == 1 else None,
                                    stats_read=args.stats if args.rc_pass == 2 else None,
                                    bframes=args.bframes,
-                                   deblock=args.deblock)
+                                   deblock=args.deblock, sao=args.sao)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         sess = IntraEncoderSession(info.width, info.height, qp=args.qp,

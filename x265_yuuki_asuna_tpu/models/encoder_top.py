@@ -391,12 +391,14 @@ class VideoEncoderSession:
                  max_merge: int = 3, rc_mode: str = "cqp", crf: float = 28.0,
                  bitrate_kbps: int = 0, stats_write: str = None,
                  stats_read: str = None, bframes: int = 0,
-                 deblock: bool = False):
+                 deblock: bool = False, sao: bool = False):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
-                                              hash_sei=False, deblock=deblock)
+                                              hash_sei=False, deblock=deblock,
+                                              sao=sao)
         self.deblock = deblock
+        self.sao = sao
         # share geometry/headers with the intra session but fix DPB size
         self.intra_sess.sps.max_dec_pic_buffering = 2
         self.src_w, self.src_h = width, height
@@ -456,15 +458,18 @@ class VideoEncoderSession:
         if is_idr:
             out = self.intra_sess.frame_encoder.encode_frame(yp, up, vp, qp=qp)
             self._deblock_frame(out, qp, is_idr=True)
-            nals = self.intra_sess._assemble_slice(out, qp=qp)
+            sao_params = self._sao_frame(out, yp, up, vp)
+            nals = self.intra_sess._assemble_slice(out, qp=qp,
+                                                   sao_params=sao_params)
             self.poc = 0
             self.frame_idx = 0   # scenecut restarts the GOP
         else:
             out = self.inter_encoder.encode_frame(
                 yp, up, vp, self.ref[0], self.ref[1], self.ref[2], qp=qp)
             self.poc += 1
-            nals = self._assemble_p_slice(out, qp)
             self._deblock_frame(out, qp, is_idr=False)
+            sao_params = self._sao_frame(out, yp, up, vp)
+            nals = self._assemble_p_slice(out, qp, sao_params=sao_params)
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
@@ -481,6 +486,14 @@ class VideoEncoderSession:
                  out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8))
         return FrameResult(nals=nals, recon=recon, bits=len(nals) * 8,
                            psnr_y=psnr)
+
+    # ------------------------------------------------------------------
+    def _sao_frame(self, out: dict, yp, up, vp):
+        """SAO decision + decoder-exact application on the (deblocked)
+        recon; returns per-CTU params for the slice syntax, or None."""
+        if not self.sao:
+            return None
+        return self.intra_sess._sao_decide(out, yp, up, vp)
 
     # ------------------------------------------------------------------
     def _deblock_frame(self, out: dict, qp: int, is_idr: bool):
@@ -580,14 +593,19 @@ class VideoEncoderSession:
         if idr:
             out = self.intra_sess.frame_encoder.encode_frame(yp, up, vp, qp=qp)
             self._deblock_frame(out, qp, is_idr=True)
-            nals = self.intra_sess._assemble_slice(out, qp=qp)
+            sao_params = self._sao_frame(out, yp, up, vp)
+            nals = self.intra_sess._assemble_slice(out, qp=qp,
+                                                   sao_params=sao_params)
             poc = 0
         else:
             out = self.inter_encoder.encode_frame(
                 yp, up, vp, self.anchor[0][0], self.anchor[0][1],
                 self.anchor[0][2], qp=qp)
-            nals = self._assemble_p_slice(out, qp, poc=poc, ref_delta=ref_delta)
             self._deblock_frame(out, qp, is_idr=False)
+            sao_params = self._sao_frame(out, yp, up, vp)
+            nals = self._assemble_p_slice(out, qp, poc=poc,
+                                          ref_delta=ref_delta,
+                                          sao_params=sao_params)
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         self.anchor = ((out["recon_y"], out["recon_u"], out["recon_v"]), poc)
@@ -600,15 +618,17 @@ class VideoEncoderSession:
         out = self.bi_encoder.encode_frame(
             yp, up, vp, ref0[0], ref0[1], ref0[2], qp=qp,
             ref1_y=ref1[0], ref1_u=ref1[1], ref1_v=ref1[2])
-        nals = self._assemble_b_slice(out, qp, poc, poc0, poc1)
         self._deblock_frame(out, qp, is_idr=False)
+        sao_params = self._sao_frame(out, yp, up, vp)
+        nals = self._assemble_b_slice(out, qp, poc, poc0, poc1,
+                                      sao_params=sao_params)
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         self.rc.frame_done(qp, len(nals) * 8)
         return self._result(out, nals, qp, poc, src_y=y)
 
     def _assemble_b_slice(self, out: dict, qp: int, poc: int, poc0: int,
-                          poc1: int) -> bytes:
+                          poc1: int, sao_params=None) -> bytes:
         from ..bitstream import inter_syntax as IS
         from ..bitstream.bitio import NAL_TRAIL_N
         sess = self.intra_sess
@@ -617,13 +637,21 @@ class VideoEncoderSession:
                                     slice_qp=qp, nal_type=NAL_TRAIL_N,
                                     poc=poc, max_merge=self.max_merge,
                                     ref_poc_delta=poc - poc0,
-                                    pos_poc_delta=poc1 - poc)
+                                    pos_poc_delta=poc1 - poc,
+                                    sao_luma=1 if sao_params else 0,
+                                    sao_chroma=1 if sao_params else 0)
         enc = CabacEncoder()
         enc.init_contexts(0, qp)        # B-slice context init row
         grid = [[None] * self.cols for _ in range(self.rows)]
         last = self.rows * self.cols - 1
         for r in range(self.rows):
             for c in range(self.cols):
+                if sao_params is not None:
+                    CS.encode_sao_ctu(
+                        enc, sao_params[r][c],
+                        sao_params[r][c - 1] if c > 0 else None,
+                        sao_params[r - 1][c] if r > 0 else None,
+                        True, True, sess.bit_depth)
                 d = self._decide_cu_b(out, grid, r, c, poc, poc0, poc1)
                 IS.encode_b_ctu(enc, d, grid, r, c, log2cu, self.max_merge)
                 enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
@@ -669,7 +697,7 @@ class VideoEncoderSession:
         return d
 
     def _assemble_p_slice(self, out: dict, qp: int = None, poc: int = None,
-                          ref_delta: int = 1) -> bytes:
+                          ref_delta: int = 1, sao_params=None) -> bytes:
         from ..bitstream import inter_syntax as IS
         from ..bitstream.bitio import NAL_TRAIL_R
         qp = self.qp if qp is None else qp
@@ -679,8 +707,10 @@ class VideoEncoderSession:
                                     slice_qp=qp, nal_type=NAL_TRAIL_R,
                                     poc=self.poc if poc is None else poc,
                                     ref_poc_delta=ref_delta,
-                                    max_merge=self.max_merge)
-        res = native.encode_p_slice(
+                                    max_merge=self.max_merge,
+                                    sao_luma=1 if sao_params else 0,
+                                    sao_chroma=1 if sao_params else 0)
+        res = None if sao_params is not None else native.encode_p_slice(
             out["use_intra"], out["modes"], out["mvx"], out["mvy"],
             out["levels_y"], out["levels_cb"], out["levels_cr"],
             log2cu, qp, self.max_merge)
@@ -693,6 +723,12 @@ class VideoEncoderSession:
             last = self.rows * self.cols - 1
             for r in range(self.rows):
                 for c in range(self.cols):
+                    if sao_params is not None:
+                        CS.encode_sao_ctu(
+                            enc, sao_params[r][c],
+                            sao_params[r][c - 1] if c > 0 else None,
+                            sao_params[r - 1][c] if r > 0 else None,
+                            True, True, sess.bit_depth)
                     d = self._decide_cu(out, grid, r, c)
                     IS.encode_inter_ctu(enc, d, grid, r, c, log2cu, self.max_merge)
                     enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
