@@ -95,3 +95,40 @@ def test_two_pass_improves_target_accuracy(tmp_path):
     b2 = sum(s2.encode_frame(*f).bits for f in frames)
     target = 150 * 1000 / 25 * 10
     assert abs(b2 - target) < abs(b1 - target)
+
+
+def test_vbv_constrains_bitstream():
+    """CRF + VBV: the decoder-buffer simulation over actual frame sizes must
+    never underflow (reference VBV invariant). Compare against an
+    unconstrained CRF run to confirm the cap actually binds."""
+    import numpy as np
+    from x265_yuuki_asuna_tpu.models.encoder_top import VideoEncoderSession
+
+    rng = np.random.default_rng(7)
+    W, H, N = 64, 48, 12
+    frames = []
+    base = rng.integers(0, 256, (H + 32, W + 32)).astype(np.uint8)
+    for i in range(N):
+        y = base[i:i + H, 2 * i:2 * i + W].copy()
+        u = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+        v = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+        frames.append((y, u, v))
+
+    def run(**kw):
+        s = VideoEncoderSession(W, H, qp=30, cu_size=16, keyint=6,
+                                hash_sei=False, rc_mode="crf", crf=20.0, **kw)
+        return [s.encode_frame(*f).bits for f in frames]
+
+    maxrate, bufsize = 120, 60           # kbit/s, kbit — tight for this clip
+    bits_vbv = run(vbv_maxrate_kbps=maxrate, vbv_bufsize_kbps=bufsize)
+    bits_free = run()
+
+    # decoder buffer simulation at 25 fps
+    fill = bufsize * 1000 * 0.9
+    rate = maxrate * 1000 / 25.0
+    worst = fill
+    for b in bits_vbv[1:]:   # first I frame fills from init credit
+        fill = min(fill - b + rate, bufsize * 1000)
+        worst = min(worst, fill)
+    assert worst > -rate, f"VBV underflow: worst fill {worst}"
+    assert sum(bits_vbv) < sum(bits_free), "VBV cap did not bind"

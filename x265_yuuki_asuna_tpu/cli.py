@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("--merange", type=int, default=16, help="ME search range")
     ap.add_argument("--bframes", type=int, default=0,
                     help="max consecutive B frames (mini-GOP size - 1)")
+    ap.add_argument("--vbv-maxrate", type=int, default=0,
+                    help="VBV max rate (kbit/s)")
+    ap.add_argument("--vbv-bufsize", type=int, default=0,
+                    help="VBV buffer size (kbit)")
     ap.add_argument("--crf", type=float, default=None, help="CRF rate control")
     ap.add_argument("--bitrate", type=int, default=None, help="ABR bitrate (kbps)")
     ap.add_argument("--lossless", action="store_true")
@@ -85,7 +89,7 @@ def main(argv=None):
 
     rc_mode = "crf" if args.crf is not None else (
         "abr" if args.bitrate else "cqp")
-    if args.keyint > 1 or rc_mode != "cqp" or args.bframes:
+    if args.keyint > 1 or rc_mode != "cqp" or args.bframes or args.vbv_maxrate:
         from .models.encoder_top import VideoEncoderSession
         sess = VideoEncoderSession(info.width, info.height, qp=args.qp,
                                    cu_size=args.ctu,
@@ -99,7 +103,9 @@ def main(argv=None):
                                    stats_write=args.stats if args.rc_pass == 1 else None,
                                    stats_read=args.stats if args.rc_pass == 2 else None,
                                    bframes=args.bframes,
-                                   deblock=args.deblock, sao=args.sao)
+                                   deblock=args.deblock, sao=args.sao,
+                                   vbv_maxrate_kbps=args.vbv_maxrate,
+                                   vbv_bufsize_kbps=args.vbv_bufsize)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         sess = IntraEncoderSession(info.width, info.height, qp=args.qp,

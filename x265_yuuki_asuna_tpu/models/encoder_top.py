@@ -391,7 +391,8 @@ class VideoEncoderSession:
                  max_merge: int = 3, rc_mode: str = "cqp", crf: float = 28.0,
                  bitrate_kbps: int = 0, stats_write: str = None,
                  stats_read: str = None, bframes: int = 0,
-                 deblock: bool = False, sao: bool = False):
+                 deblock: bool = False, sao: bool = False,
+                 vbv_maxrate_kbps: int = 0, vbv_bufsize_kbps: int = 0):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
@@ -418,7 +419,9 @@ class VideoEncoderSession:
         self.ref = None   # (y, u, v) padded recon planes
         self.rc = RateControl(RCConfig(
             mode=rc_mode, qp=qp, crf=crf, bitrate_kbps=bitrate_kbps,
-            fps=fps[0] / max(fps[1], 1), width=width, height=height))
+            fps=fps[0] / max(fps[1], 1), width=width, height=height,
+            vbv_maxrate_kbps=vbv_maxrate_kbps,
+            vbv_bufsize_kbps=vbv_bufsize_kbps))
         from .lookahead import Lookahead
         self.lookahead = Lookahead(self.coded_w, self.coded_h)
         self.scenecut_enabled = True

@@ -36,6 +36,9 @@ class RCConfig:
     ip_factor: float = 1.4
     qp_min: int = 4
     qp_max: int = 51
+    vbv_maxrate_kbps: int = 0    # 0 = VBV off
+    vbv_bufsize_kbps: int = 0    # decoder buffer size (kbit)
+    vbv_init: float = 0.9        # initial buffer fullness fraction
 
 
 class RateControl:
@@ -59,6 +62,13 @@ class RateControl:
             base_cplx = (cfg.width * cfg.height) / 256.0 * 120.0
             self.rate_factor = (base_cplx ** (1 - cfg.q_compress)) / \
                 QP_TO_QSCALE(cfg.crf)
+        # ---- VBV decoder-buffer model (reference ratecontrol.cpp VBV:
+        # bufferFill -= frame bits; += bufferRate; clip to bufferSize) ------
+        self.vbv = cfg.vbv_maxrate_kbps > 0 and cfg.vbv_bufsize_kbps > 0
+        if self.vbv:
+            self.buffer_size = cfg.vbv_bufsize_kbps * 1000.0
+            self.buffer_rate = cfg.vbv_maxrate_kbps * 1000.0 / cfg.fps
+            self.buffer_fill = self.buffer_size * cfg.vbv_init
 
     # ------------------------------------------------------------------
     def frame_qp(self, is_intra: bool, lookahead_cost: float = None) -> int:
@@ -91,7 +101,36 @@ class RateControl:
             qp = qscale_to_qp(qscale)
         if is_intra and cfg.mode != "cqp":
             qp -= 6.0 * math.log2(cfg.ip_factor)
+        if self.vbv:
+            qp = self._clip_qp_vbv(qp, is_intra)
         return int(round(min(max(qp, cfg.qp_min), cfg.qp_max)))
+
+    # ------------------------------------------------------------------
+    def _clip_qp_vbv(self, qp: float, is_intra: bool) -> float:
+        """Frame-level VBV clip: predict this frame's bits from the
+        complexity model and raise/lower QP so the decoder buffer neither
+        underflows nor overflows (reference clipQscale, frame-level part)."""
+        cfg = self.cfg
+        if self.short_term_count > 0:
+            cplx = self.short_term_cplx / self.short_term_count
+        else:
+            cplx = (cfg.width * cfg.height) / 256.0 * (400.0 if is_intra
+                                                       else 120.0)
+        if is_intra:
+            cplx *= cfg.ip_factor * 2.0   # I-frames spend well above average
+        qscale = QP_TO_QSCALE(qp)
+        bits_pred = cplx / qscale
+        # underflow guard: after removing this frame and adding one interval,
+        # keep at least half an interval of margin in the buffer
+        max_bits = self.buffer_fill + self.buffer_rate * 0.5
+        if bits_pred > max_bits and max_bits > 0:
+            qscale = cplx / max_bits
+        # overflow guard: the buffer must absorb the incoming interval; if
+        # even a big frame leaves it saturated, spend more bits (lower qp)
+        min_bits = self.buffer_fill + self.buffer_rate - self.buffer_size
+        if min_bits > 0 and bits_pred < min_bits:
+            qscale = cplx / min_bits
+        return qscale_to_qp(qscale)
 
     # ------------------------------------------------------------------
     def frame_done(self, qp_used: int, bits: int):
@@ -103,6 +142,11 @@ class RateControl:
         self.short_term_count = self.short_term_count * 0.6 + 1
         self.total_bits += bits
         self.frame += 1
+        if self.vbv:
+            self.buffer_fill -= bits
+            self.buffer_fill = max(self.buffer_fill, 0.0)   # underflow clamp
+            self.buffer_fill = min(self.buffer_fill + self.buffer_rate,
+                                   self.buffer_size)
         if self.cfg.mode == "abr" and self.frame >= 2:
             # renormalize rate factor toward hitting the target with the
             # observed complexity (slow adaptation)
