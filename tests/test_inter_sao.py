@@ -52,3 +52,10 @@ def test_b_slice_sao_deblock_conformance():
                                hash_sei=False, sao=True, deblock=True,
                                bframes=1)
     _check(sess, _moving_scene(64, 48, 5, seed=2), use_push=True)
+
+
+def test_rdoq_stream_conformance():
+    """RDOQ is encoder-side only: any level map must stay decodable."""
+    sess = VideoEncoderSession(64, 48, qp=32, cu_size=16, keyint=100,
+                               hash_sei=False, deblock=True, rdoq=True)
+    _check(sess, _moving_scene(64, 48, 3, seed=3), use_push=False)

@@ -40,6 +40,8 @@ def main(argv=None):
     ap.add_argument("--merange", type=int, default=16, help="ME search range")
     ap.add_argument("--bframes", type=int, default=0,
                     help="max consecutive B frames (mini-GOP size - 1)")
+    ap.add_argument("--rdoq-level", type=int, default=0, choices=(0, 1),
+                    help="rate-distortion optimized quantization")
     ap.add_argument("--vbv-maxrate", type=int, default=0,
                     help="VBV max rate (kbit/s)")
     ap.add_argument("--vbv-bufsize", type=int, default=0,
@@ -105,7 +107,8 @@ def main(argv=None):
                                    bframes=args.bframes,
                                    deblock=args.deblock, sao=args.sao,
                                    vbv_maxrate_kbps=args.vbv_maxrate,
-                                   vbv_bufsize_kbps=args.vbv_bufsize)
+                                   vbv_bufsize_kbps=args.vbv_bufsize,
+                                   rdoq=args.rdoq_level > 0)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         sess = IntraEncoderSession(info.width, info.height, qp=args.qp,
@@ -116,7 +119,8 @@ def main(argv=None):
                                    sao=args.sao, deblock=args.deblock,
                                    aq_mode=args.aq_mode,
                                    aq_strength=args.aq_strength,
-                                   slices=args.slices)
+                                   slices=args.slices,
+                                   rdoq=args.rdoq_level > 0)
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None

@@ -45,7 +45,7 @@ class IntraEncoderSession:
                  deblock: bool = False, lossless: bool = False,
                  bit_depth: int = 8, sao: bool = False,
                  aq_mode: int = 0, aq_strength: float = 1.0,
-                 slices: int = 1):
+                 slices: int = 1, rdoq: bool = False):
         self.src_w = width
         self.src_h = height
         self.qp = qp
@@ -75,7 +75,8 @@ class IntraEncoderSession:
         self.frame_encoder = IntraFrameEncoder(IntraFrameConfig(
             width=self.coded_w, height=band_h if self.slices > 1 else self.coded_h,
             cu_size=cu_size, qp=qp,
-            bit_depth=bit_depth, lossless=lossless))
+            bit_depth=bit_depth, lossless=lossless,
+            rdoq=rdoq and not lossless))
 
         ptl = HDR.ProfileTierLevel(profile_idc=2 if bit_depth > 8 else 1,
                                    bit_depth_constraint=bit_depth)
@@ -392,12 +393,13 @@ class VideoEncoderSession:
                  bitrate_kbps: int = 0, stats_write: str = None,
                  stats_read: str = None, bframes: int = 0,
                  deblock: bool = False, sao: bool = False,
-                 vbv_maxrate_kbps: int = 0, vbv_bufsize_kbps: int = 0):
+                 vbv_maxrate_kbps: int = 0, vbv_bufsize_kbps: int = 0,
+                 rdoq: bool = False):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
                                               hash_sei=False, deblock=deblock,
-                                              sao=sao)
+                                              sao=sao, rdoq=rdoq)
         self.deblock = deblock
         self.sao = sao
         # share geometry/headers with the intra session but fix DPB size
@@ -413,7 +415,7 @@ class VideoEncoderSession:
         self.rows, self.cols = self.intra_sess.rows, self.intra_sess.cols
         self.inter_encoder = InterFrameEncoder(InterFrameConfig(
             width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp,
-            search_range=search_range))
+            search_range=search_range, rdoq=rdoq))
         self.frame_idx = 0
         self.poc = 0
         self.ref = None   # (y, u, v) padded recon planes
@@ -437,7 +439,7 @@ class VideoEncoderSession:
             self.intra_sess.sps.num_reorder_pics = 1
             self.bi_encoder = InterFrameEncoder(InterFrameConfig(
                 width=self.coded_w, height=self.coded_h, cu_size=cu_size,
-                qp=qp, search_range=search_range, bi=True))
+                qp=qp, search_range=search_range, bi=True, rdoq=rdoq))
         self.pending = []           # buffered display-order frames (y, u, v)
         self.display_idx = 0
         self.anchor = None          # (recon planes, poc) of last I/P anchor

@@ -34,6 +34,7 @@ class InterFrameConfig:
     subpel: bool = True     # half+quarter-pel refinement (SATD-driven)
     intra_bias: int = 0     # added to intra SATD before comparison
     bi: bool = False        # B-frame mode: two references + bi-prediction
+    rdoq: bool = False      # RD-optimized quantization
 
     @property
     def rows(self):
@@ -221,7 +222,10 @@ class InterFrameEncoder:
 
         def tq(resid, qp, log2nn):
             coef = transforms.forward_transform(resid, bd, xp=jnp)
-            levels, _ = quant.quant(coef, qp, log2nn, bd, False, xp=jnp)
+            if cfg.rdoq:
+                levels = quant.quant_rdoq(coef, qp, log2nn, bd, xp=jnp)
+            else:
+                levels, _ = quant.quant(coef, qp, log2nn, bd, False, xp=jnp)
             dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
             rr = transforms.inverse_transform(dq, bd, xp=jnp)
             return levels, rr

@@ -59,6 +59,7 @@ class IntraFrameConfig:
     bit_depth: int = 8
     lossless: bool = False          # transquant bypass: levels = residual
     lambda_mode_bits: float = 0.0   # reserved for RD mode costs
+    rdoq: bool = False              # RD-optimized quantization
 
     @property
     def rows(self) -> int:
@@ -214,7 +215,10 @@ class IntraFrameEncoder:
             if cfg.lossless:      # transquant bypass: residual coded directly
                 return modes, resid, src_blocks.astype(jnp.int32)
             coef = transforms.forward_transform(resid, bd, xp=jnp)
-            levels, _ = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
+            if cfg.rdoq:
+                levels = quant.quant_rdoq(coef, qp, log2nn, bd, xp=jnp)
+            else:
+                levels, _ = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
             dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
             rr = transforms.inverse_transform(dq, bd, xp=jnp)
             recon = jnp.clip(pred + rr, 0, maxv)

@@ -128,3 +128,97 @@ def sign_bit_hiding_np(levels: np.ndarray, delta_u: np.ndarray,
                 adj = -1
         flat[idx[pick]] = np.clip(v + adj, -32768, 32767)
     return flat.reshape(n, n)
+
+
+# ---------------------------------------------------------------------------
+# RDOQ: rate-distortion optimized quantization (vectorized approximation of
+# reference quant.cpp rdoQuant, cost model RDCOST(d,bits) =
+# (d^2 << (15 - 2*transformShift)) + lambda2*bits with d measured through the
+# actual dequantizer). Per-coefficient level choice {round, round-1, 0} plus
+# coefficient-group zeroing. Encoder-side only — any level map stays
+# decodable, so this carries no conformance risk.
+# ---------------------------------------------------------------------------
+
+def _level_bits(l, xp):
+    """Approximate CABAC bits for coding abs level l>0 in residual_coding:
+    sig + greater1 + (greater2 + Golomb-Rice remainder) + EP sign."""
+    lf = l.astype(xp.float32)
+    rem = xp.maximum(lf - 2.0, 0.0)
+    # EG0-style remainder length ~ 2*log2(rem+1)+1
+    rem_bits = xp.where(rem > 0, 2.0 * xp.log2(rem + 1.0) + 1.0, 0.0)
+    return xp.where(
+        l <= 0, 1.0,                               # sig flag only
+        3.0 + xp.where(l > 1, 1.0, 0.0) + rem_bits)
+
+
+def quant_rdoq(coef, qp, log2_tr_size: int, bit_depth: int = 8,
+               lambda_scale: float = 0.25, xp=np):
+    """RD-optimized quantization. Returns int32 signed levels.
+
+    Approximate: bit costs are static estimates, not CABAC-state-derived
+    (the reference reads estBitsSbac tables) — gains are content-dependent;
+    r2 work item: context-aware bit tables. lambda_scale tunes the
+    rate-distortion tradeoff around the x265 lambda2 curve."""
+    tshift = transform_shift(log2_tr_size, bit_depth)
+    if isinstance(qp, (int, np.integer)):
+        per, rem = qp // 6, qp % 6
+        scale = int(QUANT_SCALES[rem])
+        iscale = int(INV_QUANT_SCALES[rem]) << per
+        qbits = 14 + per + tshift
+        lam2 = 9.728 * float(2.0 ** ((qp - 12) / 3.0)) * lambda_scale
+    else:
+        qpv = qp.astype(xp.int32)
+        if qpv.ndim == 1:
+            qpv = qpv[:, None, None]
+        per, rem = qpv // 6, qpv % 6
+        scale = xp.take(xp.asarray(QUANT_SCALES), rem)
+        iscale = xp.left_shift(xp.take(xp.asarray(INV_QUANT_SCALES), rem), per)
+        qbits = 14 + per + tshift
+        lam2 = 9.728 * xp.exp2((qpv - 12).astype(xp.float32) / 3.0) * lambda_scale
+    dqshift = 20 - 14 - tshift          # dequant shift (no per here: folded
+    dqadd = 1 << (dqshift - 1)          # into iscale per dequant_normal)
+
+    c = coef.astype(xp.int32)
+    sign = xp.sign(c)
+    a = xp.abs(c)
+    tmp = a * scale
+    lmax = xp.right_shift(tmp + (1 << (qbits - 1))
+                          if isinstance(qbits, int)
+                          else tmp + xp.left_shift(1 + 0 * qbits, qbits - 1),
+                          qbits)
+    lmax = xp.clip(lmax, 0, 32767)
+    llow = xp.maximum(lmax - 1, 0)
+
+    def unq(l):
+        return xp.right_shift(l * iscale + dqadd, dqshift)
+
+    # real-valued cost: d^2 * 2^(-2*tshift) + lambda2 * bits (the reference's
+    # Q15 bit scale cancels against its SCALE_BITS=15 distortion shift)
+    sfac = np.float32(2.0 ** (-2 * tshift))
+
+    def cost(l):
+        d = (a - unq(l)).astype(xp.float32)
+        return d * d * sfac + lam2 * _level_bits(l, xp)
+
+    c0 = cost(xp.zeros_like(a))
+    cmax = cost(lmax)
+    clow = cost(llow)
+    # choose per-coefficient argmin over {lmax, llow, 0}
+    best = xp.where(clow < cmax, llow, lmax)
+    bc = xp.minimum(clow, cmax)
+    best = xp.where(c0 < bc, 0, best)
+    bc = xp.minimum(c0, bc)
+
+    n = 1 << log2_tr_size
+    if n >= 8:
+        # coefficient-group zeroing: drop a 4x4 CG when coding it costs more
+        # than the uncoded distortion (+ ~2 bits for the coded-sub-block flag)
+        shp = best.shape[:-2]
+        g = lambda x: x.reshape(shp + (n // 4, 4, n // 4, 4))
+        cg_coded = g(bc).sum(axis=(-3, -1))
+        cg_zero = g(c0).sum(axis=(-3, -1))
+        # lam2 is float / scalar array / [B,1,1] — all broadcast with the
+        # [..., n/4, n/4] per-CG sums directly
+        drop = (cg_zero < cg_coded + 2.0 * lam2)[..., :, None, :, None]
+        best = xp.where(drop, 0, g(best)).reshape(best.shape)
+    return xp.clip(best * sign, -32768, 32767)
