@@ -254,7 +254,8 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
                        num_entry_points: int = 0,
                        ref_poc_delta: int = 1, max_merge: int = 3,
                        pos_poc_delta: int = 0,
-                       deblocking_disabled: Optional[bool] = None) -> BitWriter:
+                       deblocking_disabled: Optional[bool] = None,
+                       weights: Optional[dict] = None) -> BitWriter:
     """Returns a BitWriter positioned after byte_alignment() — ready for the
     caller to append CABAC slice data. slice_type: 0=B 1=P 2=I."""
     bw = BitWriter()
@@ -286,6 +287,8 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
         bw.write_flag(0)                     # num_ref_idx_active_override_flag
         if slice_type == 0:                  # B
             bw.write_flag(0)                 # mvd_l1_zero_flag
+        if pps.weighted_pred and slice_type == 1:
+            _write_pred_weight_table(bw, weights or {})
         bw.write_ue(5 - max_merge)           # five_minus_max_num_merge_cand
     bw.write_se(slice_qp - pps.init_qp)
     if deblocking_disabled is not None and deblocking_disabled != pps.deblocking_disabled:
@@ -301,3 +304,29 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
     bw.write_bits(1, 1)
     bw.write_align_zero()
     return bw
+
+
+def _write_pred_weight_table(bw: BitWriter, weights: dict):
+    """pred_weight_table (spec 7.3.6.3), one L0 reference.
+
+    weights: {'denom': int, 'luma': (w, o) | None, 'cb': (w, o) | None,
+    'cr': (w, o) | None}; absent components signal flag 0 (decoder uses the
+    default combine for them)."""
+    denom = weights.get("denom", 6)
+    bw.write_ue(denom)                       # luma_log2_weight_denom
+    bw.write_se(0)                           # delta_chroma_log2_weight_denom
+    luma = weights.get("luma")
+    cb = weights.get("cb")
+    cr = weights.get("cr")
+    bw.write_flag(1 if luma else 0)          # luma_weight_l0_flag[0]
+    bw.write_flag(1 if (cb or cr) else 0)    # chroma_weight_l0_flag[0]
+    if luma:
+        w, o = luma
+        bw.write_se(w - (1 << denom))        # delta_luma_weight_l0
+        bw.write_se(o)                       # luma_offset_l0
+    if cb or cr:
+        for comp in (cb, cr):
+            w, o = comp if comp else ((1 << denom), 0)
+            bw.write_se(w - (1 << denom))    # delta_chroma_weight_l0
+            # delta_chroma_offset = o + ((128 * w) >> denom) - 128
+            bw.write_se(o + ((128 * w) >> denom) - 128)

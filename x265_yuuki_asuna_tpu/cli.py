@@ -42,6 +42,8 @@ def main(argv=None):
                     help="max consecutive B frames (mini-GOP size - 1)")
     ap.add_argument("--rdoq-level", type=int, default=0, choices=(0, 1),
                     help="rate-distortion optimized quantization")
+    ap.add_argument("--weightp", action="store_true",
+                    help="weighted prediction for P slices")
     ap.add_argument("--vbv-maxrate", type=int, default=0,
                     help="VBV max rate (kbit/s)")
     ap.add_argument("--vbv-bufsize", type=int, default=0,
@@ -108,7 +110,8 @@ def main(argv=None):
                                    deblock=args.deblock, sao=args.sao,
                                    vbv_maxrate_kbps=args.vbv_maxrate,
                                    vbv_bufsize_kbps=args.vbv_bufsize,
-                                   rdoq=args.rdoq_level > 0)
+                                   rdoq=args.rdoq_level > 0,
+                                   weightp=args.weightp)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         sess = IntraEncoderSession(info.width, info.height, qp=args.qp,

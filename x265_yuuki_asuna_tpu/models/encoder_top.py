@@ -394,7 +394,7 @@ class VideoEncoderSession:
                  stats_read: str = None, bframes: int = 0,
                  deblock: bool = False, sao: bool = False,
                  vbv_maxrate_kbps: int = 0, vbv_bufsize_kbps: int = 0,
-                 rdoq: bool = False):
+                 rdoq: bool = False, weightp: bool = False):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
@@ -413,9 +413,12 @@ class VideoEncoderSession:
         self.coded_w = self.intra_sess.coded_w
         self.coded_h = self.intra_sess.coded_h
         self.rows, self.cols = self.intra_sess.rows, self.intra_sess.cols
+        self.weightp = weightp
+        if weightp:
+            self.intra_sess.pps.weighted_pred = 1
         self.inter_encoder = InterFrameEncoder(InterFrameConfig(
             width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp,
-            search_range=search_range, rdoq=rdoq))
+            search_range=search_range, rdoq=rdoq, weightp=weightp))
         self.frame_idx = 0
         self.poc = 0
         self.ref = None   # (y, u, v) padded recon planes
@@ -469,12 +472,15 @@ class VideoEncoderSession:
             self.poc = 0
             self.frame_idx = 0   # scenecut restarts the GOP
         else:
+            weights = self._decide_weights(yp, up, vp, self.ref)
             out = self.inter_encoder.encode_frame(
-                yp, up, vp, self.ref[0], self.ref[1], self.ref[2], qp=qp)
+                yp, up, vp, self.ref[0], self.ref[1], self.ref[2], qp=qp,
+                weights=weights)
             self.poc += 1
             self._deblock_frame(out, qp, is_idr=False)
             sao_params = self._sao_frame(out, yp, up, vp)
-            nals = self._assemble_p_slice(out, qp, sao_params=sao_params)
+            nals = self._assemble_p_slice(out, qp, sao_params=sao_params,
+                                          weights=weights)
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
@@ -491,6 +497,32 @@ class VideoEncoderSession:
                  out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8))
         return FrameResult(nals=nals, recon=recon, bits=len(nals) * 8,
                            psnr_y=psnr)
+
+    # ------------------------------------------------------------------
+    def _decide_weights(self, yp, up, vp, ref):
+        """Per-frame weighted-prediction analysis (reference weightAnalyse
+        shape: scale guess from std ratio, offset from means, enabled only
+        when it reduces subsampled SAD). Returns weights dict or None."""
+        if not self.weightp:
+            return None
+        out = {}
+        for comp, src, rp in (("luma", yp, ref[0]), ("cb", up, ref[1]),
+                              ("cr", vp, ref[2])):
+            s = src[::4, ::4].astype(np.float64)
+            r = np.asarray(rp)[::4, ::4].astype(np.float64)
+            sd_r = r.std()
+            if sd_r < 0.5:
+                continue
+            w = int(round(64.0 * min(max(s.std() / sd_r, 0.1), 1.99)))
+            w = min(max(w, 1), 127)
+            o = int(round(s.mean() - w * r.mean() / 64.0))
+            o = min(max(o, -128), 127)
+            if (w, o) == (64, 0):
+                continue
+            wr = np.clip((r * w / 64.0) + o, 0, 255)
+            if np.abs(s - wr).sum() < 0.99 * np.abs(s - r).sum():
+                out[comp] = (w, o)
+        return out or None
 
     # ------------------------------------------------------------------
     def _sao_frame(self, out: dict, yp, up, vp):
@@ -603,14 +635,16 @@ class VideoEncoderSession:
                                                    sao_params=sao_params)
             poc = 0
         else:
+            weights = self._decide_weights(yp, up, vp, self.anchor[0])
             out = self.inter_encoder.encode_frame(
                 yp, up, vp, self.anchor[0][0], self.anchor[0][1],
-                self.anchor[0][2], qp=qp)
+                self.anchor[0][2], qp=qp, weights=weights)
             self._deblock_frame(out, qp, is_idr=False)
             sao_params = self._sao_frame(out, yp, up, vp)
             nals = self._assemble_p_slice(out, qp, poc=poc,
                                           ref_delta=ref_delta,
-                                          sao_params=sao_params)
+                                          sao_params=sao_params,
+                                          weights=weights)
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         self.anchor = ((out["recon_y"], out["recon_u"], out["recon_v"]), poc)
@@ -702,7 +736,8 @@ class VideoEncoderSession:
         return d
 
     def _assemble_p_slice(self, out: dict, qp: int = None, poc: int = None,
-                          ref_delta: int = 1, sao_params=None) -> bytes:
+                          ref_delta: int = 1, sao_params=None,
+                          weights=None) -> bytes:
         from ..bitstream import inter_syntax as IS
         from ..bitstream.bitio import NAL_TRAIL_R
         qp = self.qp if qp is None else qp
@@ -714,7 +749,8 @@ class VideoEncoderSession:
                                     ref_poc_delta=ref_delta,
                                     max_merge=self.max_merge,
                                     sao_luma=1 if sao_params else 0,
-                                    sao_chroma=1 if sao_params else 0)
+                                    sao_chroma=1 if sao_params else 0,
+                                    weights=weights)
         res = None if sao_params is not None else native.encode_p_slice(
             out["use_intra"], out["modes"], out["mvx"], out["mvy"],
             out["levels_y"], out["levels_cb"], out["levels_cr"],

@@ -35,6 +35,7 @@ class InterFrameConfig:
     intra_bias: int = 0     # added to intra SATD before comparison
     bi: bool = False        # B-frame mode: two references + bi-prediction
     rdoq: bool = False      # RD-optimized quantization
+    weightp: bool = False   # explicit weighted uni-prediction (P slices)
 
     @property
     def rows(self):
@@ -60,15 +61,27 @@ class InterFrameEncoder:
         self._encode = jax.jit(self._build())
 
     def encode_frame(self, y, u, v, ref_y, ref_u, ref_v, qp: int = None,
-                     ref1_y=None, ref1_u=None, ref1_v=None):
+                     ref1_y=None, ref1_u=None, ref1_v=None,
+                     weights=None):
         """All planes padded to coded size. ref_* are the decoded reference
-        planes (L0; ref1_* = L1 when cfg.bi). Returns decision dict (numpy)."""
+        planes (L0; ref1_* = L1 when cfg.bi). weights (cfg.weightp): dict
+        {'luma': (w, o)|None, 'cb': ..., 'cr': ...}, denom 6; None entries
+        use the identity weight. Returns decision dict (numpy)."""
         qp = self.cfg.qp if qp is None else qp
         a = lambda x: jnp.asarray(x, jnp.uint8)
         if self.cfg.bi:
             buf = np.asarray(self._encode(
                 a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
                 a(ref1_y), a(ref1_u), a(ref1_v), jnp.int32(qp)))
+        elif self.cfg.weightp:
+            weights = weights or {}
+            wargs = []
+            for comp in ("luma", "cb", "cr"):
+                w, o = weights.get(comp) or (64, 0)
+                wargs += [jnp.int32(w), jnp.int32(o)]
+            buf = np.asarray(self._encode(
+                a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
+                jnp.int32(qp), *wargs))
         else:
             buf = np.asarray(self._encode(
                 a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v), jnp.int32(qp)))
@@ -148,10 +161,31 @@ class InterFrameEncoder:
                                            nc, bd, xp=jnp)
             return pred_y, pred_u, pred_v
 
-        def motion_phase(src_y, ref_y, ref_u, ref_v):
+        def motion_phase(src_y, ref_y, ref_u, ref_v, wts=None):
             yb32 = to_blocks(src_y, n)
-            mvx, mvy = search_ref(yb32, ref_y)
-            pred_y, pred_u, pred_v = uni_pred((ref_y, ref_u, ref_v), mvx, mvy)
+            if wts is None:
+                mvx, mvy = search_ref(yb32, ref_y)
+                pred_y, pred_u, pred_v = uni_pred((ref_y, ref_u, ref_v),
+                                                  mvx, mvy)
+            else:
+                # ME over the weight-transformed reference (search guidance),
+                # final prediction through the normative MC->weight pipeline
+                (wy, oy), (wcb, ocb), (wcr, ocr) = wts
+                ref_w = jnp.clip(jnp.right_shift(ref_y * wy + 32, 6) + oy,
+                                 0, maxv)
+                mvx, mvy = search_ref(yb32, ref_w)
+                pxc, pyc = PX // 2, PY // 2
+                pred_y = interp.weight_uni(
+                    interp.mc_luma_qpel_ps(ref_y, PX, PY, mvx, mvy, n, bd,
+                                           xp=jnp), wy, oy, 6, bd, xp=jnp)
+                pred_u = interp.weight_uni(
+                    interp.mc_chroma_qpel_ps(ref_u, pxc, pyc, mvx, mvy, nc,
+                                             bd, xp=jnp), wcb, ocb, 6, bd,
+                    xp=jnp)
+                pred_v = interp.weight_uni(
+                    interp.mc_chroma_qpel_ps(ref_v, pxc, pyc, mvx, mvy, nc,
+                                             bd, xp=jnp), wcr, ocr, 6, bd,
+                    xp=jnp)
             inter_satd = pixel.satd(yb32, pred_y, xp=jnp)
             return mvx, mvy, pred_y, pred_u, pred_v, inter_satd
 
@@ -304,8 +338,12 @@ class InterFrameEncoder:
             return step
 
         def encode(y, u, v, ref_y, ref_u, ref_v, *rest):
+            wts = None
             if cfg.bi:
                 ref1_y, ref1_u, ref1_v, qp = rest
+            elif cfg.weightp:
+                qp, wy, oy, wcb, ocb, wcr, ocr = rest
+                wts = ((wy, oy), (wcb, ocb), (wcr, ocr))
             else:
                 (qp,) = rest
             qp_sig = qp.astype(jnp.int32)
@@ -327,7 +365,7 @@ class InterFrameEncoder:
                      ref1_v.astype(jnp.int32)))
             else:
                 mvx, mvy, pred_y, pred_u, pred_v, inter_satd = motion_phase(
-                    y32, refy32, refu32, refv32)
+                    y32, refy32, refu32, refv32, wts)
             # sentinel row for invalid slots
             def padded(a, shape):
                 return jnp.concatenate([a, jnp.zeros((1,) + shape, a.dtype)], 0)

@@ -163,3 +163,17 @@ def mc_chroma_qpel_ps(ref_plane, px_c, py_c, mvq_x, mvq_y, n, bit_depth=8, xp=np
     return mc_block_batch_ps(ref_plane, px_c, py_c, xp.right_shift(mvq_x, 3),
                              xp.right_shift(mvq_y, 3), mvq_x & 7, mvq_y & 7,
                              n, False, bit_depth, xp)
+
+
+def weight_uni(ps, w, o, denom: int, bit_depth: int = 8, xp=np):
+    """Explicit weighted uni-prediction combine (spec 8.5.3.3.4.3; reference
+    weight_pp adds back the internal offset): ps is the biased short-domain
+    prediction, w/o the signaled weight/offset, denom the log2 denominator.
+    log2WD = denom + (14 - bit_depth); offset is scaled by 2^(bd-8)."""
+    shift1 = 14 - bit_depth
+    log2wd = denom + shift1
+    rnd = 1 << (log2wd - 1)
+    return xp.clip(
+        xp.right_shift((ps + IF_INTERNAL_OFFS) * w + rnd, log2wd)
+        + (o << (bit_depth - 8)),
+        0, (1 << bit_depth) - 1)
