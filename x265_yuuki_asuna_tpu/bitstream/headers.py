@@ -251,11 +251,12 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
                        poc: int = 0, sao_luma: int = 0, sao_chroma: int = 0,
                        first_slice: bool = True, slice_addr: int = 0,
                        slice_addr_bits: int = 0,
-                       num_entry_points: int = 0,
                        ref_poc_delta: int = 1, max_merge: int = 3,
                        pos_poc_delta: int = 0,
                        deblocking_disabled: Optional[bool] = None,
-                       weights: Optional[dict] = None) -> BitWriter:
+                       weights: Optional[dict] = None,
+                       entry_point_offsets: Optional[List[int]] = None
+                       ) -> BitWriter:
     """Returns a BitWriter positioned after byte_alignment() — ready for the
     caller to append CABAC slice data. slice_type: 0=B 1=P 2=I."""
     bw = BitWriter()
@@ -298,8 +299,13 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
             (sao_luma or sao_chroma or not pps.deblocking_disabled):
         bw.write_flag(1)                     # slice_loop_filter_across_slices
     if pps.entropy_coding_sync:
-        bw.write_ue(num_entry_points)
-        # offsets appended by caller via write_entry_points()
+        offsets = entry_point_offsets or []
+        bw.write_ue(len(offsets))            # num_entry_point_offsets
+        if offsets:
+            olen = max(1, max(o - 1 for o in offsets).bit_length())
+            bw.write_ue(olen - 1)            # offset_len_minus1
+            for o in offsets:
+                bw.write_bits(o - 1, olen)   # entry_point_offset_minus1
     # byte_alignment(): alignment_bit_equal_to_one, then zero bits to boundary
     bw.write_bits(1, 1)
     bw.write_align_zero()

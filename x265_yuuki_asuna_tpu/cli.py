@@ -42,6 +42,8 @@ def main(argv=None):
                     help="max consecutive B frames (mini-GOP size - 1)")
     ap.add_argument("--rdoq-level", type=int, default=0, choices=(0, 1),
                     help="rate-distortion optimized quantization")
+    ap.add_argument("--wpp", action="store_true",
+                    help="wavefront parallel processing (entry points)")
     ap.add_argument("--weightp", action="store_true",
                     help="weighted prediction for P slices")
     ap.add_argument("--vbv-maxrate", type=int, default=0,
@@ -123,7 +125,7 @@ def main(argv=None):
                                    aq_mode=args.aq_mode,
                                    aq_strength=args.aq_strength,
                                    slices=args.slices,
-                                   rdoq=args.rdoq_level > 0)
+                                   rdoq=args.rdoq_level > 0, wpp=args.wpp)
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None

@@ -45,7 +45,7 @@ class IntraEncoderSession:
                  deblock: bool = False, lossless: bool = False,
                  bit_depth: int = 8, sao: bool = False,
                  aq_mode: int = 0, aq_strength: float = 1.0,
-                 slices: int = 1, rdoq: bool = False):
+                 slices: int = 1, rdoq: bool = False, wpp: bool = False):
         self.src_w = width
         self.src_h = height
         self.qp = qp
@@ -93,10 +93,12 @@ class IntraEncoderSession:
             temporal_mvp=0, strong_intra_smoothing=0,
             timing_info=(fps[1], fps[0]),
         )
+        self.wpp = wpp and self.slices == 1
         self.pps = HDR.PPSInfo(init_qp=26,
                                deblocking_disabled=0 if self.deblock else 1,
                                transquant_bypass=1 if lossless else 0,
-                               cu_qp_delta=1 if self.aq_mode else 0)
+                               cu_qp_delta=1 if self.aq_mode else 0,
+                               entropy_coding_sync=1 if self.wpp else 0)
 
     # ------------------------------------------------------------------
     def headers(self) -> bytes:
@@ -281,6 +283,8 @@ class IntraEncoderSession:
     # ------------------------------------------------------------------
     def _assemble_slice(self, out: dict, qp: int = None,
                         sao_params=None) -> bytes:
+        if self.wpp:
+            return self._assemble_slice_wpp(out, qp, sao_params)
         qp = self.qp if qp is None else qp
         log2cu = self.cu.bit_length() - 1
         modes = out["modes"]
@@ -336,6 +340,71 @@ class IntraEncoderSession:
             bw.write_byte(b)
         bw.write_bits(tail, tail_bits)
         bw.rbsp_trailing_bits()
+        return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
+
+    # ------------------------------------------------------------------
+    def _assemble_slice_wpp(self, out: dict, qp: int = None,
+                            sao_params=None) -> bytes:
+        """WPP slice: one CABAC substream per CTU row. Row r>0 inherits the
+        context states saved after the second CTU of row r-1 (spec 9.3.1
+        entropy sync); each row ends with end_of_subset_one_bit + byte
+        alignment; entry_point_offsets index the substream boundaries.
+        Mirrors the reference's wavefront entropy instances — and matches
+        the device encoder's diagonal schedule (row r is encodable as soon
+        as row r-1 is two CTUs ahead)."""
+        qp = self.qp if qp is None else qp
+        log2cu = self.cu.bit_length() - 1
+        modes = out["modes"]
+        # the sync source is the above-right CTB (second CTB of the row
+        # above); with a single CTB column it is unavailable and every row
+        # re-initializes (spec 9.3.2.2)
+        sync_c = 1 if self.cols > 1 else None
+        last_r = self.rows - 1
+        blobs = []
+        saved = None
+        for r in range(self.rows):
+            enc = CabacEncoder()
+            if r == 0 or saved is None:
+                enc.init_contexts(2, qp)
+            else:
+                enc.ctx = saved.copy()
+            for c in range(self.cols):
+                if sao_params is not None:
+                    CS.encode_sao_ctu(
+                        enc, sao_params[r][c],
+                        sao_params[r][c - 1] if c > 0 else None,
+                        sao_params[r - 1][c] if r > 0 else None,
+                        True, True, self.bit_depth)
+                d = CS.CTUDecisions(
+                    luma_mode=int(modes[r, c]),
+                    luma_levels=out["levels_y"][r, c],
+                    cb_levels=out["levels_cb"][r, c],
+                    cr_levels=out["levels_cr"][r, c])
+                cand_left = int(modes[r, c - 1]) if c > 0 else DC_MODE
+                CS.encode_intra_ctu_full(enc, d, log2cu, cand_left, DC_MODE)
+                if c == sync_c:
+                    saved = enc.ctx.copy()
+                is_last = (r == last_r and c == self.cols - 1)
+                enc.encode_bin_trm(1 if is_last else 0)
+            if r < last_r:
+                enc.encode_bin_trm(1)            # end_of_subset_one_bit
+            data, tail, tail_bits = enc.finish()
+            sub = BitWriter()
+            for b in data:
+                sub.write_byte(b)
+            sub.write_bits(tail, tail_bits)
+            sub.write_bits(1, 1)                 # stop bit
+            sub.write_align_zero()               # byte_alignment()
+            blobs.append(sub.get_bytes())
+        offsets = [len(b) for b in blobs[:-1]]
+        bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
+                                    slice_qp=qp,
+                                    sao_luma=1 if sao_params else 0,
+                                    sao_chroma=1 if sao_params else 0,
+                                    entry_point_offsets=offsets)
+        for blob in blobs:
+            for b in blob:
+                bw.write_byte(b)
         return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
 
     # ------------------------------------------------------------------
