@@ -46,6 +46,8 @@ def main(argv=None):
                     help="wavefront parallel processing (entry points)")
     ap.add_argument("--weightp", action="store_true",
                     help="weighted prediction for P slices")
+    ap.add_argument("--signhide", action="store_true",
+                    help="sign-bit hiding")
     ap.add_argument("--vbv-maxrate", type=int, default=0,
                     help="VBV max rate (kbit/s)")
     ap.add_argument("--vbv-bufsize", type=int, default=0,
@@ -113,7 +115,7 @@ def main(argv=None):
                                    vbv_maxrate_kbps=args.vbv_maxrate,
                                    vbv_bufsize_kbps=args.vbv_bufsize,
                                    rdoq=args.rdoq_level > 0,
-                                   weightp=args.weightp)
+                                   weightp=args.weightp, sbh=args.signhide)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         sess = IntraEncoderSession(info.width, info.height, qp=args.qp,
@@ -125,7 +127,8 @@ def main(argv=None):
                                    aq_mode=args.aq_mode,
                                    aq_strength=args.aq_strength,
                                    slices=args.slices,
-                                   rdoq=args.rdoq_level > 0, wpp=args.wpp)
+                                   rdoq=args.rdoq_level > 0, wpp=args.wpp,
+                                   sbh=args.signhide)
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None

@@ -45,7 +45,8 @@ class IntraEncoderSession:
                  deblock: bool = False, lossless: bool = False,
                  bit_depth: int = 8, sao: bool = False,
                  aq_mode: int = 0, aq_strength: float = 1.0,
-                 slices: int = 1, rdoq: bool = False, wpp: bool = False):
+                 slices: int = 1, rdoq: bool = False, wpp: bool = False,
+                 sbh: bool = False):
         self.src_w = width
         self.src_h = height
         self.qp = qp
@@ -72,11 +73,12 @@ class IntraEncoderSession:
 
         band_h = self.coded_h // self.slices
         self.band_rows = band_h // cu_size
+        self.sbh = sbh and not lossless and not rdoq and self.slices == 1
         self.frame_encoder = IntraFrameEncoder(IntraFrameConfig(
             width=self.coded_w, height=band_h if self.slices > 1 else self.coded_h,
             cu_size=cu_size, qp=qp,
             bit_depth=bit_depth, lossless=lossless,
-            rdoq=rdoq and not lossless))
+            rdoq=rdoq and not lossless, sbh=self.sbh))
 
         ptl = HDR.ProfileTierLevel(profile_idc=2 if bit_depth > 8 else 1,
                                    bit_depth_constraint=bit_depth)
@@ -98,7 +100,8 @@ class IntraEncoderSession:
                                deblocking_disabled=0 if self.deblock else 1,
                                transquant_bypass=1 if lossless else 0,
                                cu_qp_delta=1 if self.aq_mode else 0,
-                               entropy_coding_sync=1 if self.wpp else 0)
+                               entropy_coding_sync=1 if self.wpp else 0,
+                               sign_hiding=1 if self.sbh else 0)
 
     # ------------------------------------------------------------------
     def headers(self) -> bytes:
@@ -293,7 +296,8 @@ class IntraEncoderSession:
                                     slice_qp=qp,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
-        res = None if (self.lossless or sao_params or qp_map is not None) \
+        res = None if (self.lossless or sao_params or qp_map is not None
+                       or self.sbh) \
             else native.encode_intra_slice(
             modes, out["levels_y"], out["levels_cb"], out["levels_cr"],
             log2cu, qp)
@@ -331,6 +335,7 @@ class IntraEncoderSession:
                         # QP for this QG stays qp_prev (prediction chain)
                     CS.encode_intra_ctu_full(enc, d, log2cu, cand_left,
                                              cand_above,
+                                             sign_hiding=self.sbh,
                                              tq_bypass=self.lossless,
                                              bypass_enabled=self.lossless,
                                              cu_qp_delta=delta)
@@ -381,7 +386,8 @@ class IntraEncoderSession:
                     cb_levels=out["levels_cb"][r, c],
                     cr_levels=out["levels_cr"][r, c])
                 cand_left = int(modes[r, c - 1]) if c > 0 else DC_MODE
-                CS.encode_intra_ctu_full(enc, d, log2cu, cand_left, DC_MODE)
+                CS.encode_intra_ctu_full(enc, d, log2cu, cand_left, DC_MODE,
+                                         sign_hiding=self.sbh)
                 if c == sync_c:
                     saved = enc.ctx.copy()
                 is_last = (r == last_r and c == self.cols - 1)
@@ -463,12 +469,14 @@ class VideoEncoderSession:
                  stats_read: str = None, bframes: int = 0,
                  deblock: bool = False, sao: bool = False,
                  vbv_maxrate_kbps: int = 0, vbv_bufsize_kbps: int = 0,
-                 rdoq: bool = False, weightp: bool = False):
+                 rdoq: bool = False, weightp: bool = False,
+                 sbh: bool = False):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
                                               hash_sei=False, deblock=deblock,
-                                              sao=sao, rdoq=rdoq)
+                                              sao=sao, rdoq=rdoq, sbh=sbh)
+        self.sbh = self.intra_sess.sbh
         self.deblock = deblock
         self.sao = sao
         # share geometry/headers with the intra session but fix DPB size
@@ -487,7 +495,8 @@ class VideoEncoderSession:
             self.intra_sess.pps.weighted_pred = 1
         self.inter_encoder = InterFrameEncoder(InterFrameConfig(
             width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp,
-            search_range=search_range, rdoq=rdoq, weightp=weightp))
+            search_range=search_range, rdoq=rdoq, weightp=weightp,
+            sbh=self.sbh))
         self.frame_idx = 0
         self.poc = 0
         self.ref = None   # (y, u, v) padded recon planes
@@ -511,7 +520,8 @@ class VideoEncoderSession:
             self.intra_sess.sps.num_reorder_pics = 1
             self.bi_encoder = InterFrameEncoder(InterFrameConfig(
                 width=self.coded_w, height=self.coded_h, cu_size=cu_size,
-                qp=qp, search_range=search_range, bi=True, rdoq=rdoq))
+                qp=qp, search_range=search_range, bi=True, rdoq=rdoq,
+                sbh=self.sbh))
         self.pending = []           # buffered display-order frames (y, u, v)
         self.display_idx = 0
         self.anchor = None          # (recon planes, poc) of last I/P anchor
@@ -761,7 +771,8 @@ class VideoEncoderSession:
                         sao_params[r - 1][c] if r > 0 else None,
                         True, True, sess.bit_depth)
                 d = self._decide_cu_b(out, grid, r, c, poc, poc0, poc1)
-                IS.encode_b_ctu(enc, d, grid, r, c, log2cu, self.max_merge)
+                IS.encode_b_ctu(enc, d, grid, r, c, log2cu, self.max_merge,
+                                sign_hiding=self.sbh)
                 enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
         data, tail, tail_bits = enc.finish()
         for b in data:
@@ -820,7 +831,8 @@ class VideoEncoderSession:
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0,
                                     weights=weights)
-        res = None if sao_params is not None else native.encode_p_slice(
+        res = None if (sao_params is not None or self.sbh) \
+            else native.encode_p_slice(
             out["use_intra"], out["modes"], out["mvx"], out["mvy"],
             out["levels_y"], out["levels_cb"], out["levels_cr"],
             log2cu, qp, self.max_merge)
@@ -840,7 +852,8 @@ class VideoEncoderSession:
                             sao_params[r - 1][c] if r > 0 else None,
                             True, True, sess.bit_depth)
                     d = self._decide_cu(out, grid, r, c)
-                    IS.encode_inter_ctu(enc, d, grid, r, c, log2cu, self.max_merge)
+                    IS.encode_inter_ctu(enc, d, grid, r, c, log2cu,
+                                        self.max_merge, sign_hiding=self.sbh)
                     enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
             data, tail, tail_bits = enc.finish()
         for b in data:

@@ -35,6 +35,7 @@ class InterFrameConfig:
     intra_bias: int = 0     # added to intra SATD before comparison
     bi: bool = False        # B-frame mode: two references + bi-prediction
     rdoq: bool = False      # RD-optimized quantization
+    sbh: bool = False       # sign-bit hiding
     weightp: bool = False   # explicit weighted uni-prediction (P slices)
 
     @property
@@ -259,7 +260,9 @@ class InterFrameEncoder:
             if cfg.rdoq:
                 levels = quant.quant_rdoq(coef, qp, log2nn, bd, xp=jnp)
             else:
-                levels, _ = quant.quant(coef, qp, log2nn, bd, False, xp=jnp)
+                levels, du = quant.quant(coef, qp, log2nn, bd, False, xp=jnp)
+                if cfg.sbh:
+                    levels = quant.sign_bit_hiding(levels, du, log2nn, xp=jnp)
             dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
             rr = transforms.inverse_transform(dq, bd, xp=jnp)
             return levels, rr

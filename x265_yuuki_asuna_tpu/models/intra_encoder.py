@@ -60,6 +60,7 @@ class IntraFrameConfig:
     lossless: bool = False          # transquant bypass: levels = residual
     lambda_mode_bits: float = 0.0   # reserved for RD mode costs
     rdoq: bool = False              # RD-optimized quantization
+    sbh: bool = False               # sign-bit hiding
 
     @property
     def rows(self) -> int:
@@ -218,7 +219,9 @@ class IntraFrameEncoder:
             if cfg.rdoq:
                 levels = quant.quant_rdoq(coef, qp, log2nn, bd, xp=jnp)
             else:
-                levels, _ = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
+                levels, du = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
+                if cfg.sbh:
+                    levels = quant.sign_bit_hiding(levels, du, log2nn, xp=jnp)
             dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
             rr = transforms.inverse_transform(dq, bd, xp=jnp)
             recon = jnp.clip(pred + rr, 0, maxv)

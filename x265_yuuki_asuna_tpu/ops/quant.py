@@ -222,3 +222,54 @@ def quant_rdoq(coef, qp, log2_tr_size: int, bit_depth: int = 8,
         drop = (cg_zero < cg_coded + 2.0 * lam2)[..., :, None, :, None]
         best = xp.where(drop, 0, g(best)).reshape(best.shape)
     return xp.clip(best * sign, -32768, 32767)
+
+
+def sign_bit_hiding(levels, delta_u, log2n: int, xp=np):
+    """Vectorized sign-bit-hiding parity adjustment (decoder infers the sign
+    of each CG's first-in-scan significant coefficient from the parity of the
+    CG's absolute sum — spec 7.4.9.11 signHidden). Uniform-grid TUs always
+    use the diagonal scan (MDCS only covers <=8x8 luma / <=4x4 chroma TUs).
+
+    levels/delta_u: [..., N, N]. Adjusts the max-|delta_u| coefficient inside
+    the CG's significant span by +1 magnitude when the parity disagrees —
+    never creating/removing the first/last significant coefficient, so the
+    signHidden condition is stable under the adjustment.
+    """
+    from ..bitstream import tables as T
+    n = 1 << log2n
+    scan = T.scan_order(T.SCAN_DIAG, log2n)          # scan pos -> raster
+    inv = np.argsort(scan)
+    if xp is not np:
+        scan_x, inv_x = xp.asarray(scan), xp.asarray(inv)
+    else:
+        scan_x, inv_x = scan, inv
+    shp = levels.shape[:-2]
+    flat = levels.reshape(shp + (n * n,))
+    du = delta_u.reshape(shp + (n * n,))
+    sl = xp.take(flat, scan_x, axis=-1)
+    sdu = xp.take(du, scan_x, axis=-1)
+    ncg = (n * n) // 16
+    rs = sl.reshape(shp + (ncg, 16))
+    rdu = sdu.reshape(shp + (ncg, 16))
+
+    nz = rs != 0
+    pos = xp.arange(16, dtype=xp.int32)
+    first = xp.min(xp.where(nz, pos, 99), axis=-1)           # [..., ncg]
+    last = xp.max(xp.where(nz, pos, -1), axis=-1)
+    hide = (last - first) >= SBH_THRESHOLD
+    abs_sum = xp.abs(rs).sum(axis=-1)
+    vfirst = xp.take_along_axis(rs, xp.minimum(first, 15)[..., None],
+                                axis=-1)[..., 0]
+    target = xp.where(vfirst < 0, 1, 0)
+    need = hide & ((abs_sum & 1) != target)
+
+    in_range = (pos >= first[..., None]) & (pos <= last[..., None])
+    score = xp.where(in_range, xp.abs(rdu), -1)
+    pick = xp.argmax(score, axis=-1)                          # [..., ncg]
+    pv = xp.take_along_axis(rs, pick[..., None], axis=-1)[..., 0]
+    newv = xp.where(pv > 0, pv + 1, xp.where(pv < 0, pv - 1, 1))
+    delta = xp.where(need, newv - pv, 0)
+    rs = rs + (pos == pick[..., None]) * delta[..., None]
+
+    out = rs.reshape(shp + (n * n,))
+    return xp.take(out, inv_x, axis=-1).reshape(levels.shape)
