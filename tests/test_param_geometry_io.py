@@ -143,3 +143,34 @@ def test_conformance_window():
     assert (cw, ch) == (1920, 1080) and r == 0 and b == 0
     cw, ch, r, b = G.conformance_window(1918, 1078, 1, 1, 8)
     assert cw == 1920 and ch == 1080 and r == 1 and b == 1
+
+
+def test_sei_and_level():
+    """Prefix SEI messages (active params, user data, HDR10 static metadata)
+    must not break decoding; level auto-selection follows the level table."""
+    import numpy as np
+    import pytest
+    pytest.importorskip("cv2")
+    from x265_yuuki_asuna_tpu.models.encoder_top import IntraEncoderSession
+    from x265_yuuki_asuna_tpu.utils.av_decode import decode_hevc
+    from x265_yuuki_asuna_tpu.bitstream import sei as SEI
+
+    assert SEI.pick_level(1280, 720, 25) == 93      # 3.1
+    assert SEI.pick_level(1920, 1080, 60) == 123    # 4.1
+    assert SEI.pick_level(3840, 2160, 60) == 153    # 5.1
+
+    rng = np.random.default_rng(0)
+    sess = IntraEncoderSession(
+        48, 32, qp=30, cu_size=16, hash_sei=True,
+        master_display="G(13250,34500)B(7500,3000)R(34000,16000)"
+                       "WP(15635,16450)L(10000000,1)",
+        max_cll="1000,400")
+    stream = sess.headers()
+    y = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    u = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    v = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    fr = sess.encode_frame(y, u, v)
+    stream += fr.nals
+    decoded = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(decoded) == 1
+    assert np.array_equal(decoded[0][0][:32, :48], fr.recon[0])

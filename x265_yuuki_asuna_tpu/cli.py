@@ -48,6 +48,12 @@ def main(argv=None):
                     help="weighted prediction for P slices")
     ap.add_argument("--signhide", action="store_true",
                     help="sign-bit hiding")
+    ap.add_argument("--master-display", default=None,
+                    help="HDR10 mastering display: G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)")
+    ap.add_argument("--max-cll", default=None, help="HDR10 MaxCLL,MaxFALL")
+    ap.add_argument("--ladder", default=None,
+                    help="ABR ladder: WxH:kbps[,WxH:kbps...] -> per-rung "
+                         "outputs suffixed _WxH")
     ap.add_argument("--vbv-maxrate", type=int, default=0,
                     help="VBV max rate (kbit/s)")
     ap.add_argument("--vbv-bufsize", type=int, default=0,
@@ -95,6 +101,9 @@ def main(argv=None):
         return 1
     info = reader.info
 
+    if args.ladder:
+        return _run_ladder(args, reader)
+
     rc_mode = "crf" if args.crf is not None else (
         "abr" if args.bitrate else "cqp")
     if args.keyint > 1 or rc_mode != "cqp" or args.bframes or args.vbv_maxrate:
@@ -128,7 +137,9 @@ def main(argv=None):
                                    aq_strength=args.aq_strength,
                                    slices=args.slices,
                                    rdoq=args.rdoq_level > 0, wpp=args.wpp,
-                                   sbh=args.signhide)
+                                   sbh=args.signhide,
+                                   master_display=args.master_display,
+                                   max_cll=args.max_cll)
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None
@@ -212,6 +223,37 @@ def main(argv=None):
             f.write("\n".join(csv_lines) + "\n")
     if getattr(sess, "stats_writer", None) is not None:
         sess.stats_writer.close()
+    return 0
+
+
+def _run_ladder(args, reader):
+    """ABR-ladder mode (reference abrEncApp analog): one pass over the
+    source, every rung scaled + encoded, per-rung output files."""
+    from .models.ladder import LadderEncoder, parse_ladder
+    info = reader.info
+    rungs = parse_ladder(args.ladder)
+    lad = LadderEncoder(info.width, info.height, rungs,
+                        fps=(info.fps_num, info.fps_denom), qp=args.qp,
+                        keyint=max(args.keyint, 2) if args.keyint > 1 else 250,
+                        hash_sei=not args.no_hash)
+    stem, _, ext = args.output.rpartition(".")
+    outs = [IO.RawBitstreamWriter(f"{stem}_{r.width}x{r.height}.{ext}")
+            for r in rungs]
+    for w, hdr in zip(outs, lad.headers()):
+        w.write(hdr)
+    n = 0
+    t0 = time.time()
+    for y, u, v in IO.PrefetchReader(reader):
+        for w, fr in zip(outs, lad.encode_frame(y, u, v)):
+            w.write(fr.nals)
+        n += 1
+        if args.frames and n >= args.frames:
+            break
+    for w in outs:
+        w.close()
+    el = time.time() - t0
+    print(f"\nladder: {n} frames x {len(rungs)} rungs in {el:.2f}s",
+          file=sys.stderr)
     return 0
 
 

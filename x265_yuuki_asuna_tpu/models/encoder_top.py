@@ -46,7 +46,8 @@ class IntraEncoderSession:
                  bit_depth: int = 8, sao: bool = False,
                  aq_mode: int = 0, aq_strength: float = 1.0,
                  slices: int = 1, rdoq: bool = False, wpp: bool = False,
-                 sbh: bool = False):
+                 sbh: bool = False, info_sei: bool = True,
+                 master_display: str = None, max_cll: str = None):
         self.src_w = width
         self.src_h = height
         self.qp = qp
@@ -80,8 +81,15 @@ class IntraEncoderSession:
             bit_depth=bit_depth, lossless=lossless,
             rdoq=rdoq and not lossless, sbh=self.sbh))
 
-        ptl = HDR.ProfileTierLevel(profile_idc=2 if bit_depth > 8 else 1,
-                                   bit_depth_constraint=bit_depth)
+        from ..bitstream import sei as SEI
+        ptl = HDR.ProfileTierLevel(
+            profile_idc=2 if bit_depth > 8 else 1,
+            bit_depth_constraint=bit_depth,
+            level_idc=SEI.pick_level(self.coded_w, self.coded_h,
+                                     fps[0] / max(fps[1], 1)))
+        self.info_sei = info_sei
+        self.master_display = master_display
+        self.max_cll = max_cll
         self.sps = HDR.SPSInfo(
             width=self.coded_w, height=self.coded_h,
             conf_win=(0, self.coded_w - width, 0, self.coded_h - height),
@@ -105,8 +113,28 @@ class IntraEncoderSession:
 
     # ------------------------------------------------------------------
     def headers(self) -> bytes:
-        return (HDR.write_vps(self.sps) + HDR.write_sps(self.sps)
-                + HDR.write_pps(self.pps))
+        from ..bitstream import sei as SEI
+        out = (HDR.write_vps(self.sps) + HDR.write_sps(self.sps)
+               + HDR.write_pps(self.pps))
+        msgs = []
+        if self.info_sei:
+            msgs.append(SEI.active_parameter_sets())
+            msgs.append(SEI.user_data_unregistered(
+                "x265-yuuki-asuna-tpu - TPU-native HEVC encoder - "
+                f"{self.src_w}x{self.src_h} qp={self.qp} ctu={self.cu}"))
+        if self.master_display:
+            vals = SEI.parse_master_display(self.master_display)
+            if vals:
+                msgs.append(SEI.mastering_display(vals))
+        if self.max_cll:
+            try:
+                cll, fall = (int(x) for x in self.max_cll.split(","))
+                msgs.append(SEI.content_light_level(cll, fall))
+            except ValueError:
+                pass
+        if msgs:
+            out += SEI.wrap_sei(msgs)
+        return out
 
     # ------------------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
