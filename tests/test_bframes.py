@@ -74,3 +74,45 @@ def test_bframe_tail_flush():
 def test_bframe_keyint_idr():
     """IDR inside the sequence forces the open mini-GOP closed."""
     _run(48, 32, _moving_scene(48, 32, 6, seed=4), qp=30, bframes=1, keyint=4)
+
+
+def test_b_adapt_closes_on_motion_break():
+    """A motion discontinuity mid-GOP should make b-adapt emit an early P
+    anchor (fewer TRAIL_N Bs than the static IBBP pattern would give)."""
+    from x265_yuuki_asuna_tpu.bitstream.bitio import split_annexb
+    rng = np.random.default_rng(9)
+    smooth = _moving_scene(64, 48, 4)
+    jolt = []           # independent noise: motion-unpredictable
+    for i in range(3):
+        jolt.append((rng.integers(0, 256, (48, 64)).astype(np.uint8),
+                     rng.integers(0, 256, (24, 32)).astype(np.uint8),
+                     rng.integers(0, 256, (24, 32)).astype(np.uint8)))
+    frames = smooth + jolt
+    sess = VideoEncoderSession(64, 48, qp=32, cu_size=16, keyint=100,
+                               hash_sei=False, bframes=2)
+    sess.scenecut_enabled = False     # isolate b-adapt from scenecut IDRs
+    stream = sess.headers()
+    results = []
+    for f in frames:
+        results += sess.push_frame(*f)
+    results += sess.flush()
+    for fr in results:
+        stream += fr.nals
+    types = [(n[0] >> 1) & 0x3F for n in split_annexb(stream)]
+    n_b = types.count(0)          # TRAIL_N
+    assert n_b < len(frames) - 1 - (len(frames) - 1) // 3, \
+        f"expected early-closed mini-GOPs, got {n_b} B frames in {types}"
+    decoded = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(decoded) == len(frames)
+
+
+def test_zones_qp_override():
+    frames = _moving_scene(64, 48, 6)
+    def run(zones):
+        s = VideoEncoderSession(64, 48, qp=32, cu_size=16, keyint=100,
+                                hash_sei=False, zones=zones)
+        return [s.encode_frame(*f).bits for f in frames]
+    plain = run(None)
+    zoned = run("3,5,q=45")
+    assert zoned[0] == plain[0]                 # outside the zone: unchanged
+    assert sum(zoned[3:]) < 0.6 * sum(plain[3:])  # QP45 zone much smaller

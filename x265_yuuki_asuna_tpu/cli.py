@@ -51,6 +51,8 @@ def main(argv=None):
     ap.add_argument("--master-display", default=None,
                     help="HDR10 mastering display: G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)")
     ap.add_argument("--max-cll", default=None, help="HDR10 MaxCLL,MaxFALL")
+    ap.add_argument("--zones", default=None,
+                    help="per-range overrides: start,end,q=N|b=M[/...]")
     ap.add_argument("--ladder", default=None,
                     help="ABR ladder: WxH:kbps[,WxH:kbps...] -> per-rung "
                          "outputs suffixed _WxH")
@@ -124,7 +126,8 @@ def main(argv=None):
                                    vbv_maxrate_kbps=args.vbv_maxrate,
                                    vbv_bufsize_kbps=args.vbv_bufsize,
                                    rdoq=args.rdoq_level > 0,
-                                   weightp=args.weightp, sbh=args.signhide)
+                                   weightp=args.weightp, sbh=args.signhide,
+                                   zones=args.zones)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         sess = IntraEncoderSession(info.width, info.height, qp=args.qp,

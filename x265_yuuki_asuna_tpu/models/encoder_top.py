@@ -498,7 +498,7 @@ class VideoEncoderSession:
                  deblock: bool = False, sao: bool = False,
                  vbv_maxrate_kbps: int = 0, vbv_bufsize_kbps: int = 0,
                  rdoq: bool = False, weightp: bool = False,
-                 sbh: bool = False):
+                 sbh: bool = False, zones: str = None):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
@@ -553,6 +553,30 @@ class VideoEncoderSession:
         self.pending = []           # buffered display-order frames (y, u, v)
         self.display_idx = 0
         self.anchor = None          # (recon planes, poc) of last I/P anchor
+        self.b_adapt = True         # adaptive mini-GOP closing (b-adapt)
+        # --- zones (reference --zones start,end,q=N|b=M[/...]) ------------
+        self.zones = []
+        self.gop_display_base = 0
+        if zones:
+            for part in zones.split("/"):
+                s, e, opt = part.split(",", 2)
+                zq = zb = None
+                k, _, val = opt.partition("=")
+                if k == "q":
+                    zq = int(val)
+                elif k == "b":
+                    zb = float(val)
+                self.zones.append((int(s), int(e), zq, zb))
+
+    def _zone_qp(self, display_idx: int, qp: int) -> int:
+        import math
+        for s, e, zq, zb in self.zones:
+            if s <= display_idx <= e:
+                if zq is not None:
+                    return zq
+                if zb:
+                    return int(round(min(max(qp - 6 * math.log2(zb), 0), 51)))
+        return qp
 
     def headers(self) -> bytes:
         return self.intra_sess.headers()
@@ -567,6 +591,8 @@ class VideoEncoderSession:
             qp = self.two_pass.frame_qp()
         else:
             qp = self.rc.frame_qp(is_idr, lookahead_cost=la_cost)
+        qp = self._zone_qp(self.display_idx, qp)
+        self.display_idx += 1
         yp = yp0
         up = G.pad_plane(u, self.coded_h // 2, self.coded_w // 2)
         vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
@@ -678,15 +704,26 @@ class VideoEncoderSession:
     # ------------------------------------------------------------------
 
     def push_frame(self, y, u, v) -> List["FrameResult"]:
-        assert self.bframes, "push_frame requires bframes > 0"
+        assert self.bframes, "push_frame requires push/flush (bframes > 0)"
         results: List[FrameResult] = []
-        idr_due = (self.display_idx % self.keyint == 0) or self.anchor is None
+        yp0 = G.pad_plane(y, self.coded_h, self.coded_w)
+        icost, pcost, scenecut = self.lookahead.push(yp0)
+        idr_due = (self.display_idx % self.keyint == 0) \
+            or self.anchor is None \
+            or (self.scenecut_enabled and scenecut)
         if idr_due:
             results += self.flush()
             results.append(self._encode_anchor(y, u, v, idr=True))
         else:
             self.pending.append((y, u, v))
-            if len(self.pending) == self.bframes + 1:
+            # b-adapt (reference slicetype b-adapt 1 shape): close the
+            # mini-GOP early when this frame predicts poorly (high lowres
+            # P cost vs its intra cost) — it becomes a P anchor instead of
+            # a B, keeping B frames on well-predicted stretches.
+            # threshold sits between well-predicted stretches (lowres
+            # pcost/icost ~0.1) and the scenecut point (~0.6)
+            poorly_predicted = (self.b_adapt and pcost > 0.45 * max(icost, 1))
+            if len(self.pending) == self.bframes + 1 or poorly_predicted:
                 results += self.flush()
         self.display_idx += 1
         return results
@@ -735,6 +772,11 @@ class VideoEncoderSession:
         yp, up, vp = self._pad(y, u, v)
         qp = self.rc.frame_qp(idr)
         if idr:
+            self.gop_display_base = self.display_idx
+            qp = self._zone_qp(self.display_idx, qp)
+        else:
+            qp = self._zone_qp(self.gop_display_base + poc, qp)
+        if idr:
             out = self.intra_sess.frame_encoder.encode_frame(yp, up, vp, qp=qp)
             self._deblock_frame(out, qp, is_idr=True)
             sao_params = self._sao_frame(out, yp, up, vp)
@@ -761,6 +803,7 @@ class VideoEncoderSession:
     def _encode_b(self, y, u, v, poc, ref0, poc0, ref1, poc1) -> "FrameResult":
         yp, up, vp = self._pad(y, u, v)
         qp = min(self.rc.frame_qp(False) + 2, 51)   # pbFactor-style B offset
+        qp = self._zone_qp(self.gop_display_base + poc, qp)
         out = self.bi_encoder.encode_frame(
             yp, up, vp, ref0[0], ref0[1], ref0[2], qp=qp,
             ref1_y=ref1[0], ref1_u=ref1[1], ref1_v=ref1[2])
