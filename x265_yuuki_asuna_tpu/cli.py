@@ -51,6 +51,10 @@ def main(argv=None):
     ap.add_argument("--master-display", default=None,
                     help="HDR10 mastering display: G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)")
     ap.add_argument("--max-cll", default=None, help="HDR10 MaxCLL,MaxFALL")
+    ap.add_argument("--analysis-save", default=None,
+                    help="save per-CU analysis for reuse")
+    ap.add_argument("--analysis-load", default=None,
+                    help="reuse saved analysis (skip full motion search)")
     ap.add_argument("--zones", default=None,
                     help="per-range overrides: start,end,q=N|b=M[/...]")
     ap.add_argument("--ladder", default=None,
@@ -127,7 +131,9 @@ def main(argv=None):
                                    vbv_bufsize_kbps=args.vbv_bufsize,
                                    rdoq=args.rdoq_level > 0,
                                    weightp=args.weightp, sbh=args.signhide,
-                                   zones=args.zones)
+                                   zones=args.zones,
+                                   analysis_save=args.analysis_save,
+                                   analysis_load=args.analysis_load)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         sess = IntraEncoderSession(info.width, info.height, qp=args.qp,

@@ -498,7 +498,8 @@ class VideoEncoderSession:
                  deblock: bool = False, sao: bool = False,
                  vbv_maxrate_kbps: int = 0, vbv_bufsize_kbps: int = 0,
                  rdoq: bool = False, weightp: bool = False,
-                 sbh: bool = False, zones: str = None):
+                 sbh: bool = False, zones: str = None,
+                 analysis_save: str = None, analysis_load: str = None):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
@@ -521,10 +522,24 @@ class VideoEncoderSession:
         self.weightp = weightp
         if weightp:
             self.intra_sess.pps.weighted_pred = 1
+        # ---- analysis reuse (reference --analysis-save/load) --------------
+        self.analysis_save = open(analysis_save, "wb") if analysis_save else None
+        self.analysis_data = None
+        self.analysis_idx = 0
+        if analysis_load:
+            import pickle
+            recs = []
+            with open(analysis_load, "rb") as f:
+                try:
+                    while True:
+                        recs.append(pickle.load(f))
+                except EOFError:
+                    pass
+            self.analysis_data = recs
         self.inter_encoder = InterFrameEncoder(InterFrameConfig(
             width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp,
             search_range=search_range, rdoq=rdoq, weightp=weightp,
-            sbh=self.sbh))
+            sbh=self.sbh, analysis_load=self.analysis_data is not None))
         self.frame_idx = 0
         self.poc = 0
         self.ref = None   # (y, u, v) padded recon planes
@@ -606,9 +621,16 @@ class VideoEncoderSession:
             self.frame_idx = 0   # scenecut restarts the GOP
         else:
             weights = self._decide_weights(yp, up, vp, self.ref)
+            hx = hy = None
+            if self.analysis_data is not None:
+                rec = self.analysis_data[min(self.analysis_idx,
+                                             len(self.analysis_data) - 1)]
+                ncu = self.rows * self.cols
+                hx = rec.get("mvx", np.zeros(ncu, np.int32)).reshape(-1)
+                hy = rec.get("mvy", np.zeros(ncu, np.int32)).reshape(-1)
             out = self.inter_encoder.encode_frame(
                 yp, up, vp, self.ref[0], self.ref[1], self.ref[2], qp=qp,
-                weights=weights)
+                weights=weights, hint_mvx=hx, hint_mvy=hy)
             self.poc += 1
             self._deblock_frame(out, qp, is_idr=False)
             sao_params = self._sao_frame(out, yp, up, vp)
@@ -616,6 +638,15 @@ class VideoEncoderSession:
                                           weights=weights)
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
+        if self.analysis_save is not None:
+            import pickle
+            rec = {"t": "I" if is_idr else "P"}
+            if not is_idr:
+                rec["mvx"] = out["mvx"].astype(np.int32)
+                rec["mvy"] = out["mvy"].astype(np.int32)
+            pickle.dump(rec, self.analysis_save)
+            self.analysis_save.flush()
+        self.analysis_idx += 1
         self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         self.frame_idx += 1
         self.rc.frame_done(qp, len(nals) * 8)

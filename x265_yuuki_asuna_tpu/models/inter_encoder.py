@@ -37,6 +37,8 @@ class InterFrameConfig:
     rdoq: bool = False      # RD-optimized quantization
     sbh: bool = False       # sign-bit hiding
     weightp: bool = False   # explicit weighted uni-prediction (P slices)
+    analysis_load: bool = False   # reuse saved MVs: skip full search,
+                                  # subpel-refine around the hint only
 
     @property
     def rows(self):
@@ -63,7 +65,7 @@ class InterFrameEncoder:
 
     def encode_frame(self, y, u, v, ref_y, ref_u, ref_v, qp: int = None,
                      ref1_y=None, ref1_u=None, ref1_v=None,
-                     weights=None):
+                     weights=None, hint_mvx=None, hint_mvy=None):
         """All planes padded to coded size. ref_* are the decoded reference
         planes (L0; ref1_* = L1 when cfg.bi). weights (cfg.weightp): dict
         {'luma': (w, o)|None, 'cb': ..., 'cr': ...}, denom 6; None entries
@@ -83,6 +85,11 @@ class InterFrameEncoder:
             buf = np.asarray(self._encode(
                 a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
                 jnp.int32(qp), *wargs))
+        elif self.cfg.analysis_load:
+            buf = np.asarray(self._encode(
+                a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
+                jnp.int32(qp), jnp.asarray(hint_mvx, jnp.int32),
+                jnp.asarray(hint_mvy, jnp.int32)))
         else:
             buf = np.asarray(self._encode(
                 a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v), jnp.int32(qp)))
@@ -119,14 +126,18 @@ class InterFrameEncoder:
         PX = jnp.asarray(grid_c0 * n)
         PY = jnp.asarray(grid_r0 * n)
 
-        def search_ref(yb32, ref_y):
+        def search_ref(yb32, ref_y, hint=None):
             """Full search + subpel refinement against one reference.
-            Returns quarter-pel (mvx, mvy)."""
+            Returns quarter-pel (mvx, mvy). With a hint (analysis reuse),
+            the full search is skipped and refinement starts at the hint."""
             px, py = PX, PY
-            mvx_i, mvy_i, _ = me.full_search_sad(
-                ref_y, yb32, px, py, n, R, lambda_bits=2, xp=jnp)
-            mvx = mvx_i * 4     # quarter-pel units
-            mvy = mvy_i * 4
+            if hint is not None:
+                mvx, mvy = hint
+            else:
+                mvx_i, mvy_i, _ = me.full_search_sad(
+                    ref_y, yb32, px, py, n, R, lambda_bits=2, xp=jnp)
+                mvx = mvx_i * 4     # quarter-pel units
+                mvy = mvy_i * 4
 
             def eval_mv(mx, my):
                 p = interp.mc_luma_qpel(ref_y, px, py, mx, my, n, bd, xp=jnp)
@@ -162,10 +173,10 @@ class InterFrameEncoder:
                                            nc, bd, xp=jnp)
             return pred_y, pred_u, pred_v
 
-        def motion_phase(src_y, ref_y, ref_u, ref_v, wts=None):
+        def motion_phase(src_y, ref_y, ref_u, ref_v, wts=None, hint=None):
             yb32 = to_blocks(src_y, n)
             if wts is None:
-                mvx, mvy = search_ref(yb32, ref_y)
+                mvx, mvy = search_ref(yb32, ref_y, hint)
                 pred_y, pred_u, pred_v = uni_pred((ref_y, ref_u, ref_v),
                                                   mvx, mvy)
             else:
@@ -341,12 +352,15 @@ class InterFrameEncoder:
             return step
 
         def encode(y, u, v, ref_y, ref_u, ref_v, *rest):
-            wts = None
+            wts = hint = None
             if cfg.bi:
                 ref1_y, ref1_u, ref1_v, qp = rest
             elif cfg.weightp:
                 qp, wy, oy, wcb, ocb, wcr, ocr = rest
                 wts = ((wy, oy), (wcb, ocb), (wcr, ocr))
+            elif cfg.analysis_load:
+                qp, hx, hy = rest
+                hint = (hx, hy)
             else:
                 (qp,) = rest
             qp_sig = qp.astype(jnp.int32)
@@ -368,7 +382,7 @@ class InterFrameEncoder:
                      ref1_v.astype(jnp.int32)))
             else:
                 mvx, mvy, pred_y, pred_u, pred_v, inter_satd = motion_phase(
-                    y32, refy32, refu32, refv32, wts)
+                    y32, refy32, refu32, refv32, wts, hint)
             # sentinel row for invalid slots
             def padded(a, shape):
                 return jnp.concatenate([a, jnp.zeros((1,) + shape, a.dtype)], 0)
