@@ -22,7 +22,8 @@ from . import tables as T
 from .cabac import CabacEncoder, CabacDecoder
 from .ctu_syntax import (derive_mpm, encode_intra_luma_mode,
                          decode_intra_luma_mode, encode_intra_chroma_mode,
-                         decode_intra_chroma_mode)
+                         decode_intra_chroma_mode, encode_cu_qp_delta,
+                         decode_cu_qp_delta)
 from .residual import encode_residual, decode_residual
 
 CTX = T.CTX_OFFSET
@@ -214,8 +215,10 @@ def skip_ctx(grid: List[List[Optional[CUInfo]]], r: int, c: int) -> int:
 
 def encode_inter_ctu(enc: CabacEncoder, d: InterCTUDecision,
                      grid: List[List[Optional[CUInfo]]], r: int, c: int,
-                     log2_cu: int, max_merge: int, sign_hiding: bool = False):
-    """coding_unit() for a P slice, uniform 2Nx2N grid."""
+                     log2_cu: int, max_merge: int, sign_hiding: bool = False,
+                     cu_qp_delta=None):
+    """coding_unit() for a P slice, uniform 2Nx2N grid. cu_qp_delta: int to
+    signal (only coded when the CU has a coded cbf — spec transform_unit)."""
     is_skip = (not d.is_intra and d.merge_idx >= 0 and not d.has_residual)
     enc.encode_bin(1 if is_skip else 0, CTX["skip"] + skip_ctx(grid, r, c))
     if is_skip:
@@ -237,6 +240,8 @@ def encode_inter_ctu(enc: CabacEncoder, d: InterCTUDecision,
         enc.encode_bin(cbf_cr, CTX["qt_cbf"] + 2)
         cbf_y = 1 if np.any(d.luma_levels) else 0
         enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
+        if cu_qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
+            encode_cu_qp_delta(enc, cu_qp_delta)
         if cbf_y:
             encode_residual(enc, d.luma_levels, log2_cu, True, d.intra_mode,
                             sign_hiding)
@@ -275,6 +280,8 @@ def encode_inter_ctu(enc: CabacEncoder, d: InterCTUDecision,
             enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
         else:
             assert cbf_y, "rqt_root_cbf=1 with no coded cbf"
+        if cu_qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
+            encode_cu_qp_delta(enc, cu_qp_delta)
         if cbf_y:
             encode_residual(enc, d.luma_levels, log2_cu, True, -1, sign_hiding)
         if cbf_cb:

@@ -51,6 +51,8 @@ def main(argv=None):
     ap.add_argument("--master-display", default=None,
                     help="HDR10 mastering display: G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)")
     ap.add_argument("--max-cll", default=None, help="HDR10 MaxCLL,MaxFALL")
+    ap.add_argument("--cutree", action="store_true",
+                    help="lookahead cost propagation -> per-CU QP offsets")
     ap.add_argument("--analysis-save", default=None,
                     help="save per-CU analysis for reuse")
     ap.add_argument("--analysis-load", default=None,
@@ -133,7 +135,10 @@ def main(argv=None):
                                    weightp=args.weightp, sbh=args.signhide,
                                    zones=args.zones,
                                    analysis_save=args.analysis_save,
-                                   analysis_load=args.analysis_load)
+                                   analysis_load=args.analysis_load,
+                                   aq_mode=args.aq_mode,
+                                   aq_strength=args.aq_strength,
+                                   cutree=args.cutree)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         sess = IntraEncoderSession(info.width, info.height, qp=args.qp,

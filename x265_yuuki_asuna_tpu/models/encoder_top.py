@@ -499,13 +499,26 @@ class VideoEncoderSession:
                  vbv_maxrate_kbps: int = 0, vbv_bufsize_kbps: int = 0,
                  rdoq: bool = False, weightp: bool = False,
                  sbh: bool = False, zones: str = None,
-                 analysis_save: str = None, analysis_load: str = None):
+                 analysis_save: str = None, analysis_load: str = None,
+                 aq_mode: int = 0, aq_strength: float = 1.0,
+                 cutree: bool = False):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
+        # per-CU QP (AQ/cuTree) and deblocking are mutually exclusive this
+        # round: the in-loop filter still derives thresholds from the frame
+        # QP (per-edge QP averaging is the r2 item)
+        self.aq_mode = aq_mode
+        self.aq_strength = aq_strength
+        self.cutree = cutree
+        per_cu_qp = bool(aq_mode or cutree)
+        deblock = deblock and not per_cu_qp
+        sao = sao and not per_cu_qp
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
                                               hash_sei=False, deblock=deblock,
                                               sao=sao, rdoq=rdoq, sbh=sbh)
         self.sbh = self.intra_sess.sbh
+        if per_cu_qp:
+            self.intra_sess.pps.cu_qp_delta = 1
         self.deblock = deblock
         self.sao = sao
         # share geometry/headers with the intra session but fix DPB size
@@ -569,6 +582,12 @@ class VideoEncoderSession:
         self.display_idx = 0
         self.anchor = None          # (recon planes, poc) of last I/P anchor
         self.b_adapt = True         # adaptive mini-GOP closing (b-adapt)
+        # cuTree accumulator on the lowres 8x8 grid (causal EWMA of the
+        # propagate-in amounts; see _cutree_update)
+        self.cutree_acc = np.zeros((self.lookahead.lh // 8,
+                                    self.lookahead.lw // 8))
+        self.cutree_icost = np.maximum(self.cutree_acc, 1.0)
+        self.cutree_strength = 2.0
         # --- zones (reference --zones start,end,q=N|b=M[/...]) ------------
         self.zones = []
         self.gop_display_base = 0
@@ -608,11 +627,17 @@ class VideoEncoderSession:
             qp = self.rc.frame_qp(is_idr, lookahead_cost=la_cost)
         qp = self._zone_qp(self.display_idx, qp)
         self.display_idx += 1
+        self._cutree_update()
+        qp_map = self._frame_qp_map(yp0, qp)
         yp = yp0
         up = G.pad_plane(u, self.coded_h // 2, self.coded_w // 2)
         vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
         if is_idr:
-            out = self.intra_sess.frame_encoder.encode_frame(yp, up, vp, qp=qp)
+            out = self.intra_sess.frame_encoder.encode_frame(
+                yp, up, vp,
+                qp=qp_map.reshape(-1) if qp_map is not None else qp)
+            if qp_map is not None:
+                out["qp_map"] = qp_map
             self._deblock_frame(out, qp, is_idr=True)
             sao_params = self._sao_frame(out, yp, up, vp)
             nals = self.intra_sess._assemble_slice(out, qp=qp,
@@ -629,13 +654,14 @@ class VideoEncoderSession:
                 hx = rec.get("mvx", np.zeros(ncu, np.int32)).reshape(-1)
                 hy = rec.get("mvy", np.zeros(ncu, np.int32)).reshape(-1)
             out = self.inter_encoder.encode_frame(
-                yp, up, vp, self.ref[0], self.ref[1], self.ref[2], qp=qp,
+                yp, up, vp, self.ref[0], self.ref[1], self.ref[2],
+                qp=qp_map.reshape(-1) if qp_map is not None else qp,
                 weights=weights, hint_mvx=hx, hint_mvy=hy)
             self.poc += 1
             self._deblock_frame(out, qp, is_idr=False)
             sao_params = self._sao_frame(out, yp, up, vp)
             nals = self._assemble_p_slice(out, qp, sao_params=sao_params,
-                                          weights=weights)
+                                          weights=weights, qp_map=qp_map)
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         if self.analysis_save is not None:
@@ -661,6 +687,75 @@ class VideoEncoderSession:
                  out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8))
         return FrameResult(nals=nals, recon=recon, bits=len(nals) * 8,
                            psnr_y=psnr)
+
+    # ------------------------------------------------------------------
+    # cuTree (reference slicetype.cpp cuTree/estimateCUPropagate): lowres
+    # costs propagate along motion into the referenced frame's blocks;
+    # heavily-referenced, well-predicted areas get a negative QP offset.
+    # Causal variant: the propagation computed when frame t arrives (into
+    # frame t-1's grid) feeds an EWMA applied to the NEXT encoded frame —
+    # exploiting temporal coherence instead of a lookahead encode delay
+    # (full delayed propagation is the r2 item).
+    # ------------------------------------------------------------------
+
+    def _cutree_update(self):
+        d = getattr(self.lookahead, "last_detail", None)
+        if d is None:
+            return
+        nbx, nby = d["nb_x"], d["nb_y"]
+        if not d["has_prev"]:
+            self.cutree_acc *= 0.5
+            return
+        icost = d["icost"].reshape(nby, nbx).astype(np.float64)
+        sad = d["sad"].reshape(nby, nbx).astype(np.float64)
+        frac = np.clip(1.0 - sad / np.maximum(icost, 1.0), 0.0, 1.0)
+        amount = icost * frac
+        mvx = d["mvx"].reshape(nby, nbx)
+        mvy = d["mvy"].reshape(nby, nbx)
+        # area-weighted scatter into the referenced (previous) frame's grid
+        bx = np.arange(nbx) * 8
+        by = np.arange(nby) * 8
+        gx = (bx[None, :] + mvx) / 8.0
+        gy = (by[:, None] + mvy) / 8.0
+        x0 = np.floor(gx).astype(int)
+        y0 = np.floor(gy).astype(int)
+        fx = gx - x0
+        fy = gy - y0
+        acc = np.zeros_like(self.cutree_acc)
+        for dx, dy, w in ((0, 0, (1 - fx) * (1 - fy)), (1, 0, fx * (1 - fy)),
+                          (0, 1, (1 - fx) * fy), (1, 1, fx * fy)):
+            np.add.at(acc, (np.clip(y0 + dy, 0, nby - 1),
+                            np.clip(x0 + dx, 0, nbx - 1)), amount * w)
+        self.cutree_acc = 0.5 * self.cutree_acc + acc
+        self.cutree_icost = np.maximum(icost, 1.0)
+
+    def _cutree_offsets(self) -> np.ndarray:
+        """Per-CU integer QP offsets [rows, cols] from the accumulator."""
+        ratio = (self.cutree_icost + self.cutree_acc) / self.cutree_icost
+        off_blk = np.clip(-self.cutree_strength * np.log2(ratio), -6.0, 0.0)
+        # lowres 8x8 block == fullres 16x16; pool to the CU grid
+        s = self.cu // 16
+        nby, nbx = off_blk.shape
+        out = np.zeros((self.rows, self.cols))
+        for r in range(self.rows):
+            for c in range(self.cols):
+                blk = off_blk[r * s:min((r + 1) * s, nby),
+                              c * s:min((c + 1) * s, nbx)]
+                if blk.size:
+                    out[r, c] = blk.mean()
+        return np.round(out).astype(np.int32)
+
+    def _frame_qp_map(self, yp, qp):
+        """Combined AQ + cuTree per-CU QP map, or None."""
+        if not (self.aq_mode or self.cutree):
+            return None
+        off = np.zeros((self.rows, self.cols), np.int32)
+        if self.aq_mode:
+            from .ratecontrol import compute_aq_offsets
+            off = off + compute_aq_offsets(yp, self.cu, self.aq_strength)
+        if self.cutree:
+            off = off + self._cutree_offsets()
+        return np.clip(qp + off, 0, 51).astype(np.int32)
 
     # ------------------------------------------------------------------
     def _decide_weights(self, yp, up, vp, ref):
@@ -919,7 +1014,7 @@ class VideoEncoderSession:
 
     def _assemble_p_slice(self, out: dict, qp: int = None, poc: int = None,
                           ref_delta: int = 1, sao_params=None,
-                          weights=None) -> bytes:
+                          weights=None, qp_map=None) -> bytes:
         from ..bitstream import inter_syntax as IS
         from ..bitstream.bitio import NAL_TRAIL_R
         qp = self.qp if qp is None else qp
@@ -933,7 +1028,8 @@ class VideoEncoderSession:
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0,
                                     weights=weights)
-        res = None if (sao_params is not None or self.sbh) \
+        res = None if (sao_params is not None or self.sbh
+                       or qp_map is not None) \
             else native.encode_p_slice(
             out["use_intra"], out["modes"], out["mvx"], out["mvy"],
             out["levels_y"], out["levels_cb"], out["levels_cr"],
@@ -945,6 +1041,7 @@ class VideoEncoderSession:
             enc.init_contexts(1, qp)    # P-slice init row
             grid = [[None] * self.cols for _ in range(self.rows)]
             last = self.rows * self.cols - 1
+            qp_prev = qp                # decoder's qPY_PREV chain
             for r in range(self.rows):
                 for c in range(self.cols):
                     if sao_params is not None:
@@ -954,8 +1051,13 @@ class VideoEncoderSession:
                             sao_params[r - 1][c] if r > 0 else None,
                             True, True, sess.bit_depth)
                     d = self._decide_cu(out, grid, r, c)
+                    delta = None
+                    if qp_map is not None and d.has_residual:
+                        delta = int(qp_map[r, c]) - qp_prev
+                        qp_prev = int(qp_map[r, c])
                     IS.encode_inter_ctu(enc, d, grid, r, c, log2cu,
-                                        self.max_merge, sign_hiding=self.sbh)
+                                        self.max_merge, sign_hiding=self.sbh,
+                                        cu_qp_delta=delta)
                     enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
             data, tail, tail_bits = enc.finish()
         for b in data:

@@ -75,7 +75,7 @@ class InterFrameEncoder:
         if self.cfg.bi:
             buf = np.asarray(self._encode(
                 a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
-                a(ref1_y), a(ref1_u), a(ref1_v), jnp.int32(qp)))
+                a(ref1_y), a(ref1_u), a(ref1_v), jnp.asarray(qp, jnp.int32)))
         elif self.cfg.weightp:
             weights = weights or {}
             wargs = []
@@ -84,15 +84,15 @@ class InterFrameEncoder:
                 wargs += [jnp.int32(w), jnp.int32(o)]
             buf = np.asarray(self._encode(
                 a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
-                jnp.int32(qp), *wargs))
+                jnp.asarray(qp, jnp.int32), *wargs))
         elif self.cfg.analysis_load:
             buf = np.asarray(self._encode(
                 a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
-                jnp.int32(qp), jnp.asarray(hint_mvx, jnp.int32),
+                jnp.asarray(qp, jnp.int32), jnp.asarray(hint_mvx, jnp.int32),
                 jnp.asarray(hint_mvy, jnp.int32)))
         else:
             buf = np.asarray(self._encode(
-                a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v), jnp.int32(qp)))
+                a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v), jnp.asarray(qp, jnp.int32)))
         return self._unpack(buf)
 
     # ------------------------------------------------------------------
@@ -278,7 +278,7 @@ class InterFrameEncoder:
             rr = transforms.inverse_transform(dq, bd, xp=jnp)
             return levels, rr
 
-        def make_step(srcs, preds, inter_satd, qp_y, qp_c):
+        def make_step(srcs, preds, inter_satd, qp_y_pad, qp_c_pad):
             src_yb, src_ub, src_vb = srcs
             pred_yb, pred_ub, pred_vb = preds
 
@@ -332,6 +332,8 @@ class InterFrameEncoder:
                 pred_u = jnp.where(sel, ipred_u, ip_u)
                 pred_v = jnp.where(sel, ipred_v, ip_v)
 
+                qp_y = jnp.take(qp_y_pad, cu_s)       # [S] per-slot QP
+                qp_c = jnp.take(qp_c_pad, cu_s)
                 lv_y, rr_y = tq(src_y.astype(jnp.int32) - pred_y, qp_y, log2n)
                 lv_cb, rr_u = tq(src_u.astype(jnp.int32) - pred_u, qp_c, log2n - 1)
                 lv_cr, rr_v = tq(src_v.astype(jnp.int32) - pred_v, qp_c, log2n - 1)
@@ -364,10 +366,15 @@ class InterFrameEncoder:
             else:
                 (qp,) = rest
             qp_sig = qp.astype(jnp.int32)
-            # internal quant QP includes the bit-depth offset (Qp' = Qp + 6*(bd-8))
-            qp_y = qp_sig + 6 * (bd - 8)
-            qp_c = jnp.take(jnp.asarray(CHROMA_QP_TABLE),
-                            jnp.clip(qp_sig, 0, 57)) + 6 * (bd - 8)
+            # internal quant QP includes the bit-depth offset (Qp' = Qp + 6*(bd-8));
+            # qp may be a scalar or a per-CU [ncu] map (inter AQ / cuTree)
+            qp_cu = jnp.broadcast_to(qp_sig, (ncu,))
+            qp_y_map = qp_cu + 6 * (bd - 8)
+            qp_c_map = jnp.take(jnp.asarray(CHROMA_QP_TABLE),
+                                jnp.clip(qp_cu, 0, 57)) + 6 * (bd - 8)
+            # sentinel entry for invalid wavefront slots
+            qp_y_pad = jnp.concatenate([qp_y_map, qp_y_map[:1]])
+            qp_c_pad = jnp.concatenate([qp_c_map, qp_c_map[:1]])
             y32 = y.astype(jnp.int32)
             u32 = u.astype(jnp.int32)
             v32 = v.astype(jnp.int32)
@@ -393,7 +400,7 @@ class InterFrameEncoder:
                      padded(pred_v, (nc, nc)))
             isatd_p = jnp.concatenate([inter_satd, jnp.zeros((1,), inter_satd.dtype)])
 
-            step = make_step(srcs, preds, isatd_p, qp_y, qp_c)
+            step = make_step(srcs, preds, isatd_p, qp_y_pad, qp_c_pad)
             z0 = y.reshape(-1)[0].astype(jnp.int32) * 0
             init = tuple(jnp.full((ncu + 1, k), fill, jnp.int32) + z0
                          for k in (n, n, nc, nc, nc, nc))

@@ -66,7 +66,7 @@ class Lookahead:
                                                8, 16, lambda_bits=1, xp=jnp)
             inter_cost = jnp.where(has_prev, jnp.sum(jnp.minimum(sad, icost)),
                                    intra_cost)
-            return low, intra_cost, inter_cost
+            return low, intra_cost, inter_cost, icost, sad, mvx, mvy
 
         return run
 
@@ -75,9 +75,17 @@ class Lookahead:
         prev = self.prev_lowres if self.prev_lowres is not None else \
             jnp.zeros((self.lh, self.lw), jnp.int32)
         has_prev = self.prev_lowres is not None
-        low, icost, pcost = self._fn(jnp.asarray(y), prev,
-                                     jnp.bool_(has_prev))
+        low, icost, pcost, icost_blk, sad_blk, mvx, mvy = self._fn(
+            jnp.asarray(y), prev, jnp.bool_(has_prev))
         self.prev_lowres = low
+        # per-block detail for cuTree propagation (8x8 lowres block ==
+        # 16x16 full-res CU): costs + the lowres MVs into the previous frame
+        self.last_detail = {
+            "icost": np.asarray(icost_blk), "sad": np.asarray(sad_blk),
+            "mvx": np.asarray(mvx), "mvy": np.asarray(mvy),
+            "has_prev": has_prev,
+            "nb_x": self.lw // 8, "nb_y": self.lh // 8,
+        }
         icost = float(icost)
         pcost = float(pcost)
         # scenecut rule (slicetype.cpp:2229 shape; default threshold 40 ->
