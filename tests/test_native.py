@@ -137,3 +137,65 @@ def test_native_p_slice_golden():
         got = native.encode_p_slice(use_intra, modes, mvx, mvy,
                                     lv_y, lv_cb, lv_cr, log2cu, qp, 3)
         assert got == ref, trial
+
+
+def test_native_b_slice_golden():
+    """Native B-slice writer byte-identical to the Python reference
+    (bi merge with combined candidates, per-list AMVP with POC scaling)."""
+    import numpy as np
+    from x265_yuuki_asuna_tpu.bitstream import native
+    from x265_yuuki_asuna_tpu.bitstream import inter_syntax as IS
+    from x265_yuuki_asuna_tpu.bitstream.cabac import CabacEncoder
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(11)
+    rows, cols, n, nc = 3, 4, 16, 8
+    ncu = rows * cols
+    qp, max_merge = 30, 3
+    poc, poc0, poc1 = 1, 0, 2
+    for trial in range(4):
+        use_intra = (rng.random((rows, cols)) < 0.2)
+        modes = rng.integers(0, 35, (rows, cols)).astype(np.int32)
+        pdir = rng.integers(1, 4, (rows, cols)).astype(np.int32)
+        mvx = (rng.integers(-32, 33, (rows, cols)) * rng.integers(0, 2, (rows, cols))).astype(np.int32)
+        mvy = (rng.integers(-32, 33, (rows, cols)) * rng.integers(0, 2, (rows, cols))).astype(np.int32)
+        mv1x = (rng.integers(-32, 33, (rows, cols)) * rng.integers(0, 2, (rows, cols))).astype(np.int32)
+        mv1y = rng.integers(-32, 33, (rows, cols)).astype(np.int32)
+        m0 = (pdir & 1).astype(bool)
+        m1 = (pdir & 2).astype(bool)
+        mvx, mvy = np.where(m0, mvx, 0), np.where(m0, mvy, 0)
+        mv1x, mv1y = np.where(m1, mv1x, 0), np.where(m1, mv1y, 0)
+        lv_y = (rng.integers(-4, 5, (rows, cols, n, n))
+                * (rng.random((rows, cols, n, n)) < 0.05)).astype(np.int32)
+        lv_cb = (rng.integers(-3, 4, (rows, cols, nc, nc))
+                 * (rng.random((rows, cols, nc, nc)) < 0.05)).astype(np.int32)
+        lv_cr = (rng.integers(-3, 4, (rows, cols, nc, nc))
+                 * (rng.random((rows, cols, nc, nc)) < 0.05)).astype(np.int32)
+
+        res = native.encode_b_slice(use_intra, modes, pdir, mvx, mvy,
+                                    mv1x, mv1y, lv_y, lv_cb, lv_cr,
+                                    4, qp, max_merge, poc, poc0, poc1)
+        assert res is not None
+
+        out = {"use_intra": use_intra, "modes": modes, "pdir": pdir,
+               "mvx": mvx, "mvy": mvy, "mv1x": mv1x, "mv1y": mv1y,
+               "levels_y": lv_y, "levels_cb": lv_cb, "levels_cr": lv_cr}
+        enc = CabacEncoder()
+        enc.init_contexts(0, qp)
+        grid = [[None] * cols for _ in range(rows)]
+
+        from x265_yuuki_asuna_tpu.models.encoder_top import VideoEncoderSession
+        sess = VideoEncoderSession.__new__(VideoEncoderSession)
+        sess.rows, sess.cols, sess.max_merge = rows, cols, max_merge
+        last = ncu - 1
+        for r in range(rows):
+            for c in range(cols):
+                d = VideoEncoderSession._decide_cu_b(sess, out, grid, r, c,
+                                                     poc, poc0, poc1)
+                IS.encode_b_ctu(enc, d, grid, r, c, 4, max_merge)
+                enc.encode_bin_trm(1 if r * cols + c == last else 0)
+        data, tail, tail_bits = enc.finish()
+        assert res == (data, tail, tail_bits), f"trial {trial} mismatch"

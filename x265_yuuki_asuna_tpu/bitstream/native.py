@@ -58,6 +58,16 @@ def load():
             ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int)]
+        lib.asuna_encode_b_slice.restype = ctypes.c_int
+        lib.asuna_encode_b_slice.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int)]
         lib.asuna_encode_residual_test.restype = ctypes.c_int
         lib.asuna_encode_residual_test.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -144,6 +154,44 @@ def encode_p_slice(use_intra: np.ndarray, intra_modes: np.ndarray,
         ui.ctypes.data, im.ctypes.data, mx.ctypes.data, my.ctypes.data,
         ly.ctypes.data, lcb.ctypes.data, lcr.ctypes.data,
         rows, cols, log2cu, qp, max_merge, 1 if sign_hiding else 0,
+        out.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
+    if nbytes < 0:
+        return None
+    return bytes(out[:nbytes]), int(tail.value), int(tail_bits.value)
+
+
+def encode_b_slice(use_intra: np.ndarray, intra_modes: np.ndarray,
+                   pdir: np.ndarray, mv0x_q: np.ndarray, mv0y_q: np.ndarray,
+                   mv1x_q: np.ndarray, mv1y_q: np.ndarray,
+                   levels_y: np.ndarray, levels_cb: np.ndarray,
+                   levels_cr: np.ndarray, log2cu: int, qp: int,
+                   max_merge: int, poc_cur: int, poc_l0: int, poc_l1: int,
+                   sign_hiding: bool = False):
+    """Native B-slice CABAC incl. bi merge/AMVP decisions (unused-list MVs
+    must be zeroed). Returns (payload, tail, tail_bits) or None."""
+    lib = load()
+    if lib is None or not hasattr(lib, "asuna_encode_b_slice"):
+        return None
+    rows, cols = use_intra.shape
+    c = lambda a, dt: np.ascontiguousarray(a, dt)
+    ui = c(use_intra, np.uint8)
+    im = c(intra_modes, np.int32)
+    pd = c(pdir, np.int32)
+    m0x, m0y = c(mv0x_q, np.int32), c(mv0y_q, np.int32)
+    m1x, m1y = c(mv1x_q, np.int32), c(mv1y_q, np.int32)
+    ly = c(levels_y, np.int32)
+    lcb = c(levels_cb, np.int32)
+    lcr = c(levels_cr, np.int32)
+    cap = int(ly.nbytes + lcb.nbytes + lcr.nbytes + 65536)
+    out = np.empty(cap, np.uint8)
+    tail = ctypes.c_uint32()
+    tail_bits = ctypes.c_int()
+    nbytes = lib.asuna_encode_b_slice(
+        ui.ctypes.data, im.ctypes.data, pd.ctypes.data,
+        m0x.ctypes.data, m0y.ctypes.data, m1x.ctypes.data, m1y.ctypes.data,
+        ly.ctypes.data, lcb.ctypes.data, lcr.ctypes.data,
+        rows, cols, log2cu, qp, max_merge, poc_cur, poc_l0, poc_l1,
+        1 if sign_hiding else 0,
         out.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
     if nbytes < 0:
         return None

@@ -955,23 +955,37 @@ class VideoEncoderSession:
                                     pos_poc_delta=poc1 - poc,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
-        enc = CabacEncoder()
-        enc.init_contexts(0, qp)        # B-slice context init row
-        grid = [[None] * self.cols for _ in range(self.rows)]
-        last = self.rows * self.cols - 1
-        for r in range(self.rows):
-            for c in range(self.cols):
-                if sao_params is not None:
-                    CS.encode_sao_ctu(
-                        enc, sao_params[r][c],
-                        sao_params[r][c - 1] if c > 0 else None,
-                        sao_params[r - 1][c] if r > 0 else None,
-                        True, True, sess.bit_depth)
-                d = self._decide_cu_b(out, grid, r, c, poc, poc0, poc1)
-                IS.encode_b_ctu(enc, d, grid, r, c, log2cu, self.max_merge,
-                                sign_hiding=self.sbh)
-                enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
-        data, tail, tail_bits = enc.finish()
+        res = None
+        if sao_params is None and not self.sbh:
+            pd = out["pdir"]
+            m0 = (pd & 1).astype(bool)
+            m1 = (pd & 2).astype(bool)
+            res = native.encode_b_slice(
+                out["use_intra"], out["modes"], pd,
+                np.where(m0, out["mvx"], 0), np.where(m0, out["mvy"], 0),
+                np.where(m1, out["mv1x"], 0), np.where(m1, out["mv1y"], 0),
+                out["levels_y"], out["levels_cb"], out["levels_cr"],
+                log2cu, qp, self.max_merge, poc, poc0, poc1)
+        if res is not None:       # production path: C++ CABAC runtime
+            data, tail, tail_bits = res
+        else:                     # Python reference fallback
+            enc = CabacEncoder()
+            enc.init_contexts(0, qp)        # B-slice context init row
+            grid = [[None] * self.cols for _ in range(self.rows)]
+            last = self.rows * self.cols - 1
+            for r in range(self.rows):
+                for c in range(self.cols):
+                    if sao_params is not None:
+                        CS.encode_sao_ctu(
+                            enc, sao_params[r][c],
+                            sao_params[r][c - 1] if c > 0 else None,
+                            sao_params[r - 1][c] if r > 0 else None,
+                            True, True, sess.bit_depth)
+                    d = self._decide_cu_b(out, grid, r, c, poc, poc0, poc1)
+                    IS.encode_b_ctu(enc, d, grid, r, c, log2cu,
+                                    self.max_merge, sign_hiding=self.sbh)
+                    enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
+            data, tail, tail_bits = enc.finish()
         for b in data:
             bw.write_byte(b)
         bw.write_bits(tail, tail_bits)
