@@ -116,3 +116,53 @@ def test_zones_qp_override():
     zoned = run("3,5,q=45")
     assert zoned[0] == plain[0]                 # outside the zone: unchanged
     assert sum(zoned[3:]) < 0.6 * sum(plain[3:])  # QP45 zone much smaller
+
+
+def test_b_pyramid_conformance():
+    """bframes=3 with b-pyramid: middle B is TRAIL_R and referenced by the
+    outer Bs; RPS retains exactly the needed pictures."""
+    from x265_yuuki_asuna_tpu.bitstream.bitio import split_annexb
+    frames = _moving_scene(64, 48, 9, seed=6)
+    sess = VideoEncoderSession(64, 48, qp=30, cu_size=16, keyint=100,
+                               hash_sei=False, bframes=3)
+    sess.b_adapt = False          # force full mini-GOPs for the structure check
+    assert sess.b_pyramid
+    stream = sess.headers()
+    results = []
+    for f in frames:
+        results += sess.push_frame(*f)
+    results += sess.flush()
+    for fr in results:
+        stream += fr.nals
+    types = [(n[0] >> 1) & 0x3F for n in split_annexb(stream)
+             if ((n[0] >> 1) & 0x3F) < 32]
+    # IDR, then per full mini-GOP: P(1), Bref(1), B(0), B(0)
+    assert types[0] == 19
+    assert types.count(0) >= 2 and types.count(1) >= 3, types
+    decoded = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(decoded) == len(frames)
+    display = sorted(results, key=lambda f: f.poc)
+    for i, (d, fr) in enumerate(zip(decoded, display)):
+        for p in range(3):
+            r = fr.recon[p]
+            assert np.array_equal(
+                d[p][:r.shape[0], :r.shape[1]].astype(np.uint8), r), \
+                f"frame {i} plane {p}"
+
+
+def test_b_pyramid_gain():
+    """The referenced middle B should reduce total bits vs flat Bs (closer
+    references for the outer Bs)."""
+    frames = _moving_scene(64, 48, 9, seed=7)
+
+    def run(pyr):
+        s = VideoEncoderSession(64, 48, qp=30, cu_size=16, keyint=100,
+                                hash_sei=False, bframes=3, b_pyramid=pyr)
+        s.b_adapt = False
+        res = []
+        for f in frames:
+            res += s.push_frame(*f)
+        res += s.flush()
+        return sum(fr.bits for fr in res)
+
+    assert run(True) < run(False) * 1.02   # allow parity, expect a win

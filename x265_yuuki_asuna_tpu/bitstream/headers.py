@@ -255,8 +255,8 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
                        pos_poc_delta: int = 0,
                        deblocking_disabled: Optional[bool] = None,
                        weights: Optional[dict] = None,
-                       entry_point_offsets: Optional[List[int]] = None
-                       ) -> BitWriter:
+                       entry_point_offsets: Optional[List[int]] = None,
+                       rps: Optional[Tuple] = None) -> BitWriter:
     """Returns a BitWriter positioned after byte_alignment() — ready for the
     caller to append CABAC slice data. slice_type: 0=B 1=P 2=I."""
     bw = BitWriter()
@@ -270,14 +270,26 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
     if nal_type not in (19, 20):             # not IDR
         bw.write_bits(poc & ((1 << sps.log2_max_poc_lsb) - 1), sps.log2_max_poc_lsb)
         bw.write_flag(0)                     # short_term_ref_pic_set_sps_flag
-        # st_ref_pic_set (spec 7.3.7): one negative ref at poc - ref_delta
-        bw.write_ue(1)                       # num_negative_pics
-        bw.write_ue(1 if pos_poc_delta else 0)   # num_positive_pics
-        bw.write_ue(ref_poc_delta - 1)       # delta_poc_s0_minus1[0]
-        bw.write_flag(1)                     # used_by_curr_pic_s0_flag[0]
-        if pos_poc_delta:
-            bw.write_ue(pos_poc_delta - 1)   # delta_poc_s1_minus1[0]
-            bw.write_flag(1)                 # used_by_curr_pic_s1_flag[0]
+        # st_ref_pic_set (spec 7.3.7). rps overrides the single-ref shortcut:
+        # (neg_pics, pos_pics) as [(delta_from_poc, used_by_curr), ...],
+        # negatives nearest-first, positives nearest-first.
+        if rps is None:
+            neg = [(ref_poc_delta, 1)]
+            pos = [(pos_poc_delta, 1)] if pos_poc_delta else []
+        else:
+            neg, pos = rps
+        bw.write_ue(len(neg))                # num_negative_pics
+        bw.write_ue(len(pos))                # num_positive_pics
+        prev = 0
+        for delta, used in neg:
+            bw.write_ue(delta - prev - 1)    # delta_poc_s0_minus1[i]
+            bw.write_flag(used)
+            prev = delta
+        prev = 0
+        for delta, used in pos:
+            bw.write_ue(delta - prev - 1)    # delta_poc_s1_minus1[i]
+            bw.write_flag(used)
+            prev = delta
         if sps.temporal_mvp:
             bw.write_flag(1)                 # slice_temporal_mvp_enabled_flag
     if sps.sao_enabled:

@@ -501,7 +501,7 @@ class VideoEncoderSession:
                  sbh: bool = False, zones: str = None,
                  analysis_save: str = None, analysis_load: str = None,
                  aq_mode: int = 0, aq_strength: float = 1.0,
-                 cutree: bool = False):
+                 cutree: bool = False, b_pyramid: bool = True):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         # per-CU QP (AQ/cuTree) and deblocking are mutually exclusive this
@@ -570,10 +570,12 @@ class VideoEncoderSession:
                                   fps[0] / max(fps[1], 1)) if stats_read else None
         # ---- B-frame mini-GOP state (bframes > 0) -------------------------
         self.bframes = max(0, bframes)
+        self.b_pyramid = b_pyramid and self.bframes >= 2
         self.bi_encoder = None
         if self.bframes:
-            self.intra_sess.sps.max_dec_pic_buffering = 4
-            self.intra_sess.sps.num_reorder_pics = 1
+            self.intra_sess.sps.max_dec_pic_buffering = \
+                5 if self.b_pyramid else 4
+            self.intra_sess.sps.num_reorder_pics = 2 if self.b_pyramid else 1
             self.bi_encoder = InterFrameEncoder(InterFrameConfig(
                 width=self.coded_w, height=self.coded_h, cu_size=cu_size,
                 qp=qp, search_range=search_range, bi=True, rdoq=rdoq,
@@ -856,7 +858,9 @@ class VideoEncoderSession:
 
     def flush(self) -> List["FrameResult"]:
         """Close the open mini-GOP: last pending frame becomes the P anchor,
-        earlier pending frames encode as B against (prev anchor, new anchor)."""
+        earlier pending frames encode as B against (prev anchor, new anchor).
+        With b_pyramid and >= 2 B positions, the middle frame becomes a
+        REFERENCED B (TRAIL_R) and the outer Bs predict from it."""
         if not self.pending:
             return []
         frames = self.pending
@@ -869,10 +873,38 @@ class VideoEncoderSession:
                                        poc=anchor_poc,
                                        ref_delta=anchor_poc - prev_poc))
         new_anchor = self.anchor[0]
-        for i, (y, u, v) in enumerate(frames[:-1]):
-            poc = prev_poc + 1 + i
-            out.append(self._encode_b(y, u, v, poc, prev_anchor, prev_poc,
-                                      new_anchor, anchor_poc))
+        nb = len(frames) - 1
+        if self.b_pyramid and nb >= 2:
+            m = nb // 2
+            bref_poc = prev_poc + 1 + m
+            y, u, v = frames[m]
+            # Bref retains both anchors; nothing else is in the DPB yet
+            fr, bref = self._encode_b(
+                y, u, v, bref_poc, prev_anchor, prev_poc, new_anchor,
+                anchor_poc, is_ref=True)
+            out.append(fr)
+            for i, (y, u, v) in enumerate(frames[:-1]):
+                if i == m:
+                    continue
+                poc = prev_poc + 1 + i
+                if i < m:
+                    # refs (prev anchor, Bref); later Bs still need the next
+                    # anchor -> keep it in the RPS, unused by this picture
+                    rps = ([(poc - prev_poc, 1)],
+                           [(bref_poc - poc, 1), (anchor_poc - poc, 0)])
+                    fr, _ = self._encode_b(y, u, v, poc, prev_anchor,
+                                           prev_poc, bref, bref_poc, rps=rps)
+                else:
+                    rps = ([(poc - bref_poc, 1)], [(anchor_poc - poc, 1)])
+                    fr, _ = self._encode_b(y, u, v, poc, bref, bref_poc,
+                                           new_anchor, anchor_poc, rps=rps)
+                out.append(fr)
+        else:
+            for i, (y, u, v) in enumerate(frames[:-1]):
+                poc = prev_poc + 1 + i
+                fr, _ = self._encode_b(y, u, v, poc, prev_anchor, prev_poc,
+                                       new_anchor, anchor_poc)
+                out.append(fr)
         return out
 
     def _pad(self, y, u, v):
@@ -926,9 +958,12 @@ class VideoEncoderSession:
         self.rc.frame_done(qp, len(nals) * 8)
         return self._result(out, nals, qp, poc, src_y=y)
 
-    def _encode_b(self, y, u, v, poc, ref0, poc0, ref1, poc1) -> "FrameResult":
+    def _encode_b(self, y, u, v, poc, ref0, poc0, ref1, poc1,
+                  is_ref: bool = False, rps=None):
+        """Returns (FrameResult, padded recon planes). is_ref: referenced B
+        (B-pyramid middle) — coded TRAIL_R with a smaller QP offset."""
         yp, up, vp = self._pad(y, u, v)
-        qp = min(self.rc.frame_qp(False) + 2, 51)   # pbFactor-style B offset
+        qp = min(self.rc.frame_qp(False) + (1 if is_ref else 2), 51)
         qp = self._zone_qp(self.gop_display_base + poc, qp)
         out = self.bi_encoder.encode_frame(
             yp, up, vp, ref0[0], ref0[1], ref0[2], qp=qp,
@@ -936,23 +971,28 @@ class VideoEncoderSession:
         self._deblock_frame(out, qp, is_idr=False)
         sao_params = self._sao_frame(out, yp, up, vp)
         nals = self._assemble_b_slice(out, qp, poc, poc0, poc1,
-                                      sao_params=sao_params)
+                                      sao_params=sao_params, is_ref=is_ref,
+                                      rps=rps)
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         self.rc.frame_done(qp, len(nals) * 8)
-        return self._result(out, nals, qp, poc, src_y=y)
+        recon = (out["recon_y"], out["recon_u"], out["recon_v"])
+        return self._result(out, nals, qp, poc, src_y=y), recon
 
     def _assemble_b_slice(self, out: dict, qp: int, poc: int, poc0: int,
-                          poc1: int, sao_params=None) -> bytes:
+                          poc1: int, sao_params=None, is_ref: bool = False,
+                          rps=None) -> bytes:
         from ..bitstream import inter_syntax as IS
-        from ..bitstream.bitio import NAL_TRAIL_N
+        from ..bitstream.bitio import NAL_TRAIL_N, NAL_TRAIL_R
         sess = self.intra_sess
         log2cu = self.cu.bit_length() - 1
+        nal_type = NAL_TRAIL_R if is_ref else NAL_TRAIL_N
         bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=0,
-                                    slice_qp=qp, nal_type=NAL_TRAIL_N,
+                                    slice_qp=qp, nal_type=nal_type,
                                     poc=poc, max_merge=self.max_merge,
                                     ref_poc_delta=poc - poc0,
                                     pos_poc_delta=poc1 - poc,
+                                    rps=rps,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
         res = None
@@ -990,7 +1030,7 @@ class VideoEncoderSession:
             bw.write_byte(b)
         bw.write_bits(tail, tail_bits)
         bw.rbsp_trailing_bits()
-        return wrap_nal(NAL_TRAIL_N, bw.get_bytes())
+        return wrap_nal(nal_type, bw.get_bytes())
 
     def _decide_cu_b(self, out, grid, r, c, poc, poc0, poc1):
         from ..bitstream import inter_syntax as IS
