@@ -78,3 +78,51 @@ def test_ippp_subpel_motion():
                        np.full((H // 2, W // 2), 100, np.uint8),
                        np.full((H // 2, W // 2), 150, np.uint8)))
     _run(W, H, 28, 8, frames)
+
+
+def test_inter_ctu32_conformance():
+    """IPPP with 32x32 CTUs (TU32 luma / TU16 chroma on the inter path)."""
+    import numpy as np
+    from tests.test_inter_deblock import _moving_scene
+    from x265_yuuki_asuna_tpu.models.encoder_top import VideoEncoderSession
+    from x265_yuuki_asuna_tpu.utils.av_decode import decode_hevc
+    frames = _moving_scene(96, 64, 3, seed=8)
+    sess = VideoEncoderSession(96, 64, qp=32, cu_size=32, keyint=100,
+                               hash_sei=False)
+    stream = sess.headers()
+    recons = []
+    for f in frames:
+        fr = sess.encode_frame(*f)
+        stream += fr.nals
+        recons.append(fr.recon)
+    decoded = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(decoded) == len(frames)
+    for i, (d, r) in enumerate(zip(decoded, recons)):
+        for p in range(3):
+            assert np.array_equal(
+                d[p][:r[p].shape[0], :r[p].shape[1]].astype(np.uint8), r[p]), \
+                f"frame {i} plane {p}"
+
+
+def test_bframes_ctu32_conformance():
+    import numpy as np
+    from tests.test_inter_deblock import _moving_scene
+    from x265_yuuki_asuna_tpu.models.encoder_top import VideoEncoderSession
+    from x265_yuuki_asuna_tpu.utils.av_decode import decode_hevc
+    frames = _moving_scene(96, 64, 4, seed=9)
+    sess = VideoEncoderSession(96, 64, qp=34, cu_size=32, keyint=100,
+                               hash_sei=False, bframes=1)
+    stream = sess.headers()
+    results = []
+    for f in frames:
+        results += sess.push_frame(*f)
+    results += sess.flush()
+    for fr in results:
+        stream += fr.nals
+    decoded = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(decoded) == len(frames)
+    for d, fr in zip(decoded, sorted(results, key=lambda f: f.poc)):
+        for p in range(3):
+            r = fr.recon[p]
+            assert np.array_equal(
+                d[p][:r.shape[0], :r.shape[1]].astype(np.uint8), r)
