@@ -68,6 +68,16 @@ def load():
             ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int)]
+        try:
+            lib.asuna_encode_intra_slice_qt.restype = ctypes.c_int
+            lib.asuna_encode_intra_slice_qt.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int)]
+        except AttributeError:
+            pass    # stale .so without the qt entry point
         lib.asuna_encode_residual_test.restype = ctypes.c_int
         lib.asuna_encode_residual_test.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -104,6 +114,34 @@ def encode_intra_slice(modes: np.ndarray, levels_y: np.ndarray,
         rows, cols, log2cu, qp,
         1 if part_mode_coded else 0, 1 if chroma_present else 0,
         1 if sign_hiding else 0,
+        out.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
+    if nbytes < 0:
+        return None
+    return bytes(out[:nbytes]), int(tail.value), int(tail_bits.value)
+
+
+def encode_intra_slice_qt(split, mode32, modes4, levels_y, levels_cb,
+                          levels_cr, qp: int, sign_hiding: bool = False):
+    """Native quadtree I-slice CABAC (CTU32, depth-1 split). Returns
+    (payload, tail, tail_bits) or None when unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "asuna_encode_intra_slice_qt"):
+        return None
+    rows, cols = split.shape
+    sp = np.ascontiguousarray(split, np.uint8)
+    m32 = np.ascontiguousarray(mode32, np.int32)
+    m4 = np.ascontiguousarray(modes4, np.int32)
+    ly = np.ascontiguousarray(levels_y, np.int32)
+    lcb = np.ascontiguousarray(levels_cb, np.int32)
+    lcr = np.ascontiguousarray(levels_cr, np.int32)
+    cap = int(ly.nbytes + lcb.nbytes + lcr.nbytes + 65536)
+    out = np.empty(cap, np.uint8)
+    tail = ctypes.c_uint32()
+    tail_bits = ctypes.c_int()
+    nbytes = lib.asuna_encode_intra_slice_qt(
+        sp.ctypes.data, m32.ctypes.data, m4.ctypes.data,
+        ly.ctypes.data, lcb.ctypes.data, lcr.ctypes.data,
+        rows, cols, qp, 1 if sign_hiding else 0,
         out.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
     if nbytes < 0:
         return None

@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--fps", default="25")
     ap.add_argument("--qp", type=int, default=32)
     ap.add_argument("--ctu", type=int, default=16, choices=[16, 32])
+    ap.add_argument("--min-cu-size", type=int, default=0, choices=[0, 16, 32],
+                    help="min CU size; < --ctu enables quadtree RDO "
+                         "(all-intra, CTU32)")
     ap.add_argument("--frames", "-f", type=int, default=0, help="max frames")
     ap.add_argument("--preset", default="medium")
     ap.add_argument("--recon", default=None, help="write recon yuv")
@@ -141,6 +144,9 @@ def main(argv=None):
                                    cutree=args.cutree)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
+        max_depth = 0
+        if args.min_cu_size and args.min_cu_size < args.ctu:
+            max_depth = (args.ctu.bit_length() - args.min_cu_size.bit_length())
         sess = IntraEncoderSession(info.width, info.height, qp=args.qp,
                                    cu_size=args.ctu,
                                    fps=(info.fps_num, info.fps_denom),
@@ -153,7 +159,8 @@ def main(argv=None):
                                    rdoq=args.rdoq_level > 0, wpp=args.wpp,
                                    sbh=args.signhide,
                                    master_display=args.master_display,
-                                   max_cll=args.max_cll)
+                                   max_cll=args.max_cll,
+                                   max_depth=max_depth)
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None

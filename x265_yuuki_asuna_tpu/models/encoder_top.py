@@ -47,7 +47,15 @@ class IntraEncoderSession:
                  aq_mode: int = 0, aq_strength: float = 1.0,
                  slices: int = 1, rdoq: bool = False, wpp: bool = False,
                  sbh: bool = False, info_sei: bool = True,
-                 master_display: str = None, max_cll: str = None):
+                 master_display: str = None, max_cll: str = None,
+                 max_depth: int = 0):
+        if max_depth:
+            cu_size = 32
+            assert not lossless, "quadtree + lossless unsupported (v1)"
+            assert slices == 1 and not wpp, \
+                "quadtree + slices/wpp unsupported (v1)"
+            aq_mode = 0     # per-CU QP with quadtree: r2
+        self.max_depth = max_depth
         self.src_w = width
         self.src_h = height
         self.qp = qp
@@ -79,7 +87,8 @@ class IntraEncoderSession:
             width=self.coded_w, height=band_h if self.slices > 1 else self.coded_h,
             cu_size=cu_size, qp=qp,
             bit_depth=bit_depth, lossless=lossless,
-            rdoq=rdoq and not lossless, sbh=self.sbh))
+            rdoq=rdoq and not lossless, sbh=self.sbh,
+            max_depth=max_depth))
 
         from ..bitstream import sei as SEI
         ptl = HDR.ProfileTierLevel(
@@ -95,7 +104,7 @@ class IntraEncoderSession:
             conf_win=(0, self.coded_w - width, 0, self.coded_h - height),
             ptl=ptl,
             chroma_format_idc=1, bit_depth=bit_depth,
-            log2_min_cb=log2cu, log2_diff_max_min_cb=0,
+            log2_min_cb=log2cu - max_depth, log2_diff_max_min_cb=max_depth,
             log2_min_tb=2, log2_diff_max_min_tb=log2cu - 2,
             max_transform_hierarchy_depth_inter=0,
             max_transform_hierarchy_depth_intra=0,
@@ -314,6 +323,8 @@ class IntraEncoderSession:
     # ------------------------------------------------------------------
     def _assemble_slice(self, out: dict, qp: int = None,
                         sao_params=None) -> bytes:
+        if self.max_depth:
+            return self._assemble_slice_qt(out, qp)
         if self.wpp:
             return self._assemble_slice_wpp(out, qp, sao_params)
         qp = self.qp if qp is None else qp
@@ -374,6 +385,81 @@ class IntraEncoderSession:
         bw.write_bits(tail, tail_bits)
         bw.rbsp_trailing_bits()
         return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
+
+    # ------------------------------------------------------------------
+    def _assemble_slice_qt(self, out: dict, qp: int = None) -> bytes:
+        """Quadtree I-slice: per-CTU split_cu_flag then 1 or 4 CUs.
+        Syntax per spec 7.3.8.4 coding_quadtree; split_cu_flag context from
+        neighbor depths (9.3.4.2.2), intra-mode MPMs from a 16-pel-granular
+        mode map (above candidates outside the current CTB row force DC,
+        spec 8.4.2)."""
+        qp = self.qp if qp is None else qp
+        split = out["split"]
+        mode32 = out["modes"]
+        modes4 = out["modes4"]
+        bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
+                                    slice_qp=qp)
+        res = native.encode_intra_slice_qt(
+            split, mode32, modes4, out["levels_y"], out["levels_cb"],
+            out["levels_cr"], qp, self.sbh) \
+            if not self.sbh else None
+        if res is not None:
+            data, tail, tail_bits = res
+        else:
+            enc = CabacEncoder()
+            enc.init_contexts(2, qp)
+            gr, gc = 2 * self.rows, 2 * self.cols
+            mode_map = np.full((gr, gc), DC_MODE, np.int32)
+            depth_map = np.zeros((gr, gc), np.int32)
+            last = self.rows * self.cols - 1
+            for r in range(self.rows):
+                for c in range(self.cols):
+                    self._write_ctu_qt(enc, bool(split[r, c]),
+                                       int(mode32[r, c]), modes4[r, c],
+                                       out["levels_y"][r, c],
+                                       out["levels_cb"][r, c],
+                                       out["levels_cr"][r, c],
+                                       r, c, mode_map, depth_map)
+                    enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
+            data, tail, tail_bits = enc.finish()
+        for b in data:
+            bw.write_byte(b)
+        bw.write_bits(tail, tail_bits)
+        bw.rbsp_trailing_bits()
+        return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
+
+    def _write_ctu_qt(self, enc, sp, mode32, modes4, lv_y, lv_cb, lv_cr,
+                      r, c, mode_map, depth_map):
+        from ..bitstream.tables import CTX_OFFSET as CTX
+        gy, gx = 2 * r, 2 * c
+        ctx = ((1 if gx > 0 and depth_map[gy, gx - 1] > 0 else 0)
+               + (1 if gy > 0 and depth_map[gy - 1, gx] > 0 else 0))
+        enc.encode_bin(1 if sp else 0, CTX["split_cu"] + ctx)
+        if not sp:
+            cand_left = int(mode_map[gy, gx - 1]) if gx > 0 else DC_MODE
+            d = CS.CTUDecisions(luma_mode=mode32, luma_levels=lv_y,
+                                cb_levels=lv_cb, cr_levels=lv_cr)
+            CS.encode_intra_ctu_full(enc, d, 5, cand_left, DC_MODE,
+                                     part_mode_coded=False,
+                                     sign_hiding=self.sbh)
+            mode_map[gy:gy + 2, gx:gx + 2] = mode32
+            depth_map[gy:gy + 2, gx:gx + 2] = 0
+            return
+        for q, (qy, qx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            my, mx = gy + qy, gx + qx
+            m = int(modes4[q])
+            cand_left = int(mode_map[my, mx - 1]) if mx > 0 else DC_MODE
+            cand_above = int(mode_map[my - 1, mx]) if qy == 1 else DC_MODE
+            d = CS.CTUDecisions(
+                luma_mode=m,
+                luma_levels=lv_y[16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16],
+                cb_levels=lv_cb[8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
+                cr_levels=lv_cr[8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8])
+            CS.encode_intra_ctu_full(enc, d, 4, cand_left, cand_above,
+                                     part_mode_coded=True,
+                                     sign_hiding=self.sbh)
+            mode_map[my, mx] = m
+            depth_map[my, mx] = 1
 
     # ------------------------------------------------------------------
     def _assemble_slice_wpp(self, out: dict, qp: int = None,

@@ -61,6 +61,8 @@ class IntraFrameConfig:
     lambda_mode_bits: float = 0.0   # reserved for RD mode costs
     rdoq: bool = False              # RD-optimized quantization
     sbh: bool = False               # sign-bit hiding
+    max_depth: int = 0              # 1: CTU32 may split into 4 16x16 CUs
+                                    # (in-scan RD quadtree decision)
 
     @property
     def rows(self) -> int:
@@ -80,18 +82,22 @@ class IntraFrameEncoder:
 
     def __init__(self, cfg: IntraFrameConfig):
         self.cfg = cfg
+        if cfg.max_depth:
+            assert cfg.cu_size == 32 and not cfg.lossless, \
+                "quadtree: CTU32, lossy only"
         nd, ns, rc, valid = wavefront_schedule(cfg.rows, cfg.cols, slope=2)
         self.num_diags = nd
         self.num_slots = ns
         self._rc = jnp.asarray(rc)          # [nd, ns, 2]
         self._valid = jnp.asarray(valid)    # [nd, ns]
-        self._encode = jax.jit(self._build())
+        build = self._build_qt if cfg.max_depth else self._build
+        self._encode = jax.jit(build())
         # frame-batched variant (frame-parallelism, the reference's
         # frame-threads analog)
-        self._encode_batch = jax.jit(jax.vmap(self._build()))
+        self._encode_batch = jax.jit(jax.vmap(build()))
         # light variant: decisions only (no recon download) — for pipelines
         # that don't need recon on the host (no hash SEI / recon output)
-        self._encode_batch_light = jax.jit(jax.vmap(self._build(with_recon=False)))
+        self._encode_batch_light = jax.jit(jax.vmap(build(with_recon=False)))
 
     @property
     def _pix_dtype(self):
@@ -338,7 +344,317 @@ class IntraFrameEncoder:
         return encode
 
     # ------------------------------------------------------------------
+    def _build_qt(self, with_recon: bool = True):
+        """CTU32 wavefront with an in-scan depth-1 quadtree RD decision.
+
+        Each scan step evaluates BOTH coding variants for every CTU on the
+        diagonal — (A) one 32x32 CU, (B) four 16x16 CUs in z-order with
+        exact intra reference propagation through a CTU-local recon tile —
+        then picks per CTU by SSE + lambda2 * estimated bits. This is the
+        TPU formulation of the reference's recursive compressIntraCU
+        (analysis.cpp:514): candidate depths are evaluated as dense batches
+        instead of a depth-first walk.
+        """
+        cfg = self.cfg
+        n = cfg.cu_size            # 32
+        nc = n // 2                # 16 (chroma tile)
+        h = n // 2                 # 16 (luma sub-CU)
+        hc = nc // 2               # 8  (chroma sub-CU)
+        rows, cols = cfg.rows, cfg.cols
+        W, H = cfg.width, cfg.height
+        bd = cfg.bit_depth
+        maxv = (1 << bd) - 1
+        ncu = rows * cols
+        rc_all = self._rc
+        valid_all = self._valid
+        S = self.num_slots
+        fill = 1 << (bd - 1)
+        MODE_BITS = 7.0            # approx mode+part+cbf syntax per CU
+
+        def to_blocks(plane, nn):
+            hh, ww = plane.shape
+            return (plane.reshape(hh // nn, nn, ww // nn, nn)
+                    .transpose(0, 2, 1, 3).reshape(ncu, nn, nn))
+
+        def from_blocks(blocks, nn, hh, ww):
+            return (blocks.reshape(hh // nn, ww // nn, nn, nn)
+                    .transpose(0, 2, 1, 3).reshape(hh, ww))
+
+        def encode_block(v_raw, av, src, qp, log2nn, luma, modes=None):
+            v = intra.substitute_references(v_raw, av, bd, xp=jnp)
+            nn = 1 << log2nn
+            preds = intra.predict_all_modes_matmul(v, nn, bd, luma=luma,
+                                                   strong_smoothing=False,
+                                                   xp=jnp)
+            if modes is None:
+                costs = pixel.satd(src[:, None], preds, xp=jnp)
+                modes = jnp.argmin(costs, axis=1).astype(jnp.int32)
+            pred = jnp.take_along_axis(
+                preds, modes[:, None, None, None].astype(jnp.int32),
+                axis=1)[:, 0]
+            resid = src.astype(jnp.int32) - pred
+            coef = transforms.forward_transform(resid, bd, xp=jnp)
+            if cfg.rdoq:
+                levels = quant.quant_rdoq(coef, qp, log2nn, bd, xp=jnp)
+            else:
+                levels, du = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
+                if cfg.sbh:
+                    levels = quant.sign_bit_hiding(levels, du, log2nn, xp=jnp)
+            dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
+            rr = transforms.inverse_transform(dq, bd, xp=jnp)
+            recon = jnp.clip(pred + rr, 0, maxv)
+            return modes, levels, recon
+
+        def seg(arr, lo, hi, rev=False):
+            s = arr[:, lo:hi]
+            return s[:, ::-1] if rev else s
+
+        def assemble_v(parts, nn):
+            """parts: list of (tensor [S, k] or [S] scalar, avail [S] bool).
+            Returns (v [S, 4nn+1], av [S, 4nn+1])."""
+            vs, avs = [], []
+            for t, a in parts:
+                if t.ndim == 1:
+                    t = t[:, None]
+                k = t.shape[1]
+                vs.append(t)
+                avs.append(jnp.broadcast_to(a[:, None], (S, k)))
+            return jnp.concatenate(vs, axis=1), jnp.concatenate(avs, axis=1)
+
+        # quadrant geometry (z-order): (y0, x0) in luma pixels
+        QOFF = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+        def quad_v(q, tile, left_rc, top_br, tr_br, tl_br, al, at, atr, atl,
+                   nn):
+            """Reference vector for sub-CU q of size nn (16 luma / 8 chroma).
+            tile: local recon [S, 2nn, 2nn]; *_rc/_br: neighbor CTU columns/
+            rows [S, 2nn]; a*: availability flags [S]."""
+            F = jnp.ones((S,), bool)
+            NO = jnp.zeros((S,), bool)
+            zs = jnp.zeros((S, nn), jnp.int32)
+            if q == 0:
+                return assemble_v([
+                    (seg(left_rc, nn, 2 * nn, rev=True), al),   # below-left
+                    (seg(left_rc, 0, nn, rev=True), al),        # left
+                    (tl_br[:, 2 * nn - 1], atl),                # corner
+                    (seg(top_br, 0, nn), at),                   # top
+                    (seg(top_br, nn, 2 * nn), at),              # top-right
+                ], nn)
+            if q == 1:
+                return assemble_v([
+                    (zs, NO),
+                    (tile[:, 0:nn, nn - 1][:, ::-1], F),
+                    (top_br[:, nn - 1], at),
+                    (seg(top_br, nn, 2 * nn), at),
+                    (seg(tr_br, 0, nn), atr),
+                ], nn)
+            if q == 2:
+                return assemble_v([
+                    (zs, NO),
+                    (seg(left_rc, nn, 2 * nn, rev=True), al),
+                    (left_rc[:, nn - 1], al),
+                    (tile[:, nn - 1, 0:nn], F),
+                    (tile[:, nn - 1, nn:2 * nn], F),
+                ], nn)
+            return assemble_v([
+                (zs, NO),
+                (tile[:, nn:2 * nn, nn - 1][:, ::-1], F),
+                (tile[:, nn - 1, nn - 1], F),
+                (tile[:, nn - 1, nn:2 * nn], F),
+                (zs, NO),
+            ], nn)
+
+        def make_step(src_y_blocks, src_u_blocks, src_v_blocks,
+                      qp_y_map, qp_c_map, qp_sig_map):
+            def step(carry, xs):
+                (bry, rcy, bru, rcu_, brv, rcv) = carry
+                rc, valid = xs
+                r = rc[:, 0]
+                c = rc[:, 1]
+                cu = r * cols + c
+                cu_s = jnp.where(valid, cu, ncu)
+                al = (c > 0) & valid
+                at = (r > 0) & valid
+                atr = ((r > 0) & (c < cols - 1)) & valid
+                atl = ((r > 0) & (c > 0)) & valid
+                avail = (al, at, atr, atl)
+                pad = ncu
+                gl = jnp.where(al, cu - 1, pad)
+                gt = jnp.where(at, cu - cols, pad)
+                gtr = jnp.where(atr, cu - cols + 1, pad)
+                gtl = jnp.where(atl, cu - cols - 1, pad)
+
+                src_y = jnp.take(src_y_blocks, cu_s, axis=0)
+                src_u = jnp.take(src_u_blocks, cu_s, axis=0)
+                src_v = jnp.take(src_v_blocks, cu_s, axis=0)
+                qp_y = jnp.take(qp_y_map, cu_s, axis=0)
+                qp_c = jnp.take(qp_c_map, cu_s, axis=0)
+                qp_sig = jnp.take(qp_sig_map, cu_s, axis=0)
+
+                # ---- variant A: one 32x32 CU ----
+                def build_v32(botrow, rightcol, nn):
+                    left_rc = jnp.take(rightcol, gl, axis=0)
+                    top_br = jnp.take(botrow, gt, axis=0)
+                    tr_br = jnp.take(botrow, gtr, axis=0)
+                    tl_br = jnp.take(botrow, gtl, axis=0)
+                    return assemble_v([
+                        (jnp.broadcast_to(left_rc[:, nn - 1:nn], (S, nn)),
+                         jnp.zeros((S,), bool)),
+                        (left_rc[:, ::-1], al),
+                        (tl_br[:, nn - 1], atl),
+                        (top_br, at),
+                        (tr_br, atr),
+                    ], nn), (left_rc, top_br, tr_br, tl_br)
+
+                (vA, avA), (lrc_y, tbr_y, trbr_y, tlbr_y) = build_v32(bry, rcy, n)
+                modeA, lvA_y, recA_y = encode_block(vA, avA, src_y, qp_y, 5, True)
+                (vAu, avAu), (lrc_u, tbr_u, trbr_u, tlbr_u) = build_v32(bru, rcu_, nc)
+                _, lvA_cb, recA_u = encode_block(vAu, avAu, src_u, qp_c, 4,
+                                                 False, modeA)
+                (vAv, avAv), (lrc_v, tbr_v, trbr_v, tlbr_v) = build_v32(brv, rcv, nc)
+                _, lvA_cr, recA_v = encode_block(vAv, avAv, src_v, qp_c, 4,
+                                                 False, modeA)
+
+                # ---- variant B: four 16x16 CUs in z-order ----
+                tile_y = jnp.zeros((S, n, n), jnp.int32)
+                tile_u = jnp.zeros((S, nc, nc), jnp.int32)
+                tile_v = jnp.zeros((S, nc, nc), jnp.int32)
+                lvB_y = jnp.zeros((S, n, n), jnp.int32)
+                lvB_cb = jnp.zeros((S, nc, nc), jnp.int32)
+                lvB_cr = jnp.zeros((S, nc, nc), jnp.int32)
+                modesB = []
+                bitsB_lv = jnp.zeros((S,), jnp.float32)
+                for q, (qy, qx) in enumerate(QOFF):
+                    y0, x0 = qy * h, qx * h
+                    vq, avq = quad_v(q, tile_y, lrc_y, tbr_y, trbr_y, tlbr_y,
+                                     al, at, atr, atl, h)
+                    mq, lq, rq = encode_block(
+                        vq, avq, src_y[:, y0:y0 + h, x0:x0 + h], qp_y, 4, True)
+                    modesB.append(mq)
+                    tile_y = tile_y.at[:, y0:y0 + h, x0:x0 + h].set(rq)
+                    lvB_y = lvB_y.at[:, y0:y0 + h, x0:x0 + h].set(lq)
+                    bitsB_lv = bitsB_lv + quant.est_tu_bits(lq, xp=jnp)
+                    # chroma sub-CU (DM mode)
+                    yc0, xc0 = qy * hc, qx * hc
+                    vqu, avqu = quad_v(q, tile_u, lrc_u, tbr_u, trbr_u, tlbr_u,
+                                       al, at, atr, atl, hc)
+                    _, lqu, rqu = encode_block(
+                        vqu, avqu, src_u[:, yc0:yc0 + hc, xc0:xc0 + hc],
+                        qp_c, 3, False, mq)
+                    tile_u = tile_u.at[:, yc0:yc0 + hc, xc0:xc0 + hc].set(rqu)
+                    lvB_cb = lvB_cb.at[:, yc0:yc0 + hc, xc0:xc0 + hc].set(lqu)
+                    vqv, avqv = quad_v(q, tile_v, lrc_v, tbr_v, trbr_v, tlbr_v,
+                                       al, at, atr, atl, hc)
+                    _, lqv, rqv = encode_block(
+                        vqv, avqv, src_v[:, yc0:yc0 + hc, xc0:xc0 + hc],
+                        qp_c, 3, False, mq)
+                    tile_v = tile_v.at[:, yc0:yc0 + hc, xc0:xc0 + hc].set(rqv)
+                    lvB_cr = lvB_cr.at[:, yc0:yc0 + hc, xc0:xc0 + hc].set(lqv)
+                    bitsB_lv = (bitsB_lv + quant.est_tu_bits(lqu, xp=jnp)
+                                + quant.est_tu_bits(lqv, xp=jnp))
+
+                # ---- RD selection ----
+                def ssd(a, b):
+                    d = (a - b).astype(jnp.float32)
+                    return jnp.sum(d * d, axis=(-2, -1))
+
+                s32 = src_y.astype(jnp.int32)
+                su = src_u.astype(jnp.int32)
+                sv = src_v.astype(jnp.int32)
+                distA = ssd(s32, recA_y) + ssd(su, recA_u) + ssd(sv, recA_v)
+                distB = ssd(s32, tile_y) + ssd(su, tile_u) + ssd(sv, tile_v)
+                bitsA = (quant.est_tu_bits(lvA_y, xp=jnp)
+                         + quant.est_tu_bits(lvA_cb, xp=jnp)
+                         + quant.est_tu_bits(lvA_cr, xp=jnp)
+                         + MODE_BITS + 1.0)
+                bitsB = bitsB_lv + 4.0 * MODE_BITS + 1.0
+                lam2 = 0.85 * jnp.exp2((qp_sig.astype(jnp.float32) - 12.0) / 3.0)
+                split = (distB + lam2 * bitsB) < (distA + lam2 * bitsA)
+
+                sel = split[:, None, None]
+                rec_y = jnp.where(sel, tile_y, recA_y)
+                rec_u = jnp.where(sel, tile_u, recA_u)
+                rec_v = jnp.where(sel, tile_v, recA_v)
+                lv_y = jnp.where(sel, lvB_y, lvA_y)
+                lv_cb = jnp.where(sel, lvB_cb, lvA_cb)
+                lv_cr = jnp.where(sel, lvB_cr, lvA_cr)
+
+                bry = bry.at[cu_s].set(rec_y[:, n - 1, :], mode="drop")
+                rcy = rcy.at[cu_s].set(rec_y[:, :, n - 1], mode="drop")
+                bru = bru.at[cu_s].set(rec_u[:, nc - 1, :], mode="drop")
+                rcu_ = rcu_.at[cu_s].set(rec_u[:, :, nc - 1], mode="drop")
+                brv = brv.at[cu_s].set(rec_v[:, nc - 1, :], mode="drop")
+                rcv = rcv.at[cu_s].set(rec_v[:, :, nc - 1], mode="drop")
+
+                modes4 = jnp.stack(modesB, axis=1)      # [S, 4]
+                ys = (cu_s, split, modeA, modes4, lv_y, lv_cb, lv_cr,
+                      rec_y, rec_u, rec_v)
+                return (bry, rcy, bru, rcu_, brv, rcv), ys
+            return step
+
+        def encode(y, u, v, qp):
+            qp_sig = qp.astype(jnp.int32)
+            qp_sig_map = jnp.concatenate([qp_sig, jnp.zeros((1,), jnp.int32)])
+            qp_y_map = jnp.concatenate([qp_sig + 6 * (bd - 8),
+                                        jnp.zeros((1,), jnp.int32)])
+            qp_c_map = jnp.concatenate([
+                jnp.take(jnp.asarray(CHROMA_QP_TABLE), jnp.clip(qp_sig, 0, 57))
+                + 6 * (bd - 8), jnp.zeros((1,), jnp.int32)])
+            yb = to_blocks(y.astype(jnp.int32), n)
+            ub = to_blocks(u.astype(jnp.int32), nc)
+            vb = to_blocks(v.astype(jnp.int32), nc)
+            step = make_step(yb, ub, vb, qp_y_map, qp_c_map, qp_sig_map)
+            z0 = y.reshape(-1)[0].astype(jnp.int32) * 0
+            init = tuple(jnp.full((ncu + 1, k), fill, jnp.int32) + z0
+                         for k in (n, n, nc, nc, nc, nc))
+            _, ys = jax.lax.scan(step, init, (rc_all, valid_all))
+            (cu_s, split_s, modeA_s, modes4_s, lv_y_s, lv_cb_s, lv_cr_s,
+             rec_y_s, rec_u_s, rec_v_s) = ys
+            flat_cu = cu_s.reshape(-1)
+
+            def collect(x, shape, dtype=None):
+                acc = jnp.zeros((ncu + 1,) + shape,
+                                x.dtype if dtype is None else dtype)
+                acc = acc.at[flat_cu].set(
+                    x.reshape((-1,) + shape).astype(acc.dtype), mode="drop")
+                return acc[:ncu]
+
+            split = collect(split_s, (), jnp.uint8)
+            modeA = collect(modeA_s, ())
+            modes4 = collect(modes4_s, (4,))
+            lv_y = collect(lv_y_s, (n, n))
+            lv_cb = collect(lv_cb_s, (nc, nc))
+            lv_cr = collect(lv_cr_s, (nc, nc))
+            rec_y = collect(rec_y_s, (n, n))
+            rec_u = collect(rec_u_s, (nc, nc))
+            rec_v = collect(rec_v_s, (nc, nc))
+            head8 = jnp.concatenate([
+                split, modeA.astype(jnp.uint8),
+                modes4.astype(jnp.uint8).reshape(-1)])
+            levels16 = jnp.concatenate([
+                lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)
+            ]).astype(jnp.int16)
+            levels8 = jax.lax.bitcast_convert_type(levels16, jnp.uint8).reshape(-1)
+            if not with_recon:
+                return jnp.concatenate([head8, levels8])
+            rec_cat = jnp.concatenate([
+                from_blocks(rec_y, n, H, W).reshape(-1),
+                from_blocks(rec_u, nc, H // 2, W // 2).reshape(-1),
+                from_blocks(rec_v, nc, H // 2, W // 2).reshape(-1),
+            ])
+            if bd > 8:
+                recon8 = jax.lax.bitcast_convert_type(
+                    rec_cat.astype(jnp.int16), jnp.uint8).reshape(-1)
+            else:
+                recon8 = rec_cat.astype(jnp.uint8)
+            return jnp.concatenate([recon8, head8, levels8])
+
+        return encode
+
+    # ------------------------------------------------------------------
     def _unpack(self, buf: np.ndarray, with_recon: bool = True) -> dict:
+        if self.cfg.max_depth:
+            return self._unpack_qt(buf, with_recon)
         cfg = self.cfg
         n, nc = cfg.cu_size, cfg.cu_size // 2
         rows, cols, ncu = cfg.rows, cfg.cols, cfg.rows * cfg.cols
@@ -364,6 +680,46 @@ class IntraFrameEncoder:
         sc = ncu * nc * nc
         return {
             "modes": modes,
+            "levels_y": lv[:sy].astype(np.int32).reshape(rows, cols, n, n),
+            "levels_cb": lv[sy:sy + sc].astype(np.int32).reshape(rows, cols, nc, nc),
+            "levels_cr": lv[sy + sc:sy + 2 * sc].astype(np.int32).reshape(rows, cols, nc, nc),
+            "recon_y": None if rec_y is None else rec_y.astype(np.int32),
+            "recon_u": None if rec_u is None else rec_u.astype(np.int32),
+            "recon_v": None if rec_v is None else rec_v.astype(np.int32),
+        }
+
+    # ------------------------------------------------------------------
+    def _unpack_qt(self, buf: np.ndarray, with_recon: bool = True) -> dict:
+        cfg = self.cfg
+        n, nc = cfg.cu_size, cfg.cu_size // 2
+        rows, cols, ncu = cfg.rows, cfg.cols, cfg.rows * cfg.cols
+        W, H = cfg.width, cfg.height
+        ny, nuv = H * W, (H // 2) * (W // 2)
+        bsz = 2 if cfg.bit_depth > 8 else 1
+        o = 0
+        rec_y = rec_u = rec_v = None
+        if with_recon:
+            def plane(count, hh, ww):
+                nonlocal o
+                raw = buf[o:o + count * bsz]
+                o += count * bsz
+                if bsz == 2:
+                    return raw.view(np.int16).reshape(hh, ww)
+                return raw.reshape(hh, ww)
+            rec_y = plane(ny, H, W)
+            rec_u = plane(nuv, H // 2, W // 2)
+            rec_v = plane(nuv, H // 2, W // 2)
+        split = buf[o:o + ncu].astype(bool).reshape(rows, cols); o += ncu
+        modes = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
+        modes4 = buf[o:o + 4 * ncu].astype(np.int32).reshape(rows, cols, 4)
+        o += 4 * ncu
+        lv = buf[o:].view(np.int16)
+        sy = ncu * n * n
+        sc = ncu * nc * nc
+        return {
+            "split": split,
+            "modes": modes,
+            "modes4": modes4,
             "levels_y": lv[:sy].astype(np.int32).reshape(rows, cols, n, n),
             "levels_cb": lv[sy:sy + sc].astype(np.int32).reshape(rows, cols, nc, nc),
             "levels_cr": lv[sy + sc:sy + 2 * sc].astype(np.int32).reshape(rows, cols, nc, nc),

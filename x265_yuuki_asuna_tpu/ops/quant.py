@@ -151,6 +151,19 @@ def _level_bits(l, xp):
         3.0 + xp.where(l > 1, 1.0, 0.0) + rem_bits)
 
 
+def est_tu_bits(levels, xp=np):
+    """Approximate CABAC bits for one TU's levels [..., N, N] -> [...] f32.
+
+    Static per-level estimate (same model as quant_rdoq) plus a small
+    per-TU overhead when any coefficient is coded (last-position + CG
+    flags). Used for in-scan RD split decisions; the real CABAC pass on
+    the host produces the actual bits."""
+    a = xp.abs(levels).astype(xp.int32)
+    bits = xp.sum(xp.where(a > 0, _level_bits(a, xp), 0.0), axis=(-2, -1))
+    any_nz = xp.any(a > 0, axis=(-2, -1))
+    return bits + xp.where(any_nz, 6.0, 0.0)
+
+
 def quant_rdoq(coef, qp, log2_tr_size: int, bit_depth: int = 8,
                lambda_scale: float = 0.25, xp=np):
     """RD-optimized quantization. Returns int32 signed levels.
