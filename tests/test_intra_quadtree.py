@@ -75,3 +75,22 @@ def test_quadtree_beats_uniform_rd():
         b, p = results[other]
         # allow tiny PSNR drift; demand bit savings OR better PSNR
         assert bits_qt <= b * 1.01 and psnr_qt >= p - 0.15, (results,)
+
+
+def test_quadtree_native_matches_python():
+    # production C++ writer must be byte-identical to the Python reference
+    from x265_yuuki_asuna_tpu.bitstream import native
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    w, h = 96, 64
+    y, u, v = _mixed_frame(w, h, seed=11)
+    sess = IntraEncoderSession(w, h, qp=28, max_depth=1, hash_sei=False,
+                               info_sei=False)
+    fr_native = sess.encode_frame(y, u, v)
+    orig = native.encode_intra_slice_qt
+    try:
+        native.encode_intra_slice_qt = lambda *a, **k: None
+        fr_python = sess.encode_frame(y, u, v)
+    finally:
+        native.encode_intra_slice_qt = orig
+    assert fr_native.nals == fr_python.nals

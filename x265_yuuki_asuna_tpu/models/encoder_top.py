@@ -401,8 +401,7 @@ class IntraEncoderSession:
                                     slice_qp=qp)
         res = native.encode_intra_slice_qt(
             split, mode32, modes4, out["levels_y"], out["levels_cb"],
-            out["levels_cr"], qp, self.sbh) \
-            if not self.sbh else None
+            out["levels_cr"], qp, self.sbh)
         if res is not None:
             data, tail, tail_bits = res
         else:

@@ -607,6 +607,107 @@ int asuna_encode_intra_slice(
     return (int)cb.out.size();
 }
 
+// Quadtree I-slice (CTU32, depth-1 split: one 32x32 CU or four 16x16 CUs
+// in z-order; spec 7.3.8.4 coding_quadtree). Mirrors encoder_top.py
+// _write_ctu_qt (golden-tested byte-identical).
+// split: [rows*cols] u8; mode32: [rows*cols]; modes4: [rows*cols,4];
+// levelsY: [rows*cols, 32*32] (split CTUs: 16x16 quadrants in-place);
+// levelsCb/Cr: [rows*cols, 16*16].
+int asuna_encode_intra_slice_qt(
+    const uint8_t* split, const int32_t* mode32, const int32_t* modes4,
+    const int32_t* levelsY, const int32_t* levelsCb, const int32_t* levelsCr,
+    int rows, int cols, int qp, int signHiding,
+    uint8_t* outBuf, int outCap, uint32_t* tailValue, int* tailBits)
+{
+    Cabac cb;
+    cb.init(2, qp);
+    const int ncu = rows * cols;
+    const int gr = 2 * rows, gc = 2 * cols;
+    std::vector<int32_t> modeMap((size_t)gr * gc, 1);   // DC
+    std::vector<uint8_t> depthMap((size_t)gr * gc, 0);
+    // quadrant-extracted level buffers
+    int32_t qly[16 * 16], qcb[8 * 8], qcr[8 * 8];
+
+    for (int r = 0; r < rows; r++) {
+        for (int c = 0; c < cols; c++) {
+            int idx = r * cols + c;
+            const int32_t* ly = levelsY + (size_t)idx * 32 * 32;
+            const int32_t* lcb = levelsCb + (size_t)idx * 16 * 16;
+            const int32_t* lcr = levelsCr + (size_t)idx * 16 * 16;
+            int gy = 2 * r, gx = 2 * c;
+            int ctx = (gx > 0 && depthMap[(size_t)gy * gc + gx - 1] > 0 ? 1 : 0)
+                    + (gy > 0 && depthMap[(size_t)(gy - 1) * gc + gx] > 0 ? 1 : 0);
+            int sp = split[idx] ? 1 : 0;
+            cb.encodeBin(sp, CTX_SPLIT_CU + ctx);
+            if (!sp) {
+                int mode = mode32[idx];
+                int mpm[3];
+                int candL = gx > 0 ? modeMap[(size_t)gy * gc + gx - 1] : 1;
+                deriveMPM(candL, 1, mpm);
+                // part_mode not coded (log2CbSize > MinCbLog2Size)
+                encodeIntraLumaMode(cb, mode, mpm);
+                cb.encodeBin(0, CTX_INTRA_CHROMA);   // DM
+                int cbfY = anyNonzero(ly, 32 * 32) ? 1 : 0;
+                int cbfCb = anyNonzero(lcb, 16 * 16) ? 1 : 0;
+                int cbfCr = anyNonzero(lcr, 16 * 16) ? 1 : 0;
+                cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
+                cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
+                cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+                if (cbfY) encodeResidual(cb, ly, 5, true, mode, signHiding);
+                if (cbfCb) encodeResidual(cb, lcb, 4, false, mode, signHiding);
+                if (cbfCr) encodeResidual(cb, lcr, 4, false, mode, signHiding);
+                for (int dy = 0; dy < 2; dy++)
+                    for (int dx = 0; dx < 2; dx++) {
+                        modeMap[(size_t)(gy + dy) * gc + gx + dx] = mode;
+                        depthMap[(size_t)(gy + dy) * gc + gx + dx] = 0;
+                    }
+            } else {
+                static const int QOFF[4][2] = {{0,0},{0,1},{1,0},{1,1}};
+                for (int q = 0; q < 4; q++) {
+                    int qy = QOFF[q][0], qx = QOFF[q][1];
+                    int my = gy + qy, mx = gx + qx;
+                    int mode = modes4[(size_t)idx * 4 + q];
+                    int candL = mx > 0 ? modeMap[(size_t)my * gc + mx - 1] : 1;
+                    int candA = qy == 1 ? modeMap[(size_t)(my - 1) * gc + mx] : 1;
+                    int mpm[3];
+                    deriveMPM(candL, candA, mpm);
+                    cb.encodeBin(1, CTX_PART_SIZE);  // 2Nx2N at min CB size
+                    encodeIntraLumaMode(cb, mode, mpm);
+                    cb.encodeBin(0, CTX_INTRA_CHROMA);
+                    for (int yy = 0; yy < 16; yy++)
+                        memcpy(qly + yy * 16,
+                               ly + (16 * qy + yy) * 32 + 16 * qx,
+                               16 * sizeof(int32_t));
+                    for (int yy = 0; yy < 8; yy++) {
+                        memcpy(qcb + yy * 8,
+                               lcb + (8 * qy + yy) * 16 + 8 * qx,
+                               8 * sizeof(int32_t));
+                        memcpy(qcr + yy * 8,
+                               lcr + (8 * qy + yy) * 16 + 8 * qx,
+                               8 * sizeof(int32_t));
+                    }
+                    int cbfY = anyNonzero(qly, 16 * 16) ? 1 : 0;
+                    int cbfCb = anyNonzero(qcb, 8 * 8) ? 1 : 0;
+                    int cbfCr = anyNonzero(qcr, 8 * 8) ? 1 : 0;
+                    cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
+                    cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
+                    cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+                    if (cbfY) encodeResidual(cb, qly, 4, true, mode, signHiding);
+                    if (cbfCb) encodeResidual(cb, qcb, 3, false, mode, signHiding);
+                    if (cbfCr) encodeResidual(cb, qcr, 3, false, mode, signHiding);
+                    modeMap[(size_t)my * gc + mx] = mode;
+                    depthMap[(size_t)my * gc + mx] = 1;
+                }
+            }
+            cb.encodeBinTrm(idx == ncu - 1 ? 1 : 0);
+        }
+    }
+    cb.finish(tailValue, tailBits);
+    if ((int)cb.out.size() > outCap) return -1;
+    memcpy(outBuf, cb.out.data(), cb.out.size());
+    return (int)cb.out.size();
+}
+
 // Standalone residual encode (golden tests vs the Python reference).
 int asuna_encode_residual_test(const int32_t* levels, int log2, int isLuma,
                                int intraMode, int qp, uint8_t* outBuf,
