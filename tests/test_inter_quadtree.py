@@ -1,0 +1,86 @@
+"""Depth-1 CU quadtree on P slices (CTU32 -> 4x16, in-scan RD decision,
+position-based merge/AMVP derivation at 16-pel granularity).
+
+Conformance: libavcodec decode must reproduce the encoder recon bit-exactly
+across an IPPP GOP with mixed split/unsplit CTUs; RD must not lose to the
+uniform grid (reference analog: compressInterCU_rd0_4, analysis.cpp:1146)."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("cv2")
+
+from x265_yuuki_asuna_tpu.models.encoder_top import VideoEncoderSession
+from x265_yuuki_asuna_tpu.utils.av_decode import decode_hevc
+
+
+def _moving_clip(w, h, n, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h + 64, w + 64)).astype(np.uint8)
+    base[0:h // 2] = (np.add.outer(np.arange(h // 2),
+                                   np.arange(w + 64)) % 256).astype(np.uint8)
+    out = []
+    for i in range(n):
+        dx, dy = 2 * i, i
+        y = base[dy:dy + h, dx:dx + w].copy()
+        u = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8) if i == 0 \
+            else out[-1][1]
+        v = np.full((h // 2, w // 2), 100 + 5 * i, np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+def test_quadtree_p_conformance():
+    w, h = 176, 144
+    frames = _moving_clip(w, h, 4, seed=5)
+    sess = VideoEncoderSession(w, h, qp=31, keyint=10, max_depth=1)
+    stream = sess.headers()
+    recons = []
+    for (y, u, v) in frames:
+        fr = sess.encode_frame(y, u, v)
+        stream += fr.nals
+        recons.append(fr.recon)
+    dec = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(dec) == len(frames)
+    for (dy, du, dv), (ry, ru, rv) in zip(dec, recons):
+        assert np.array_equal(dy[:h, :w], ry)
+        assert np.array_equal(du[:h // 2, :w // 2], ru)
+        assert np.array_equal(dv[:h // 2, :w // 2], rv)
+
+
+def test_quadtree_p_mixed_depths_and_modes():
+    w, h = 160, 96
+    frames = _moving_clip(w, h, 3, seed=9)
+    sess = VideoEncoderSession(w, h, qp=32, keyint=10, max_depth=1,
+                               hash_sei=False)
+    sess.encode_frame(*frames[0])
+    out = None
+    import x265_yuuki_asuna_tpu.utils.geometry as G
+    yp = G.pad_plane(frames[1][0], sess.coded_h, sess.coded_w)
+    up = G.pad_plane(frames[1][1], sess.coded_h // 2, sess.coded_w // 2)
+    vp = G.pad_plane(frames[1][2], sess.coded_h // 2, sess.coded_w // 2)
+    out = sess.inter_encoder.encode_frame(yp, up, vp, *sess.ref, qp=32)
+    # mixed content: both depths used, and inter CUs dominate a pan
+    assert out["split"].any()
+    n_inter = np.sum(~out["use_intra"][~out["split"]])
+    assert n_inter > 0
+
+
+def test_quadtree_p_native_matches_python():
+    from x265_yuuki_asuna_tpu.bitstream import native
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    w, h = 160, 96
+    frames = _moving_clip(w, h, 3, seed=2)
+    def run():
+        sess = VideoEncoderSession(w, h, qp=30, keyint=10, max_depth=1,
+                                   hash_sei=False)
+        return b"".join(sess.encode_frame(*f).nals for f in frames)
+    s_native = run()
+    orig = native.encode_p_slice_qt
+    try:
+        native.encode_p_slice_qt = lambda *a, **k: None
+        s_python = run()
+    finally:
+        native.encode_p_slice_qt = orig
+    assert s_native == s_python

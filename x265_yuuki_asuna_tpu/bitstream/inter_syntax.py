@@ -681,3 +681,164 @@ def decode_b_ctu(dec: CabacDecoder, grid, r, c, log2_cu: int, max_merge: int,
     cu = BCUState(False, motion, skip=False)
     grid[r][c] = cu
     return cu, ly, cb, cr
+
+
+# ---------------------------------------------------------------------------
+# Quadtree P slices: position-based candidate derivation on a 16-pel-granular
+# cell grid (spec 8.5.3.2.3 / 8.5.3.2.6 at true neighbor positions — with
+# mixed CU sizes the CU-granular shortcuts above no longer coincide with the
+# spec positions). Cells hold decoded-CU state; s = CU size in cells (1=16px,
+# 2=32px).
+# ---------------------------------------------------------------------------
+
+def _cell_mv(cells, yy, xx):
+    if 0 <= yy < len(cells) and 0 <= xx < len(cells[0]):
+        cu = cells[yy][xx]
+        if cu is not None and not cu.is_intra:
+            return cu.mv
+    return None
+
+
+def merge_candidates_pos(cells, gy: int, gx: int, s: int,
+                         max_cands: int) -> List[Tuple[int, int]]:
+    """Spatial merge list at spec positions: A1, B1, B0, A0, B2 (B2 only
+    when fewer than 4 precede), pairwise pruning, zero-MV fill. Single L0
+    reference, TMVP off."""
+    a1 = _cell_mv(cells, gy + s - 1, gx - 1)
+    b1 = _cell_mv(cells, gy - 1, gx + s - 1)
+    b0 = _cell_mv(cells, gy - 1, gx + s)
+    a0 = _cell_mv(cells, gy + s, gx - 1)
+    b2 = _cell_mv(cells, gy - 1, gx - 1)
+    cands: List[Tuple[int, int]] = []
+    if a1 is not None:
+        cands.append(a1)
+    if b1 is not None and b1 != a1:
+        cands.append(b1)
+    if b0 is not None and b0 != b1:
+        cands.append(b0)
+    if a0 is not None and a0 != a1:
+        cands.append(a0)
+    if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+        cands.append(b2)
+    while len(cands) < max_cands:
+        cands.append((0, 0))
+    return cands[:max_cands]
+
+
+def amvp_candidates_pos(cells, gy: int, gx: int, s: int
+                        ) -> List[Tuple[int, int]]:
+    """AMVP list at spec positions: A = first of (A0, A1); B = first of
+    (B0, B1, B2); dedupe; zero fill (single ref, no scaling, TMVP off)."""
+    cand_a = None
+    for yy, xx in ((gy + s, gx - 1), (gy + s - 1, gx - 1)):
+        cand_a = _cell_mv(cells, yy, xx)
+        if cand_a is not None:
+            break
+    cand_b = None
+    for yy, xx in ((gy - 1, gx + s), (gy - 1, gx + s - 1), (gy - 1, gx - 1)):
+        cand_b = _cell_mv(cells, yy, xx)
+        if cand_b is not None:
+            break
+    out: List[Tuple[int, int]] = []
+    if cand_a is not None:
+        out.append(cand_a)
+    if cand_b is not None and cand_b != cand_a:
+        out.append(cand_b)
+    while len(out) < 2:
+        out.append((0, 0))
+    return out[:2]
+
+
+def skip_ctx_pos(cells, gy: int, gx: int) -> int:
+    def sk(yy, xx):
+        if 0 <= yy < len(cells) and 0 <= xx < len(cells[0]):
+            cu = cells[yy][xx]
+            return 1 if (cu is not None and cu.skip) else 0
+        return 0
+    return sk(gy, gx - 1) + sk(gy - 1, gx)
+
+
+def encode_inter_cu_qt(enc: CabacEncoder, d: InterCTUDecision, cells,
+                       gy: int, gx: int, s: int, max_merge: int,
+                       sign_hiding: bool = False):
+    """coding_unit() for a P slice at cell (gy, gx), size s cells (16*s px).
+    Mirrors encode_inter_ctu but with position-based contexts/candidates and
+    size-dependent part_mode presence (intra part_mode only at min CB)."""
+    log2_cu = 4 if s == 1 else 5
+    is_skip = (not d.is_intra and d.merge_idx >= 0 and not d.has_residual)
+    enc.encode_bin(1 if is_skip else 0,
+                   CTX["skip"] + skip_ctx_pos(cells, gy, gx))
+    def fill(cu):
+        for yy in range(gy, gy + s):
+            for xx in range(gx, gx + s):
+                cells[yy][xx] = cu
+    if is_skip:
+        encode_merge_idx(enc, d.merge_idx, max_merge)
+        fill(CUInfo(False, d.mv, skip=True))
+        return
+    enc.encode_bin(0 if not d.is_intra else 1, CTX["pred_mode"])
+    if d.is_intra:
+        if s == 1:                       # part_mode only at min CB size
+            enc.encode_bin(1, CTX["part_size"])
+        left = cells[gy][gx - 1] if gx > 0 else None
+        cl = left.intra_mode if (left is not None and left.is_intra) \
+            else DC_MODE
+        # above candidate: forced DC when outside the current CTB row
+        if (gy & 1) == 1:
+            above = cells[gy - 1][gx]
+            ca = above.intra_mode if (above is not None and above.is_intra) \
+                else DC_MODE
+        else:
+            ca = DC_MODE
+        mpm = derive_mpm(cl, ca)
+        encode_intra_luma_mode(enc, d.intra_mode, mpm)
+        enc.encode_bin(0, CTX["intra_chroma"])       # DM chroma
+        cbf_cb = 1 if np.any(d.cb_levels) else 0
+        cbf_cr = 1 if np.any(d.cr_levels) else 0
+        enc.encode_bin(cbf_cb, CTX["qt_cbf"] + 2)
+        enc.encode_bin(cbf_cr, CTX["qt_cbf"] + 2)
+        cbf_y = 1 if np.any(d.luma_levels) else 0
+        enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
+        if cbf_y:
+            encode_residual(enc, d.luma_levels, log2_cu, True, d.intra_mode,
+                            sign_hiding)
+        if cbf_cb:
+            encode_residual(enc, d.cb_levels, log2_cu - 1, False,
+                            d.intra_mode, sign_hiding)
+        if cbf_cr:
+            encode_residual(enc, d.cr_levels, log2_cu - 1, False,
+                            d.intra_mode, sign_hiding)
+        fill(CUInfo(True, (0, 0), d.intra_mode))
+        return
+
+    enc.encode_bin(1, CTX["part_size"])              # inter 2Nx2N
+    if d.merge_idx >= 0:
+        enc.encode_bin(1, CTX["merge_flag"])
+        encode_merge_idx(enc, d.merge_idx, max_merge)
+        rqt_root_cbf = 1
+        assert d.has_residual, "2Nx2N merge without residual must be skip"
+    else:
+        enc.encode_bin(0, CTX["merge_flag"])
+        encode_mvd(enc, d.mvd[0], d.mvd[1])
+        enc.encode_bin(d.mvp_flag, CTX["mvp_idx"])
+        rqt_root_cbf = 1 if d.has_residual else 0
+        enc.encode_bin(rqt_root_cbf, CTX["qt_root_cbf"])
+    if rqt_root_cbf:
+        cbf_cb = 1 if np.any(d.cb_levels) else 0
+        cbf_cr = 1 if np.any(d.cr_levels) else 0
+        enc.encode_bin(cbf_cb, CTX["qt_cbf"] + 2)
+        enc.encode_bin(cbf_cr, CTX["qt_cbf"] + 2)
+        cbf_y = 1 if np.any(d.luma_levels) else 0
+        if cbf_cb or cbf_cr:
+            enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
+        else:
+            assert cbf_y, "rqt_root_cbf=1 with no coded cbf"
+        if cbf_y:
+            encode_residual(enc, d.luma_levels, log2_cu, True, -1, sign_hiding)
+        if cbf_cb:
+            encode_residual(enc, d.cb_levels, log2_cu - 1, False, -1,
+                            sign_hiding)
+        if cbf_cr:
+            encode_residual(enc, d.cr_levels, log2_cu - 1, False, -1,
+                            sign_hiding)
+    fill(CUInfo(False, d.mv, skip=False))

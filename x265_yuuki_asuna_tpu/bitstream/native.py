@@ -78,6 +78,16 @@ def load():
                 ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int)]
         except AttributeError:
             pass    # stale .so without the qt entry point
+        try:
+            lib.asuna_encode_p_slice_qt.restype = ctypes.c_int
+            lib.asuna_encode_p_slice_qt.argtypes = (
+                [ctypes.c_void_p] * 12
+                + [ctypes.c_int] * 5
+                + [ctypes.c_void_p, ctypes.c_int,
+                   ctypes.POINTER(ctypes.c_uint32),
+                   ctypes.POINTER(ctypes.c_int)])
+        except AttributeError:
+            pass
         lib.asuna_encode_residual_test.restype = ctypes.c_int
         lib.asuna_encode_residual_test.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -230,6 +240,39 @@ def encode_b_slice(use_intra: np.ndarray, intra_modes: np.ndarray,
         ly.ctypes.data, lcb.ctypes.data, lcr.ctypes.data,
         rows, cols, log2cu, qp, max_merge, poc_cur, poc_l0, poc_l1,
         1 if sign_hiding else 0,
+        out.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
+    if nbytes < 0:
+        return None
+    return bytes(out[:nbytes]), int(tail.value), int(tail_bits.value)
+
+
+def encode_p_slice_qt(split, use_intra32, modes32, mv32x, mv32y,
+                      use_intra4, modes4, mv4x, mv4y,
+                      levels_y, levels_cb, levels_cr,
+                      qp: int, max_merge: int, sign_hiding: bool = False):
+    """Native quadtree P-slice CABAC (CTU32, depth-1; position-based
+    merge/AMVP). Returns (payload, tail, tail_bits) or None."""
+    lib = load()
+    if lib is None or not hasattr(lib, "asuna_encode_p_slice_qt"):
+        return None
+    rows, cols = split.shape
+    c8 = lambda a: np.ascontiguousarray(a, np.uint8)
+    c32 = lambda a: np.ascontiguousarray(a, np.int32)
+    sp, ui32 = c8(split), c8(use_intra32)
+    m32, x32, y32 = c32(modes32), c32(mv32x), c32(mv32y)
+    ui4 = c8(use_intra4)
+    m4, x4, y4 = c32(modes4), c32(mv4x), c32(mv4y)
+    ly, lcb, lcr = c32(levels_y), c32(levels_cb), c32(levels_cr)
+    cap = int(ly.nbytes + lcb.nbytes + lcr.nbytes + 65536)
+    out = np.empty(cap, np.uint8)
+    tail = ctypes.c_uint32()
+    tail_bits = ctypes.c_int()
+    nbytes = lib.asuna_encode_p_slice_qt(
+        sp.ctypes.data, ui32.ctypes.data, m32.ctypes.data,
+        x32.ctypes.data, y32.ctypes.data, ui4.ctypes.data, m4.ctypes.data,
+        x4.ctypes.data, y4.ctypes.data,
+        ly.ctypes.data, lcb.ctypes.data, lcr.ctypes.data,
+        rows, cols, qp, max_merge, 1 if sign_hiding else 0,
         out.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
     if nbytes < 0:
         return None

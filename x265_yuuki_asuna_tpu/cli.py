@@ -117,10 +117,14 @@ def main(argv=None):
 
     rc_mode = "crf" if args.crf is not None else (
         "abr" if args.bitrate else "cqp")
+    qt_depth = 0
+    if args.min_cu_size and args.min_cu_size < args.ctu:
+        qt_depth = args.ctu.bit_length() - args.min_cu_size.bit_length()
     if args.keyint > 1 or rc_mode != "cqp" or args.bframes or args.vbv_maxrate:
         from .models.encoder_top import VideoEncoderSession
         sess = VideoEncoderSession(info.width, info.height, qp=args.qp,
                                    cu_size=args.ctu,
+                                   max_depth=qt_depth,
                                    fps=(info.fps_num, info.fps_denom),
                                    keyint=max(args.keyint, 2) if args.keyint > 1 else 250,
                                    search_range=args.merange,
@@ -144,9 +148,6 @@ def main(argv=None):
                                    cutree=args.cutree)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
-        max_depth = 0
-        if args.min_cu_size and args.min_cu_size < args.ctu:
-            max_depth = (args.ctu.bit_length() - args.min_cu_size.bit_length())
         sess = IntraEncoderSession(info.width, info.height, qp=args.qp,
                                    cu_size=args.ctu,
                                    fps=(info.fps_num, info.fps_denom),
@@ -160,7 +161,7 @@ def main(argv=None):
                                    sbh=args.signhide,
                                    master_display=args.master_display,
                                    max_cll=args.max_cll,
-                                   max_depth=max_depth)
+                                   max_depth=qt_depth)
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None

@@ -586,9 +586,19 @@ class VideoEncoderSession:
                  sbh: bool = False, zones: str = None,
                  analysis_save: str = None, analysis_load: str = None,
                  aq_mode: int = 0, aq_strength: float = 1.0,
-                 cutree: bool = False, b_pyramid: bool = True):
+                 cutree: bool = False, b_pyramid: bool = True,
+                 max_depth: int = 0):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
+        if max_depth:
+            cu_size = 32
+            assert not bframes and not weightp and not analysis_load \
+                and not analysis_save, \
+                "inter quadtree: IPPP only (v1); no weightp/analysis reuse"
+            deblock = sao = False
+            aq_mode = 0
+            cutree = False
+        self.max_depth = max_depth
         # per-CU QP (AQ/cuTree) and deblocking are mutually exclusive this
         # round: the in-loop filter still derives thresholds from the frame
         # QP (per-edge QP averaging is the r2 item)
@@ -600,7 +610,8 @@ class VideoEncoderSession:
         sao = sao and not per_cu_qp
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
                                               hash_sei=False, deblock=deblock,
-                                              sao=sao, rdoq=rdoq, sbh=sbh)
+                                              sao=sao, rdoq=rdoq, sbh=sbh,
+                                              max_depth=max_depth)
         self.sbh = self.intra_sess.sbh
         if per_cu_qp:
             self.intra_sess.pps.cu_qp_delta = 1
@@ -637,7 +648,8 @@ class VideoEncoderSession:
         self.inter_encoder = InterFrameEncoder(InterFrameConfig(
             width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp,
             search_range=search_range, rdoq=rdoq, weightp=weightp,
-            sbh=self.sbh, analysis_load=self.analysis_data is not None))
+            sbh=self.sbh, analysis_load=self.analysis_data is not None,
+            max_depth=max_depth))
         self.frame_idx = 0
         self.poc = 0
         self.ref = None   # (y, u, v) padded recon planes
@@ -1157,6 +1169,8 @@ class VideoEncoderSession:
         from ..bitstream import inter_syntax as IS
         from ..bitstream.bitio import NAL_TRAIL_R
         qp = self.qp if qp is None else qp
+        if self.max_depth:
+            return self._assemble_p_slice_qt(out, qp, poc, ref_delta)
         sess = self.intra_sess
         log2cu = self.cu.bit_length() - 1
         bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=1,
@@ -1204,6 +1218,99 @@ class VideoEncoderSession:
         bw.write_bits(tail, tail_bits)
         bw.rbsp_trailing_bits()
         return wrap_nal(NAL_TRAIL_R, bw.get_bytes())
+
+    def _assemble_p_slice_qt(self, out: dict, qp: int, poc=None,
+                             ref_delta: int = 1) -> bytes:
+        """Quadtree P slice (CTU32, depth-1): split_cu_flag per CTU, then
+        1 or 4 coding units with position-based merge/AMVP derivation."""
+        from ..bitstream import inter_syntax as IS
+        from ..bitstream.bitio import NAL_TRAIL_R
+        from ..bitstream.tables import CTX_OFFSET as CTX
+        sess = self.intra_sess
+        bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=1,
+                                    slice_qp=qp, nal_type=NAL_TRAIL_R,
+                                    poc=self.poc if poc is None else poc,
+                                    ref_poc_delta=ref_delta,
+                                    max_merge=self.max_merge)
+        res = native.encode_p_slice_qt(
+            out["split"], out["use_intra"], out["modes"],
+            out["mvx"], out["mvy"], out["use_intra4"], out["modes4"],
+            out["mv4x"], out["mv4y"], out["levels_y"], out["levels_cb"],
+            out["levels_cr"], qp, self.max_merge, self.sbh)
+        if res is not None:
+            data, tail, tail_bits = res
+        else:
+            enc = CabacEncoder()
+            enc.init_contexts(1, qp)
+            gr, gc = 2 * self.rows, 2 * self.cols
+            cells = [[None] * gc for _ in range(gr)]
+            depth = np.zeros((gr, gc), np.int32)
+            last = self.rows * self.cols - 1
+            for r in range(self.rows):
+                for c in range(self.cols):
+                    gy, gx = 2 * r, 2 * c
+                    sp = bool(out["split"][r, c])
+                    ctx = ((1 if gx > 0 and depth[gy, gx - 1] > 0 else 0)
+                           + (1 if gy > 0 and depth[gy - 1, gx] > 0 else 0))
+                    enc.encode_bin(1 if sp else 0, CTX["split_cu"] + ctx)
+                    if not sp:
+                        d = self._decide_cu_pos(
+                            IS, cells, gy, gx, 2,
+                            bool(out["use_intra"][r, c]),
+                            int(out["modes"][r, c]),
+                            (int(out["mvx"][r, c]), int(out["mvy"][r, c])),
+                            out["levels_y"][r, c], out["levels_cb"][r, c],
+                            out["levels_cr"][r, c])
+                        IS.encode_inter_cu_qt(enc, d, cells, gy, gx, 2,
+                                              self.max_merge,
+                                              sign_hiding=self.sbh)
+                        depth[gy:gy + 2, gx:gx + 2] = 0
+                    else:
+                        for q, (qy, qx) in enumerate(((0, 0), (0, 1),
+                                                      (1, 0), (1, 1))):
+                            my, mx = gy + qy, gx + qx
+                            d = self._decide_cu_pos(
+                                IS, cells, my, mx, 1,
+                                bool(out["use_intra4"][r, c, q]),
+                                int(out["modes4"][r, c, q]),
+                                (int(out["mv4x"][r, c, q]),
+                                 int(out["mv4y"][r, c, q])),
+                                out["levels_y"][r, c][16 * qy:16 * qy + 16,
+                                                      16 * qx:16 * qx + 16],
+                                out["levels_cb"][r, c][8 * qy:8 * qy + 8,
+                                                       8 * qx:8 * qx + 8],
+                                out["levels_cr"][r, c][8 * qy:8 * qy + 8,
+                                                       8 * qx:8 * qx + 8])
+                            IS.encode_inter_cu_qt(enc, d, cells, my, mx, 1,
+                                                  self.max_merge,
+                                                  sign_hiding=self.sbh)
+                            depth[my, mx] = 1
+                    enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
+            data, tail, tail_bits = enc.finish()
+        for b in data:
+            bw.write_byte(b)
+        bw.write_bits(tail, tail_bits)
+        bw.rbsp_trailing_bits()
+        return wrap_nal(NAL_TRAIL_R, bw.get_bytes())
+
+    def _decide_cu_pos(self, IS, cells, gy, gx, s, is_intra, mode, mv,
+                       lv_y, lv_cb, lv_cr):
+        if is_intra:
+            return IS.InterCTUDecision(
+                is_intra=True, intra_mode=mode,
+                luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)
+        cands = IS.merge_candidates_pos(cells, gy, gx, s, self.max_merge)
+        if mv in cands:
+            return IS.InterCTUDecision(
+                is_intra=False, mv=mv, merge_idx=cands.index(mv),
+                luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)
+        preds = IS.amvp_candidates_pos(cells, gy, gx, s)
+        costs = [abs(mv[0] - p[0]) + abs(mv[1] - p[1]) for p in preds]
+        flag = 0 if costs[0] <= costs[1] else 1
+        mvd = (mv[0] - preds[flag][0], mv[1] - preds[flag][1])
+        return IS.InterCTUDecision(
+            is_intra=False, mv=mv, merge_idx=-1, mvp_flag=flag, mvd=mvd,
+            luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)
 
     def _decide_cu(self, out, grid, r, c):
         """Map device decisions to signaling (merge/AMVP selection against

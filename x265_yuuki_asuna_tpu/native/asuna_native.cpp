@@ -960,6 +960,230 @@ int asuna_encode_p_slice(
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Quadtree P slice (CTU32, depth-1). Position-based candidate derivation on
+// a 16-pel cell grid (spec 8.5.3.2.3/8.5.3.2.6 at true neighbor positions).
+// Mirrors encoder_top.py _assemble_p_slice_qt + inter_syntax.py
+// encode_inter_cu_qt (golden-tested byte-identical).
+// ---------------------------------------------------------------------------
+
+struct Cell {
+    uint8_t decoded = 0, isIntra = 0, skip = 0;
+    int32_t mvx = 0, mvy = 0, mode = 1;
+};
+
+struct CellGrid {
+    std::vector<Cell> v;
+    int gr, gc;
+    const Cell* at(int y, int x) const {
+        if (y < 0 || x < 0 || y >= gr || x >= gc) return nullptr;
+        const Cell* p = &v[(size_t)y * gc + x];
+        return p->decoded ? p : nullptr;
+    }
+    bool interMv(int y, int x, int32_t mv[2]) const {
+        const Cell* p = at(y, x);
+        if (!p || p->isIntra) return false;
+        mv[0] = p->mvx; mv[1] = p->mvy;
+        return true;
+    }
+};
+
+static void mergeCandidatesPos(const CellGrid& g, int gy, int gx, int s,
+                               int maxCands, int32_t (*out)[2]) {
+    int32_t a1[2], b1[2], b0[2], a0[2], b2[2];
+    bool hA1 = g.interMv(gy + s - 1, gx - 1, a1);
+    bool hB1 = g.interMv(gy - 1, gx + s - 1, b1);
+    bool hB0 = g.interMv(gy - 1, gx + s, b0);
+    bool hA0 = g.interMv(gy + s, gx - 1, a0);
+    bool hB2 = g.interMv(gy - 1, gx - 1, b2);
+    int n = 0;
+    auto eq = [](const int32_t* a, const int32_t* b) {
+        return a[0] == b[0] && a[1] == b[1];
+    };
+    if (hA1) { out[n][0] = a1[0]; out[n][1] = a1[1]; n++; }
+    if (hB1 && !(hA1 && eq(b1, a1))) { out[n][0] = b1[0]; out[n][1] = b1[1]; n++; }
+    if (hB0 && !(hB1 && eq(b0, b1))) { out[n][0] = b0[0]; out[n][1] = b0[1]; n++; }
+    if (hA0 && !(hA1 && eq(a0, a1))) { out[n][0] = a0[0]; out[n][1] = a0[1]; n++; }
+    if (n < 4 && hB2 && !(hA1 && eq(b2, a1)) && !(hB1 && eq(b2, b1))) {
+        out[n][0] = b2[0]; out[n][1] = b2[1]; n++;
+    }
+    while (n < maxCands) { out[n][0] = 0; out[n][1] = 0; n++; }
+}
+
+static void amvpCandidatesPos(const CellGrid& g, int gy, int gx, int s,
+                              int32_t (*out)[2]) {
+    int32_t a[2], b[2];
+    bool hA = g.interMv(gy + s, gx - 1, a) || g.interMv(gy + s - 1, gx - 1, a);
+    bool hB = g.interMv(gy - 1, gx + s, b) || g.interMv(gy - 1, gx + s - 1, b)
+              || g.interMv(gy - 1, gx - 1, b);
+    int n = 0;
+    if (hA) { out[n][0] = a[0]; out[n][1] = a[1]; n++; }
+    if (hB && !(hA && b[0] == a[0] && b[1] == a[1])) {
+        out[n][0] = b[0]; out[n][1] = b[1]; n++;
+    }
+    while (n < 2) { out[n][0] = 0; out[n][1] = 0; n++; }
+}
+
+static void codeInterCuQt(Cabac& cb, CellGrid& g, int gy, int gx, int s,
+                          bool isIntra, int mode, int32_t mvx, int32_t mvy,
+                          const int32_t* ly, const int32_t* lcb,
+                          const int32_t* lcr, int maxMerge, int signHiding) {
+    const int log2cu = s == 1 ? 4 : 5;
+    const int nl = 1 << log2cu, ncr = nl >> 1;
+    int cbfY = anyNonzero(ly, nl * nl);
+    int cbfCb = anyNonzero(lcb, ncr * ncr);
+    int cbfCr = anyNonzero(lcr, ncr * ncr);
+    bool hasResid = cbfY || cbfCb || cbfCr;
+    const Cell* l = g.at(gy, gx - 1);
+    const Cell* a = g.at(gy - 1, gx);
+    int sctx = (l && l->skip ? 1 : 0) + (a && a->skip ? 1 : 0);
+    auto fill = [&](Cell cell) {
+        cell.decoded = 1;
+        for (int yy = gy; yy < gy + s; yy++)
+            for (int xx = gx; xx < gx + s; xx++)
+                g.v[(size_t)yy * g.gc + xx] = cell;
+    };
+    if (!isIntra) {
+        int32_t mv[2] = {mvx, mvy};
+        int32_t cands[5][2];
+        mergeCandidatesPos(g, gy, gx, s, maxMerge, cands);
+        int mergeIdx = -1;
+        for (int i = 0; i < maxMerge; i++)
+            if (cands[i][0] == mv[0] && cands[i][1] == mv[1]) {
+                mergeIdx = i;
+                break;
+            }
+        bool isSkip = mergeIdx >= 0 && !hasResid;
+        cb.encodeBin(isSkip ? 1 : 0, CTX_SKIP + sctx);
+        if (isSkip) {
+            encodeMergeIdx(cb, mergeIdx, maxMerge);
+            fill({1, 0, 1, mv[0], mv[1], 1});
+            return;
+        }
+        cb.encodeBin(0, CTX_PRED_MODE);
+        cb.encodeBin(1, CTX_PART_SIZE);              // inter 2Nx2N
+        int rqt;
+        if (mergeIdx >= 0) {
+            cb.encodeBin(1, CTX_MERGE_FLAG);
+            encodeMergeIdx(cb, mergeIdx, maxMerge);
+            rqt = 1;
+        } else {
+            cb.encodeBin(0, CTX_MERGE_FLAG);
+            int32_t preds[2][2];
+            amvpCandidatesPos(g, gy, gx, s, preds);
+            int c0 = abs(mv[0] - preds[0][0]) + abs(mv[1] - preds[0][1]);
+            int c1 = abs(mv[0] - preds[1][0]) + abs(mv[1] - preds[1][1]);
+            int flag = c0 <= c1 ? 0 : 1;
+            encodeMvd(cb, mv[0] - preds[flag][0], mv[1] - preds[flag][1]);
+            cb.encodeBin(flag, CTX_MVP_IDX);
+            rqt = hasResid ? 1 : 0;
+            cb.encodeBin(rqt, CTX_QT_ROOT_CBF);
+        }
+        if (rqt) {
+            cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
+            cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
+            if (cbfCb || cbfCr) cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+            if (cbfY) encodeResidual(cb, ly, log2cu, true, -1, signHiding);
+            if (cbfCb) encodeResidual(cb, lcb, log2cu - 1, false, -1, signHiding);
+            if (cbfCr) encodeResidual(cb, lcr, log2cu - 1, false, -1, signHiding);
+        }
+        fill({1, 0, 0, mv[0], mv[1], 1});
+    } else {
+        cb.encodeBin(0, CTX_SKIP + sctx);
+        cb.encodeBin(1, CTX_PRED_MODE);
+        if (s == 1) cb.encodeBin(1, CTX_PART_SIZE);  // only at min CB size
+        int cl = (l && l->isIntra) ? l->mode : 1;
+        int ca = 1;
+        if ((gy & 1) == 1) {
+            const Cell* ab = g.at(gy - 1, gx);
+            ca = (ab && ab->isIntra) ? ab->mode : 1;
+        }
+        int mpm[3];
+        deriveMPM(cl, ca, mpm);
+        encodeIntraLumaMode(cb, mode, mpm);
+        cb.encodeBin(0, CTX_INTRA_CHROMA);
+        cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
+        cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
+        cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+        if (cbfY) encodeResidual(cb, ly, log2cu, true, mode, signHiding);
+        if (cbfCb) encodeResidual(cb, lcb, log2cu - 1, false, mode, signHiding);
+        if (cbfCr) encodeResidual(cb, lcr, log2cu - 1, false, mode, signHiding);
+        fill({1, 1, 0, 0, 0, mode});
+    }
+}
+
+extern "C" int asuna_encode_p_slice_qt(
+    const uint8_t* split, const uint8_t* useIntra32, const int32_t* modes32,
+    const int32_t* mv32x, const int32_t* mv32y,
+    const uint8_t* useIntra4, const int32_t* modes4,
+    const int32_t* mv4x, const int32_t* mv4y,
+    const int32_t* levelsY, const int32_t* levelsCb, const int32_t* levelsCr,
+    int rows, int cols, int qp, int maxMerge, int signHiding,
+    uint8_t* outBuf, int outCap, uint32_t* tailValue, int* tailBits)
+{
+    Cabac cb;
+    cb.init(1, qp);
+    const int ncu = rows * cols;
+    const int gr = 2 * rows, gc = 2 * cols;
+    CellGrid cells;
+    cells.gr = gr; cells.gc = gc;
+    cells.v.resize((size_t)gr * gc);
+    std::vector<uint8_t> depth((size_t)gr * gc, 0);
+    int32_t qly[16 * 16], qcb[8 * 8], qcr[8 * 8];
+
+    for (int r = 0; r < rows; r++) {
+        for (int c = 0; c < cols; c++) {
+            int idx = r * cols + c;
+            const int32_t* ly = levelsY + (size_t)idx * 32 * 32;
+            const int32_t* lcb = levelsCb + (size_t)idx * 16 * 16;
+            const int32_t* lcr = levelsCr + (size_t)idx * 16 * 16;
+            int gy = 2 * r, gx = 2 * c;
+            int ctx = (gx > 0 && depth[(size_t)gy * gc + gx - 1] > 0 ? 1 : 0)
+                    + (gy > 0 && depth[(size_t)(gy - 1) * gc + gx] > 0 ? 1 : 0);
+            int sp = split[idx] ? 1 : 0;
+            cb.encodeBin(sp, CTX_SPLIT_CU + ctx);
+            if (!sp) {
+                codeInterCuQt(cb, cells, gy, gx, 2, useIntra32[idx] != 0,
+                              modes32[idx], mv32x[idx], mv32y[idx],
+                              ly, lcb, lcr, maxMerge, signHiding);
+                for (int dy = 0; dy < 2; dy++)
+                    for (int dx = 0; dx < 2; dx++)
+                        depth[(size_t)(gy + dy) * gc + gx + dx] = 0;
+            } else {
+                static const int QOFF[4][2] = {{0,0},{0,1},{1,0},{1,1}};
+                for (int q = 0; q < 4; q++) {
+                    int qy = QOFF[q][0], qx = QOFF[q][1];
+                    for (int yy = 0; yy < 16; yy++)
+                        memcpy(qly + yy * 16,
+                               ly + (16 * qy + yy) * 32 + 16 * qx,
+                               16 * sizeof(int32_t));
+                    for (int yy = 0; yy < 8; yy++) {
+                        memcpy(qcb + yy * 8,
+                               lcb + (8 * qy + yy) * 16 + 8 * qx,
+                               8 * sizeof(int32_t));
+                        memcpy(qcr + yy * 8,
+                               lcr + (8 * qy + yy) * 16 + 8 * qx,
+                               8 * sizeof(int32_t));
+                    }
+                    codeInterCuQt(cb, cells, gy + qy, gx + qx, 1,
+                                  useIntra4[(size_t)idx * 4 + q] != 0,
+                                  modes4[(size_t)idx * 4 + q],
+                                  mv4x[(size_t)idx * 4 + q],
+                                  mv4y[(size_t)idx * 4 + q],
+                                  qly, qcb, qcr, maxMerge, signHiding);
+                    depth[(size_t)(gy + qy) * gc + gx + qx] = 1;
+                }
+            }
+            cb.encodeBinTrm(idx == ncu - 1 ? 1 : 0);
+        }
+    }
+    cb.finish(tailValue, tailBits);
+    if ((int)cb.out.size() > outCap) return -1;
+    memcpy(outBuf, cb.out.data(), cb.out.size());
+    return (int)cb.out.size();
+}
+
+
+// ---------------------------------------------------------------------------
 // B-slice syntax (two reference lists, bi-prediction) — mirrors
 // bitstream/inter_syntax.py encode_b_ctu/merge_candidates_b/amvp_candidates_b
 // (golden-tested byte-identical against the Python reference).
