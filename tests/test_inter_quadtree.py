@@ -84,3 +84,24 @@ def test_quadtree_p_native_matches_python():
     finally:
         native.encode_p_slice_qt = orig
     assert s_native == s_python
+
+
+def test_quadtree_deblock_conformance():
+    # QT + in-loop deblocking (16-pel edge grid, interior edges of unsplit
+    # CTUs off) must stay decoder-exact across an IPPP GOP
+    w, h = 176, 144
+    frames = _moving_clip(w, h, 3, seed=13)
+    sess = VideoEncoderSession(w, h, qp=30, keyint=10, max_depth=1,
+                               deblock=True)
+    stream = sess.headers()
+    recons = []
+    for (y, u, v) in frames:
+        fr = sess.encode_frame(y, u, v)
+        stream += fr.nals
+        recons.append(fr.recon)
+    dec = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(dec) == len(frames)
+    for (dy, du, dv), (ry, ru, rv) in zip(dec, recons):
+        assert np.array_equal(dy[:h, :w], ry)
+        assert np.array_equal(du[:h // 2, :w // 2], ru)
+        assert np.array_equal(dv[:h // 2, :w // 2], rv)

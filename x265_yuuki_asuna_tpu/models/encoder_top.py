@@ -55,6 +55,7 @@ class IntraEncoderSession:
             assert slices == 1 and not wpp, \
                 "quadtree + slices/wpp unsupported (v1)"
             aq_mode = 0     # per-CU QP with quadtree: r2
+            sao = False     # SAO syntax in QT writers: next step
         self.max_depth = max_depth
         self.src_w = width
         self.src_h = height
@@ -145,6 +146,25 @@ class IntraEncoderSession:
             out += SEI.wrap_sei(msgs)
         return out
 
+    def _apply_deblock(self, out: dict, qp: int = None):
+        """In-loop deblocking on the session recon (QT-aware: edges on the
+        16-pel CU-boundary grid with interior edges of unsplit CTUs off)."""
+        qp = self.qp if qp is None else qp
+        if self.max_depth:
+            maps = DB.expand_qt_maps({"split": out["split"],
+                                      "levels_y": out["levels_y"]})
+            bs_v, bs_h = DB.compute_bs_qt(maps)
+            dy, du, dv = DB.deblock_frame_inter(
+                out["recon_y"], out["recon_u"], out["recon_v"], 16,
+                qp, chroma_qp_from_luma(qp), bs_v, bs_h,
+                bit_depth=self.bit_depth)
+        else:
+            dy, du, dv = DB.deblock_frame_uniform(
+                out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
+                qp, chroma_qp_from_luma(qp), bit_depth=self.bit_depth)
+        out["recon_y"], out["recon_u"], out["recon_v"] = (
+            np.asarray(dy), np.asarray(du), np.asarray(dv))
+
     # ------------------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      poc: int = 0) -> FrameResult:
@@ -165,11 +185,7 @@ class IntraEncoderSession:
         if qp_map is not None:
             out["qp_map"] = qp_map
         if self.deblock:
-            dy, du, dv = DB.deblock_frame_uniform(
-                out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
-                self.qp, chroma_qp_from_luma(self.qp))
-            out["recon_y"], out["recon_u"], out["recon_v"] = (
-                np.asarray(dy), np.asarray(du), np.asarray(dv))
+            self._apply_deblock(out)
         sao_params = None
         if self.sao:
             sao_params = self._sao_decide(out, yp, up, vp)
@@ -263,11 +279,7 @@ class IntraEncoderSession:
         for i, (y, u, v) in enumerate(frames):
             out = outs[i]
             if self.deblock:
-                dy, du, dv = DB.deblock_frame_uniform(
-                    out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
-                    self.qp, chroma_qp_from_luma(self.qp))
-                out["recon_y"], out["recon_u"], out["recon_v"] = (
-                    np.asarray(dy), np.asarray(du), np.asarray(dv))
+                self._apply_deblock(out)
             nals = self._assemble_slice(out)
             if self.hash_sei:
                 nals += self._hash_sei(out)
@@ -299,11 +311,7 @@ class IntraEncoderSession:
         for i, (y, u, v) in enumerate(frames):
             out = outs[i]
             if self.deblock:
-                dy, du, dv = DB.deblock_frame_uniform(
-                    out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
-                    self.qp, chroma_qp_from_luma(self.qp))
-                out["recon_y"], out["recon_u"], out["recon_v"] = (
-                    np.asarray(dy), np.asarray(du), np.asarray(dv))
+                self._apply_deblock(out)
             nals = self._assemble_slice(out)
             if self.hash_sei:
                 nals += self._hash_sei(out)
@@ -595,7 +603,7 @@ class VideoEncoderSession:
             assert not bframes and not weightp and not analysis_load \
                 and not analysis_save, \
                 "inter quadtree: IPPP only (v1); no weightp/analysis reuse"
-            deblock = sao = False
+            sao = False         # SAO syntax in QT writers: next step
             aq_mode = 0
             cutree = False
         self.max_depth = max_depth
@@ -897,7 +905,15 @@ class VideoEncoderSession:
         reference for subsequent frames)."""
         if not self.deblock:
             return
-        if is_idr:
+        if self.max_depth:
+            maps = DB.expand_qt_maps(out) if not is_idr else \
+                DB.expand_qt_maps({"split": out["split"],
+                                   "levels_y": out["levels_y"]})
+            bs_v, bs_h = DB.compute_bs_qt(maps)
+            dy, du, dv = DB.deblock_frame_inter(
+                out["recon_y"], out["recon_u"], out["recon_v"], 16,
+                qp, chroma_qp_from_luma(qp), bs_v, bs_h)
+        elif is_idr:
             dy, du, dv = DB.deblock_frame_uniform(
                 out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
                 qp, chroma_qp_from_luma(qp))

@@ -328,3 +328,86 @@ def deblock_frame_inter(recon_y, recon_u, recon_v, cu_size: int, qp_y: int,
         else:
             v = p
     return y, u, v
+
+
+# ---------------------------------------------------------------------------
+# Quadtree (CTU32, depth-1) deblocking: the filtered edges are the CU
+# boundaries on the 16-pel grid. Mid-CTU edges of an UNSPLIT CTU are TU/CU
+# interior (TU == CU) -> not filtered (BS 0). Cell attributes at 16-pel
+# granularity come from expanding the quadtree decisions.
+# ---------------------------------------------------------------------------
+
+def expand_qt_maps(out):
+    """Expand quadtree decision tensors to 16-pel-granular maps.
+
+    Returns dict of [2*rows, 2*cols] arrays: is_intra, cbf (of the TU
+    containing each cell), mvx, mvy — plus the split map itself."""
+    split = np.asarray(out["split"], bool)
+    rows, cols = split.shape
+    n = out["levels_y"].shape[2]               # 32
+    h = n // 2
+
+    def cellize(a4, a32):
+        """a4: [r, c, 4] per-quadrant (z-order), a32: [r, c] whole-CTU."""
+        a4 = np.asarray(a4)
+        a32 = np.asarray(a32)
+        sel = np.where(split[..., None], a4, a32[..., None])  # [r, c, 4]
+        return (sel.reshape(rows, cols, 2, 2)
+                .transpose(0, 2, 1, 3).reshape(2 * rows, 2 * cols))
+
+    lv = np.asarray(out["levels_y"])
+    cbf32 = lv.any(axis=(2, 3))
+    cbf4 = (lv.reshape(rows, cols, 2, h, 2, h).any(axis=(3, 5))
+            .reshape(rows, cols, 4))
+    ui32 = np.asarray(out.get("use_intra",
+                              np.ones((rows, cols), bool)), bool)
+    ui4 = np.asarray(out.get("use_intra4",
+                             np.ones((rows, cols, 4), bool)), bool)
+    z = np.zeros((rows, cols), np.int32)
+    z4 = np.zeros((rows, cols, 4), np.int32)
+    mvx32 = np.asarray(out.get("mvx", z))
+    mvy32 = np.asarray(out.get("mvy", z))
+    mv4x = np.asarray(out.get("mv4x", z4))
+    mv4y = np.asarray(out.get("mv4y", z4))
+    # zero MVs on intra cells so pair comparison is well-defined
+    ii = cellize(ui4, ui32).astype(bool)
+    mvx = np.where(ii, 0, cellize(mv4x, mvx32))
+    mvy = np.where(ii, 0, cellize(mv4y, mvy32))
+    return {
+        "split": split,
+        "is_intra": ii,
+        "cbf": cellize(cbf4, cbf32).astype(bool),
+        "mvx": mvx,
+        "mvy": mvy,
+    }
+
+
+def compute_bs_qt(maps):
+    """Boundary strengths on the 16-pel grid with interior-edge masking.
+
+    maps: output of expand_qt_maps. Returns (bs_v [gr, gc-1],
+    bs_h [gr-1, gc])."""
+    ii = maps["is_intra"]
+    cbf = maps["cbf"]
+    mvx, mvy = maps["mvx"], maps["mvy"]
+    split = maps["split"]
+    gr, gc = ii.shape
+
+    def pair(sa, sb):
+        intra = ii[sa] | ii[sb]
+        coded = cbf[sa] | cbf[sb]
+        mis = ((np.abs(mvx[sa] - mvx[sb]) >= 4)
+               | (np.abs(mvy[sa] - mvy[sb]) >= 4))
+        return np.where(intra, 2, np.where(coded | mis, 1, 0))
+
+    bs_v = pair(np.s_[:, :-1], np.s_[:, 1:])        # [gr, gc-1]
+    bs_h = pair(np.s_[:-1, :], np.s_[1:, :])        # [gr-1, gc]
+
+    # interior edges of unsplit CTUs are not CU/TU boundaries
+    split_rows = np.repeat(split, 2, axis=0)        # [gr, cols]
+    split_cols = np.repeat(split, 2, axis=1)        # [rows, gc]
+    for i in range(0, gc - 1, 2):                   # edge i: mid-CTU (x odd)
+        bs_v[:, i] = np.where(split_rows[:, i // 2], bs_v[:, i], 0)
+    for i in range(0, gr - 1, 2):
+        bs_h[i, :] = np.where(split_cols[i // 2, :], bs_h[i, :], 0)
+    return bs_v, bs_h
