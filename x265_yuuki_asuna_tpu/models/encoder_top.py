@@ -55,7 +55,6 @@ class IntraEncoderSession:
             assert slices == 1 and not wpp, \
                 "quadtree + slices/wpp unsupported (v1)"
             aq_mode = 0     # per-CU QP with quadtree: r2
-            sao = False     # SAO syntax in QT writers: next step
         self.max_depth = max_depth
         self.src_w = width
         self.src_h = height
@@ -332,7 +331,7 @@ class IntraEncoderSession:
     def _assemble_slice(self, out: dict, qp: int = None,
                         sao_params=None) -> bytes:
         if self.max_depth:
-            return self._assemble_slice_qt(out, qp)
+            return self._assemble_slice_qt(out, qp, sao_params)
         if self.wpp:
             return self._assemble_slice_wpp(out, qp, sao_params)
         qp = self.qp if qp is None else qp
@@ -395,7 +394,8 @@ class IntraEncoderSession:
         return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
 
     # ------------------------------------------------------------------
-    def _assemble_slice_qt(self, out: dict, qp: int = None) -> bytes:
+    def _assemble_slice_qt(self, out: dict, qp: int = None,
+                           sao_params=None) -> bytes:
         """Quadtree I-slice: per-CTU split_cu_flag then 1 or 4 CUs.
         Syntax per spec 7.3.8.4 coding_quadtree; split_cu_flag context from
         neighbor depths (9.3.4.2.2), intra-mode MPMs from a 16-pel-granular
@@ -406,8 +406,10 @@ class IntraEncoderSession:
         mode32 = out["modes"]
         modes4 = out["modes4"]
         bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
-                                    slice_qp=qp)
-        res = native.encode_intra_slice_qt(
+                                    slice_qp=qp,
+                                    sao_luma=1 if sao_params else 0,
+                                    sao_chroma=1 if sao_params else 0)
+        res = None if sao_params is not None else native.encode_intra_slice_qt(
             split, mode32, modes4, out["levels_y"], out["levels_cb"],
             out["levels_cr"], qp, self.sbh)
         if res is not None:
@@ -421,6 +423,12 @@ class IntraEncoderSession:
             last = self.rows * self.cols - 1
             for r in range(self.rows):
                 for c in range(self.cols):
+                    if sao_params is not None:
+                        CS.encode_sao_ctu(
+                            enc, sao_params[r][c],
+                            sao_params[r][c - 1] if c > 0 else None,
+                            sao_params[r - 1][c] if r > 0 else None,
+                            True, True, self.bit_depth)
                     self._write_ctu_qt(enc, bool(split[r, c]),
                                        int(mode32[r, c]), modes4[r, c],
                                        out["levels_y"][r, c],
@@ -603,7 +611,6 @@ class VideoEncoderSession:
             assert not bframes and not weightp and not analysis_load \
                 and not analysis_save, \
                 "inter quadtree: IPPP only (v1); no weightp/analysis reuse"
-            sao = False         # SAO syntax in QT writers: next step
             aq_mode = 0
             cutree = False
         self.max_depth = max_depth
@@ -1186,7 +1193,8 @@ class VideoEncoderSession:
         from ..bitstream.bitio import NAL_TRAIL_R
         qp = self.qp if qp is None else qp
         if self.max_depth:
-            return self._assemble_p_slice_qt(out, qp, poc, ref_delta)
+            return self._assemble_p_slice_qt(out, qp, poc, ref_delta,
+                                             sao_params)
         sess = self.intra_sess
         log2cu = self.cu.bit_length() - 1
         bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=1,
@@ -1236,7 +1244,7 @@ class VideoEncoderSession:
         return wrap_nal(NAL_TRAIL_R, bw.get_bytes())
 
     def _assemble_p_slice_qt(self, out: dict, qp: int, poc=None,
-                             ref_delta: int = 1) -> bytes:
+                             ref_delta: int = 1, sao_params=None) -> bytes:
         """Quadtree P slice (CTU32, depth-1): split_cu_flag per CTU, then
         1 or 4 coding units with position-based merge/AMVP derivation."""
         from ..bitstream import inter_syntax as IS
@@ -1247,8 +1255,10 @@ class VideoEncoderSession:
                                     slice_qp=qp, nal_type=NAL_TRAIL_R,
                                     poc=self.poc if poc is None else poc,
                                     ref_poc_delta=ref_delta,
-                                    max_merge=self.max_merge)
-        res = native.encode_p_slice_qt(
+                                    max_merge=self.max_merge,
+                                    sao_luma=1 if sao_params else 0,
+                                    sao_chroma=1 if sao_params else 0)
+        res = None if sao_params is not None else native.encode_p_slice_qt(
             out["split"], out["use_intra"], out["modes"],
             out["mvx"], out["mvy"], out["use_intra4"], out["modes4"],
             out["mv4x"], out["mv4y"], out["levels_y"], out["levels_cb"],
@@ -1264,6 +1274,12 @@ class VideoEncoderSession:
             last = self.rows * self.cols - 1
             for r in range(self.rows):
                 for c in range(self.cols):
+                    if sao_params is not None:
+                        CS.encode_sao_ctu(
+                            enc, sao_params[r][c],
+                            sao_params[r][c - 1] if c > 0 else None,
+                            sao_params[r - 1][c] if r > 0 else None,
+                            True, True, sess.bit_depth)
                     gy, gx = 2 * r, 2 * c
                     sp = bool(out["split"][r, c])
                     ctx = ((1 if gx > 0 and depth[gy, gx - 1] > 0 else 0)
