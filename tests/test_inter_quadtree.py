@@ -125,3 +125,24 @@ def test_quadtree_deblock_sao_conformance():
         assert np.array_equal(dy[:h, :w], ry)
         assert np.array_equal(du[:h // 2, :w // 2], ru)
         assert np.array_equal(dv[:h // 2, :w // 2], rv)
+
+
+def test_quadtree_aq_cutree_conformance():
+    # per-CTU QP (QG == CTU) with the quadtree: cu_qp_delta at the first
+    # coded cbf of each CTU
+    w, h = 176, 144
+    frames = _moving_clip(w, h, 3, seed=31)
+    for kw in (dict(aq_mode=2), dict(cutree=True)):
+        sess = VideoEncoderSession(w, h, qp=32, keyint=10, max_depth=1, **kw)
+        stream = sess.headers()
+        recons = []
+        for (y, u, v) in frames:
+            fr = sess.encode_frame(y, u, v)
+            stream += fr.nals
+            recons.append(fr.recon)
+        dec = decode_hevc(stream, sess.coded_w, sess.coded_h)
+        assert len(dec) == len(frames)
+        for (dy, du, dv), (ry, ru, rv) in zip(dec, recons):
+            assert np.array_equal(dy[:h, :w], ry)
+            assert np.array_equal(du[:h // 2, :w // 2], ru)
+            assert np.array_equal(dv[:h // 2, :w // 2], rv)

@@ -760,7 +760,7 @@ def skip_ctx_pos(cells, gy: int, gx: int) -> int:
 
 def encode_inter_cu_qt(enc: CabacEncoder, d: InterCTUDecision, cells,
                        gy: int, gx: int, s: int, max_merge: int,
-                       sign_hiding: bool = False):
+                       sign_hiding: bool = False, cu_qp_delta=None):
     """coding_unit() for a P slice at cell (gy, gx), size s cells (16*s px).
     Mirrors encode_inter_ctu but with position-based contexts/candidates and
     size-dependent part_mode presence (intra part_mode only at min CB)."""
@@ -799,6 +799,8 @@ def encode_inter_cu_qt(enc: CabacEncoder, d: InterCTUDecision, cells,
         enc.encode_bin(cbf_cr, CTX["qt_cbf"] + 2)
         cbf_y = 1 if np.any(d.luma_levels) else 0
         enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
+        if cu_qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
+            encode_cu_qp_delta(enc, cu_qp_delta)
         if cbf_y:
             encode_residual(enc, d.luma_levels, log2_cu, True, d.intra_mode,
                             sign_hiding)
@@ -833,6 +835,8 @@ def encode_inter_cu_qt(enc: CabacEncoder, d: InterCTUDecision, cells,
             enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
         else:
             assert cbf_y, "rqt_root_cbf=1 with no coded cbf"
+        if cu_qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
+            encode_cu_qp_delta(enc, cu_qp_delta)
         if cbf_y:
             encode_residual(enc, d.luma_levels, log2_cu, True, -1, sign_hiding)
         if cbf_cb:

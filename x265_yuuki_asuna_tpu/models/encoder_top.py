@@ -54,7 +54,6 @@ class IntraEncoderSession:
             assert not lossless, "quadtree + lossless unsupported (v1)"
             assert slices == 1 and not wpp, \
                 "quadtree + slices/wpp unsupported (v1)"
-            aq_mode = 0     # per-CU QP with quadtree: r2
         self.max_depth = max_depth
         self.src_w = width
         self.src_h = height
@@ -409,7 +408,9 @@ class IntraEncoderSession:
                                     slice_qp=qp,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
-        res = None if sao_params is not None else native.encode_intra_slice_qt(
+        qp_map = out.get("qp_map")
+        res = None if (sao_params is not None or qp_map is not None) \
+            else native.encode_intra_slice_qt(
             split, mode32, modes4, out["levels_y"], out["levels_cb"],
             out["levels_cr"], qp, self.sbh)
         if res is not None:
@@ -421,6 +422,7 @@ class IntraEncoderSession:
             mode_map = np.full((gr, gc), DC_MODE, np.int32)
             depth_map = np.zeros((gr, gc), np.int32)
             last = self.rows * self.cols - 1
+            qp_state = [qp]       # decoder qPY_PREV chain (QG == CTU)
             for r in range(self.rows):
                 for c in range(self.cols):
                     if sao_params is not None:
@@ -429,12 +431,14 @@ class IntraEncoderSession:
                             sao_params[r][c - 1] if c > 0 else None,
                             sao_params[r - 1][c] if r > 0 else None,
                             True, True, self.bit_depth)
+                    ctu_qp = None if qp_map is None else int(qp_map[r, c])
                     self._write_ctu_qt(enc, bool(split[r, c]),
                                        int(mode32[r, c]), modes4[r, c],
                                        out["levels_y"][r, c],
                                        out["levels_cb"][r, c],
                                        out["levels_cr"][r, c],
-                                       r, c, mode_map, depth_map)
+                                       r, c, mode_map, depth_map,
+                                       ctu_qp, qp_state)
                     enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
             data, tail, tail_bits = enc.finish()
         for b in data:
@@ -444,19 +448,26 @@ class IntraEncoderSession:
         return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
 
     def _write_ctu_qt(self, enc, sp, mode32, modes4, lv_y, lv_cb, lv_cr,
-                      r, c, mode_map, depth_map):
+                      r, c, mode_map, depth_map, ctu_qp=None, qp_state=None):
         from ..bitstream.tables import CTX_OFFSET as CTX
         gy, gx = 2 * r, 2 * c
         ctx = ((1 if gx > 0 and depth_map[gy, gx - 1] > 0 else 0)
                + (1 if gy > 0 and depth_map[gy - 1, gx] > 0 else 0))
         enc.encode_bin(1 if sp else 0, CTX["split_cu"] + ctx)
+        delta_pending = ctu_qp is not None      # signal at first coded cbf
         if not sp:
             cand_left = int(mode_map[gy, gx - 1]) if gx > 0 else DC_MODE
             d = CS.CTUDecisions(luma_mode=mode32, luma_levels=lv_y,
                                 cb_levels=lv_cb, cr_levels=lv_cr)
+            delta = None
+            if delta_pending and (np.any(lv_y) or np.any(lv_cb)
+                                  or np.any(lv_cr)):
+                delta = ctu_qp - qp_state[0]
+                qp_state[0] = ctu_qp
             CS.encode_intra_ctu_full(enc, d, 5, cand_left, DC_MODE,
                                      part_mode_coded=False,
-                                     sign_hiding=self.sbh)
+                                     sign_hiding=self.sbh,
+                                     cu_qp_delta=delta)
             mode_map[gy:gy + 2, gx:gx + 2] = mode32
             depth_map[gy:gy + 2, gx:gx + 2] = 0
             return
@@ -470,9 +481,16 @@ class IntraEncoderSession:
                 luma_levels=lv_y[16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16],
                 cb_levels=lv_cb[8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
                 cr_levels=lv_cr[8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8])
+            delta = None
+            if delta_pending and (np.any(d.luma_levels) or np.any(d.cb_levels)
+                                  or np.any(d.cr_levels)):
+                delta = ctu_qp - qp_state[0]
+                qp_state[0] = ctu_qp
+                delta_pending = False           # one delta per QG (== CTU)
             CS.encode_intra_ctu_full(enc, d, 4, cand_left, cand_above,
                                      part_mode_coded=True,
-                                     sign_hiding=self.sbh)
+                                     sign_hiding=self.sbh,
+                                     cu_qp_delta=delta)
             mode_map[my, mx] = m
             depth_map[my, mx] = 1
 
@@ -611,8 +629,6 @@ class VideoEncoderSession:
             assert not bframes and not weightp and not analysis_load \
                 and not analysis_save, \
                 "inter quadtree: IPPP only (v1); no weightp/analysis reuse"
-            aq_mode = 0
-            cutree = False
         self.max_depth = max_depth
         # per-CU QP (AQ/cuTree) and deblocking are mutually exclusive this
         # round: the in-loop filter still derives thresholds from the frame
@@ -1194,7 +1210,7 @@ class VideoEncoderSession:
         qp = self.qp if qp is None else qp
         if self.max_depth:
             return self._assemble_p_slice_qt(out, qp, poc, ref_delta,
-                                             sao_params)
+                                             sao_params, qp_map)
         sess = self.intra_sess
         log2cu = self.cu.bit_length() - 1
         bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=1,
@@ -1244,7 +1260,8 @@ class VideoEncoderSession:
         return wrap_nal(NAL_TRAIL_R, bw.get_bytes())
 
     def _assemble_p_slice_qt(self, out: dict, qp: int, poc=None,
-                             ref_delta: int = 1, sao_params=None) -> bytes:
+                             ref_delta: int = 1, sao_params=None,
+                             qp_map=None) -> bytes:
         """Quadtree P slice (CTU32, depth-1): split_cu_flag per CTU, then
         1 or 4 coding units with position-based merge/AMVP derivation."""
         from ..bitstream import inter_syntax as IS
@@ -1258,7 +1275,8 @@ class VideoEncoderSession:
                                     max_merge=self.max_merge,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
-        res = None if sao_params is not None else native.encode_p_slice_qt(
+        res = None if (sao_params is not None or qp_map is not None) \
+            else native.encode_p_slice_qt(
             out["split"], out["use_intra"], out["modes"],
             out["mvx"], out["mvy"], out["use_intra4"], out["modes4"],
             out["mv4x"], out["mv4y"], out["levels_y"], out["levels_cb"],
@@ -1272,6 +1290,7 @@ class VideoEncoderSession:
             cells = [[None] * gc for _ in range(gr)]
             depth = np.zeros((gr, gc), np.int32)
             last = self.rows * self.cols - 1
+            qp_prev = qp                # decoder qPY_PREV chain (QG == CTU)
             for r in range(self.rows):
                 for c in range(self.cols):
                     if sao_params is not None:
@@ -1285,6 +1304,8 @@ class VideoEncoderSession:
                     ctx = ((1 if gx > 0 and depth[gy, gx - 1] > 0 else 0)
                            + (1 if gy > 0 and depth[gy - 1, gx] > 0 else 0))
                     enc.encode_bin(1 if sp else 0, CTX["split_cu"] + ctx)
+                    delta_pending = qp_map is not None
+                    ctu_qp = None if qp_map is None else int(qp_map[r, c])
                     if not sp:
                         d = self._decide_cu_pos(
                             IS, cells, gy, gx, 2,
@@ -1293,9 +1314,14 @@ class VideoEncoderSession:
                             (int(out["mvx"][r, c]), int(out["mvy"][r, c])),
                             out["levels_y"][r, c], out["levels_cb"][r, c],
                             out["levels_cr"][r, c])
+                        delta = None
+                        if delta_pending and d.has_residual:
+                            delta = ctu_qp - qp_prev
+                            qp_prev = ctu_qp
                         IS.encode_inter_cu_qt(enc, d, cells, gy, gx, 2,
                                               self.max_merge,
-                                              sign_hiding=self.sbh)
+                                              sign_hiding=self.sbh,
+                                              cu_qp_delta=delta)
                         depth[gy:gy + 2, gx:gx + 2] = 0
                     else:
                         for q, (qy, qx) in enumerate(((0, 0), (0, 1),
@@ -1313,9 +1339,17 @@ class VideoEncoderSession:
                                                        8 * qx:8 * qx + 8],
                                 out["levels_cr"][r, c][8 * qy:8 * qy + 8,
                                                        8 * qx:8 * qx + 8])
+                            delta = None
+                            if delta_pending and d.has_residual \
+                                    and not (d.merge_idx >= 0
+                                             and not d.has_residual):
+                                delta = ctu_qp - qp_prev
+                                qp_prev = ctu_qp
+                                delta_pending = False
                             IS.encode_inter_cu_qt(enc, d, cells, my, mx, 1,
                                                   self.max_merge,
-                                                  sign_hiding=self.sbh)
+                                                  sign_hiding=self.sbh,
+                                                  cu_qp_delta=delta)
                             depth[my, mx] = 1
                     enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
             data, tail, tail_bits = enc.finish()
