@@ -709,6 +709,8 @@ class VideoEncoderSession:
                 qp=qp, search_range=search_range, bi=True, rdoq=rdoq,
                 sbh=self.sbh))
         self.pending = []           # buffered display-order frames (y, u, v)
+        self.pending_lowres = []    # matching lowres planes (b-adapt)
+        self.anchor_lowres = None   # lowres of the last coded anchor
         self.display_idx = 0
         self.anchor = None          # (recon planes, poc) of last I/P anchor
         self.b_adapt = True         # adaptive mini-GOP closing (b-adapt)
@@ -975,18 +977,27 @@ class VideoEncoderSession:
         idr_due = (self.display_idx % self.keyint == 0) \
             or self.anchor is None \
             or (self.scenecut_enabled and scenecut)
+        cur_lowres = np.asarray(self.lookahead.prev_lowres)
         if idr_due:
             results += self.flush()
             results.append(self._encode_anchor(y, u, v, idr=True))
+            self.anchor_lowres = cur_lowres
         else:
             self.pending.append((y, u, v))
-            # b-adapt (reference slicetype b-adapt 1 shape): close the
-            # mini-GOP early when this frame predicts poorly (high lowres
-            # P cost vs its intra cost) — it becomes a P anchor instead of
-            # a B, keeping B frames on well-predicted stretches.
-            # threshold sits between well-predicted stretches (lowres
-            # pcost/icost ~0.1) and the scenecut point (~0.6)
+            self.pending_lowres.append(cur_lowres)
+            # b-adapt (reference slicetype b-adapt shape): close the mini-GOP
+            # early when this frame predicts poorly. Two tests:
+            #  - distance-1 cost vs intra (fast-motion cut, as before);
+            #  - distance-aware cost against the mini-GOP anchor — B frames
+            #    and the closing P both reference across the full mini-GOP
+            #    span, so degradation at that distance means the B structure
+            #    will not pay off (slicetype.cpp slicetypeAnalyse analog).
             poorly_predicted = (self.b_adapt and pcost > 0.45 * max(icost, 1))
+            if (self.b_adapt and not poorly_predicted
+                    and self.anchor_lowres is not None
+                    and len(self.pending) > 1):
+                far = self.lookahead.pair_cost(self.anchor_lowres, cur_lowres)
+                poorly_predicted = far > 0.65 * max(icost, 1)
             if len(self.pending) == self.bframes + 1 or poorly_predicted:
                 results += self.flush()
         self.display_idx += 1
@@ -1001,6 +1012,9 @@ class VideoEncoderSession:
             return []
         frames = self.pending
         self.pending = []
+        if self.pending_lowres:
+            self.anchor_lowres = self.pending_lowres[-1]
+            self.pending_lowres = []
         prev_anchor, prev_poc = self.anchor
         out: List[FrameResult] = []
         anchor_poc = prev_poc + len(frames)
@@ -1099,7 +1113,8 @@ class VideoEncoderSession:
         """Returns (FrameResult, padded recon planes). is_ref: referenced B
         (B-pyramid middle) — coded TRAIL_R with a smaller QP offset."""
         yp, up, vp = self._pad(y, u, v)
-        qp = min(self.rc.frame_qp(False) + (1 if is_ref else 2), 51)
+        boff_ref, boff = getattr(self, "_b_qp_offsets", (1, 2))
+        qp = min(self.rc.frame_qp(False) + (boff_ref if is_ref else boff), 51)
         qp = self._zone_qp(self.gop_display_base + poc, qp)
         out = self.bi_encoder.encode_frame(
             yp, up, vp, ref0[0], ref0[1], ref0[2], qp=qp,

@@ -207,10 +207,13 @@ class InterFrameEncoder:
             inter_satd = pixel.satd(yb32, pred_y, xp=jnp)
             return mvx, mvy, pred_y, pred_u, pred_v, inter_satd
 
-        def motion_phase_b(src_y, refs0, refs1):
+        def motion_phase_b(src_y, refs0, refs1, qp):
             """Two-list ME + uni/uni/bi decision. Bi prediction uses the
             short-domain pipeline (mc_*_qpel_ps + add_avg) exactly as the
-            decoder will reconstruct it."""
+            decoder will reconstruct it. Selection cost = SATD + lambda *
+            estimated signaling bits (the reference's satdCost + mvcost,
+            search.cpp predInterSearch): without the rate term the SATD
+            argmin over-picks bi (noise averaging) and pays two MVDs."""
             yb32 = to_blocks(src_y, n)
             mv0x, mv0y = search_ref(yb32, refs0[0])
             mv1x, mv1y = search_ref(yb32, refs1[0])
@@ -233,9 +236,18 @@ class InterFrameEncoder:
             s0 = pixel.satd(yb32, p0[0], xp=jnp)
             s1 = pixel.satd(yb32, p1[0], xp=jnp)
             sbi = pixel.satd(yb32, pbi[0], xp=jnp)
+            lam = 0.9 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 6.0)
+
+            def mvbits(mx, my):
+                return (4.0 + 2.0 * jnp.log2(1.0 + jnp.abs(mx).astype(jnp.float32))
+                        + 2.0 * jnp.log2(1.0 + jnp.abs(my).astype(jnp.float32)))
+
+            b0 = mvbits(mv0x, mv0y)
+            b1 = mvbits(mv1x, mv1y)
             # order [L0, L1, BI]: argmin picks the first minimum, so ties
             # favor cheaper-to-signal uni-prediction
-            costs = jnp.stack([s0, s1, sbi], axis=1)
+            costs = jnp.stack([s0 + lam * b0, s1 + lam * (b1 + 1.0),
+                               sbi + lam * (b0 + b1 + 2.0)], axis=1)
             sel = jnp.argmin(costs, axis=1).astype(jnp.int32)   # 0/1/2
             pdir = jnp.where(sel == 2, 3, sel + 1)              # 1/2/3
 
@@ -392,7 +404,8 @@ class InterFrameEncoder:
                  inter_satd) = motion_phase_b(
                     y32, (refy32, refu32, refv32),
                     (ref1_y.astype(jnp.int32), ref1_u.astype(jnp.int32),
-                     ref1_v.astype(jnp.int32)))
+                     ref1_v.astype(jnp.int32)),
+                    jnp.max(qp_sig) if qp_sig.ndim else qp_sig)
             else:
                 mvx, mvy, pred_y, pred_u, pred_v, inter_satd = motion_phase(
                     y32, refy32, refu32, refv32, wts, hint)

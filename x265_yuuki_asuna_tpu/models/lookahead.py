@@ -70,6 +70,34 @@ class Lookahead:
 
         return run
 
+    def _build_pair(self):
+        lw, lh = self.lw, self.lh
+        nb_x, nb_y = lw // 8, lh // 8
+        nblocks = nb_x * nb_y
+
+        def run(cur_low, ref_low):
+            blocks = (cur_low.reshape(nb_y, 8, nb_x, 8)
+                      .transpose(0, 2, 1, 3).reshape(nblocks, 8, 8))
+            dc = jnp.mean(blocks.reshape(nblocks, 64), axis=1,
+                          keepdims=True).astype(jnp.int32)
+            icost = pixel.satd(blocks, dc[:, :, None] *
+                               jnp.ones((1, 8, 8), jnp.int32), xp=jnp)
+            px = (jnp.arange(nblocks, dtype=jnp.int32) % nb_x) * 8
+            py = (jnp.arange(nblocks, dtype=jnp.int32) // nb_x) * 8
+            _, _, sad = me.full_search_sad(ref_low, blocks, px, py,
+                                           8, 16, lambda_bits=1, xp=jnp)
+            return jnp.sum(jnp.minimum(sad, icost))
+
+        return run
+
+    def pair_cost(self, ref_low, cur_low) -> float:
+        """Dense lowres ME cost of cur against an arbitrary reference
+        (distance-aware b-adapt: the reference's slicetypeAnalyse estimates
+        costs between arbitrary frame pairs, slicetype.cpp:3027)."""
+        if not hasattr(self, "_fn_pair"):
+            self._fn_pair = jax.jit(self._build_pair())
+        return float(self._fn_pair(jnp.asarray(cur_low), jnp.asarray(ref_low)))
+
     def push(self, y: np.ndarray):
         """Returns (intra_cost, inter_cost, scenecut) for this frame."""
         prev = self.prev_lowres if self.prev_lowres is not None else \
