@@ -27,34 +27,38 @@ def main(argv=None):
     ap.add_argument("-o", "--output", required=True, help="output Annex-B .hevc")
     ap.add_argument("--input-res", default=None, help="WxH (raw yuv input)")
     ap.add_argument("--fps", default="25")
-    ap.add_argument("--qp", type=int, default=32)
-    ap.add_argument("--ctu", type=int, default=16, choices=[16, 32])
-    ap.add_argument("--min-cu-size", type=int, default=0, choices=[0, 16, 32],
+    ap.add_argument("--qp", type=int, default=None)
+    ap.add_argument("--ctu", type=int, default=None, choices=[16, 32])
+    ap.add_argument("--min-cu-size", type=int, default=None, choices=[0, 16, 32],
                     help="min CU size; < --ctu enables quadtree RDO "
                          "(all-intra, CTU32)")
     ap.add_argument("--frames", "-f", type=int, default=0, help="max frames")
     ap.add_argument("--preset", default="medium")
+    ap.add_argument("--tune", default=None,
+                    help="psnr|ssim|grain|fastdecode|zerolatency")
     ap.add_argument("--recon", default=None, help="write recon yuv")
     ap.add_argument("--no-hash", action="store_true", help="skip hash SEI")
     ap.add_argument("--frame-batch", type=int, default=4,
                     help="frames encoded per device batch (frame-parallelism)")
-    ap.add_argument("--keyint", type=int, default=0,
+    ap.add_argument("--keyint", type=int, default=None,
                     help="GOP length: 0/1 = all-intra, N>1 = IPPP with IDR every N")
     ap.add_argument("--merange", type=int, default=16, help="ME search range")
-    ap.add_argument("--bframes", type=int, default=0,
+    ap.add_argument("--no-preset-defaults", action="store_true",
+                    help="legacy behavior: all-intra CQP32 unless flags given")
+    ap.add_argument("--bframes", type=int, default=None,
                     help="max consecutive B frames (mini-GOP size - 1)")
-    ap.add_argument("--rdoq-level", type=int, default=0, choices=(0, 1),
+    ap.add_argument("--rdoq-level", type=int, default=None, choices=(0, 1),
                     help="rate-distortion optimized quantization")
     ap.add_argument("--wpp", action="store_true",
                     help="wavefront parallel processing (entry points)")
-    ap.add_argument("--weightp", action="store_true",
+    ap.add_argument("--weightp", action=argparse.BooleanOptionalAction, default=None,
                     help="weighted prediction for P slices")
-    ap.add_argument("--signhide", action="store_true",
+    ap.add_argument("--signhide", action=argparse.BooleanOptionalAction, default=None,
                     help="sign-bit hiding")
     ap.add_argument("--master-display", default=None,
                     help="HDR10 mastering display: G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)")
     ap.add_argument("--max-cll", default=None, help="HDR10 MaxCLL,MaxFALL")
-    ap.add_argument("--cutree", action="store_true",
+    ap.add_argument("--cutree", action=argparse.BooleanOptionalAction, default=None,
                     help="lookahead cost propagation -> per-CU QP offsets")
     ap.add_argument("--analysis-save", default=None,
                     help="save per-CU analysis for reuse")
@@ -72,9 +76,11 @@ def main(argv=None):
     ap.add_argument("--crf", type=float, default=None, help="CRF rate control")
     ap.add_argument("--bitrate", type=int, default=None, help="ABR bitrate (kbps)")
     ap.add_argument("--lossless", action="store_true")
-    ap.add_argument("--sao", action="store_true", help="enable SAO (intra)")
-    ap.add_argument("--deblock", action="store_true", help="enable deblocking")
-    ap.add_argument("--aq-mode", type=int, default=0, choices=[0, 2])
+    ap.add_argument("--sao", action=argparse.BooleanOptionalAction, default=None,
+                    help="sample adaptive offset")
+    ap.add_argument("--deblock", action=argparse.BooleanOptionalAction, default=None,
+                    help="deblocking filter")
+    ap.add_argument("--aq-mode", type=int, default=None, choices=[0, 1, 2, 3, 4])
     ap.add_argument("--aq-strength", type=float, default=1.0)
     ap.add_argument("--slices", type=int, default=1,
                     help="independent slice bands per frame (intra)")
@@ -84,7 +90,7 @@ def main(argv=None):
     args, extra = ap.parse_known_args(argv)
 
     # full param surface (extra "--name=value" pairs go through param_parse)
-    prm = P.param_default_preset(args.preset)
+    prm = P.param_default_preset(args.preset, args.tune)
     for opt in extra:
         if not opt.startswith("--"):
             print(f"unknown arg {opt}", file=sys.stderr)
@@ -115,18 +121,71 @@ def main(argv=None):
     if args.ladder:
         return _run_ladder(args, reader)
 
-    rc_mode = "crf" if args.crf is not None else (
-        "abr" if args.bitrate else "cqp")
+    # ---- resolve preset defaults (reference x265_param_default_preset
+    # semantics: the preset configures everything; explicit flags override;
+    # settings are reconciled against this round's implementation limits) ----
+    def pick(flag_val, preset_val):
+        return preset_val if flag_val is None else flag_val
+
+    if args.no_preset_defaults:
+        keyint = args.keyint or 0
+        bframes = args.bframes or 0
+        weightp = bool(args.weightp)
+        sao = bool(args.sao)
+        deblock = bool(args.deblock)
+        aq_mode = args.aq_mode or 0
+        cutree = bool(args.cutree)
+        rdoq_level = args.rdoq_level or 0
+        sbh = bool(args.signhide)
+        qp = 32 if args.qp is None else args.qp
+        ctu = args.ctu or 16
+        min_cu = args.min_cu_size or 0
+        rc_mode = "crf" if args.crf is not None else (
+            "abr" if args.bitrate else "cqp")
+    else:
+        keyint = pick(args.keyint, prm.keyframe_max)
+        bframes = pick(args.bframes, prm.bframes)
+        weightp = bool(pick(args.weightp, prm.b_enable_weighted_pred))
+        sao = bool(pick(args.sao, prm.b_enable_sao))
+        deblock = bool(pick(args.deblock, prm.b_enable_loop_filter))
+        aq_mode = pick(args.aq_mode, prm.rc.aq_mode)
+        cutree = bool(pick(args.cutree, prm.rc.cu_tree))
+        rdoq_level = pick(args.rdoq_level, min(prm.rdoq_level, 1))
+        sbh = bool(pick(args.signhide, prm.b_enable_sign_hiding))
+        ctu = pick(args.ctu, min(prm.max_cu_size, 32))
+        min_cu = pick(args.min_cu_size, max(prm.min_cu_size, 16))
+        if args.qp is not None:
+            rc_mode, qp = "cqp", args.qp
+        elif args.bitrate:
+            rc_mode, qp = "abr", 32
+        else:
+            rc_mode, qp = "crf", 32
+            if args.crf is None:
+                args.crf = float(prm.rc.rf_constant)
+    if args.lossless:
+        keyint, bframes, rc_mode = 0, 0, "cqp"
+        qp = 32 if args.qp is None else args.qp
     qt_depth = 0
-    if args.min_cu_size and args.min_cu_size < args.ctu:
-        qt_depth = args.ctu.bit_length() - args.min_cu_size.bit_length()
-    if args.keyint > 1 or rc_mode != "cqp" or args.bframes or args.vbv_maxrate:
+    if min_cu and ctu and min_cu < ctu:
+        qt_depth = ctu.bit_length() - min_cu.bit_length()
+    # implementation limits this round: quadtree is IPPP-only
+    if bframes or weightp:
+        qt_depth = 0
+        if args.ctu is None:
+            ctu = 16
+    args.qp = qp
+    if args.keyint is None:
+        args.keyint = keyint
+    if keyint > 1 or rc_mode != "cqp" or bframes or args.vbv_maxrate:
         from .models.encoder_top import VideoEncoderSession
-        sess = VideoEncoderSession(info.width, info.height, qp=args.qp,
-                                   cu_size=args.ctu,
+        if args.analysis_save or args.analysis_load:
+            qt_depth, bframes, weightp = 0, 0, False
+            ctu = args.ctu or 16
+        sess = VideoEncoderSession(info.width, info.height, qp=qp,
+                                   cu_size=ctu,
                                    max_depth=qt_depth,
                                    fps=(info.fps_num, info.fps_denom),
-                                   keyint=max(args.keyint, 2) if args.keyint > 1 else 250,
+                                   keyint=max(keyint, 2) if keyint > 1 else 250,
                                    search_range=args.merange,
                                    hash_sei=not args.no_hash,
                                    rc_mode=rc_mode,
@@ -134,31 +193,35 @@ def main(argv=None):
                                    bitrate_kbps=args.bitrate or 0,
                                    stats_write=args.stats if args.rc_pass == 1 else None,
                                    stats_read=args.stats if args.rc_pass == 2 else None,
-                                   bframes=args.bframes,
-                                   deblock=args.deblock, sao=args.sao,
+                                   bframes=bframes,
+                                   deblock=deblock, sao=sao,
                                    vbv_maxrate_kbps=args.vbv_maxrate,
                                    vbv_bufsize_kbps=args.vbv_bufsize,
-                                   rdoq=args.rdoq_level > 0,
-                                   weightp=args.weightp, sbh=args.signhide,
+                                   rdoq=rdoq_level > 0,
+                                   weightp=weightp, sbh=sbh,
                                    zones=args.zones,
                                    analysis_save=args.analysis_save,
                                    analysis_load=args.analysis_load,
-                                   aq_mode=args.aq_mode,
+                                   aq_mode=2 if aq_mode else 0,
                                    aq_strength=args.aq_strength,
-                                   cutree=args.cutree)
+                                   cutree=cutree)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
-        sess = IntraEncoderSession(info.width, info.height, qp=args.qp,
-                                   cu_size=args.ctu,
+        if args.lossless or args.slices > 1 or args.wpp:
+            qt_depth = 0
+            ctu = args.ctu or 16
+        sess = IntraEncoderSession(info.width, info.height, qp=qp,
+                                   cu_size=ctu,
                                    fps=(info.fps_num, info.fps_denom),
                                    hash_sei=not args.no_hash,
                                    lossless=args.lossless,
-                                   sao=args.sao, deblock=args.deblock,
-                                   aq_mode=args.aq_mode,
+                                   sao=sao,
+                                   deblock=deblock,
+                                   aq_mode=2 if aq_mode else 0,
                                    aq_strength=args.aq_strength,
                                    slices=args.slices,
-                                   rdoq=args.rdoq_level > 0, wpp=args.wpp,
-                                   sbh=args.signhide,
+                                   rdoq=rdoq_level > 0, wpp=args.wpp,
+                                   sbh=sbh,
                                    master_display=args.master_display,
                                    max_cll=args.max_cll,
                                    max_depth=qt_depth)
