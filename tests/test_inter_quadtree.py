@@ -146,3 +146,42 @@ def test_quadtree_aq_cutree_conformance():
             assert np.array_equal(dy[:h, :w], ry)
             assert np.array_equal(du[:h // 2, :w // 2], ru)
             assert np.array_equal(dv[:h // 2, :w // 2], rv)
+
+
+def _run_b_qt(w, h, frames, qp=30, bframes=3, **kw):
+    sess = VideoEncoderSession(w, h, qp=qp, keyint=100, hash_sei=False,
+                               bframes=bframes, max_depth=1, **kw)
+    stream = sess.headers()
+    results = []
+    for (y, u, v) in frames:
+        results += sess.push_frame(y, u, v)
+    results += sess.flush()
+    for fr in results:
+        stream += fr.nals
+    decoded = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(decoded) == len(frames)
+    segments, cur = [], []
+    for fr in results:
+        if fr.poc == 0 and cur:
+            segments.append(cur)
+            cur = []
+        cur.append(fr)
+    segments.append(cur)
+    display = [fr for seg in segments for fr in sorted(seg, key=lambda f: f.poc)]
+    for i, (d, fr) in enumerate(zip(decoded, display)):
+        for p in range(3):
+            got = d[p][:fr.recon[p].shape[0], :fr.recon[p].shape[1]]
+            assert np.array_equal(got.astype(np.uint8), fr.recon[p]), \
+                f"frame {i} plane {p} mismatch"
+
+
+def test_quadtree_b_conformance():
+    # B slices with quadtree: bi/uni per CU at both depths, POC-scaled AMVP,
+    # combined-bi merge, B-pyramid reordering
+    frames = _moving_clip(176, 144, 7, seed=41)
+    _run_b_qt(176, 144, frames)
+
+
+def test_quadtree_b_filters_conformance():
+    frames = _moving_clip(160, 96, 6, seed=43)
+    _run_b_qt(160, 96, frames, deblock=True, sao=True)

@@ -846,3 +846,234 @@ def encode_inter_cu_qt(enc: CabacEncoder, d: InterCTUDecision, cells,
             encode_residual(enc, d.cr_levels, log2_cu - 1, False, -1,
                             sign_hiding)
     fill(CUInfo(False, d.mv, skip=False))
+
+
+# ---------------------------------------------------------------------------
+# Quadtree B slices: position-based candidate derivation on the 16-pel cell
+# grid (BCUState cells). Same spec positions as the P variants above, with
+# B motion (two lists), combined-bi merge candidates and POC-scaled AMVP.
+# ---------------------------------------------------------------------------
+
+def _cell_bmotion(cells, yy, xx):
+    if 0 <= yy < len(cells) and 0 <= xx < len(cells[0]):
+        cu = cells[yy][xx]
+        if cu is not None and not cu.is_intra:
+            return cu.motion
+    return None
+
+
+def merge_candidates_b_pos(cells, gy: int, gx: int, s: int,
+                           max_cands: int) -> List[BMotion]:
+    a1 = _cell_bmotion(cells, gy + s - 1, gx - 1)
+    b1 = _cell_bmotion(cells, gy - 1, gx + s - 1)
+    b0 = _cell_bmotion(cells, gy - 1, gx + s)
+    a0 = _cell_bmotion(cells, gy + s, gx - 1)
+    b2 = _cell_bmotion(cells, gy - 1, gx - 1)
+    cands: List[BMotion] = []
+    if a1 is not None:
+        cands.append(a1)
+    if b1 is not None and (a1 is None or b1.key() != a1.key()):
+        cands.append(b1)
+    if b0 is not None and (b1 is None or b0.key() != b1.key()):
+        cands.append(b0)
+    if a0 is not None and (a1 is None or a0.key() != a1.key()):
+        cands.append(a0)
+    if len(cands) < 4 and b2 is not None and \
+            (a1 is None or b2.key() != a1.key()) and \
+            (b1 is None or b2.key() != b1.key()):
+        cands.append(b2)
+    n_orig = len(cands)
+    PAIRS = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
+             (0, 3), (3, 0), (1, 3), (3, 1), (2, 3), (3, 2))
+    for i, j in PAIRS[:n_orig * (n_orig - 1)]:
+        if len(cands) >= max_cands:
+            break
+        if (cands[i].dir & 1) and (cands[j].dir & 2):
+            cands.append(BMotion(3, cands[i].mv0, cands[j].mv1))
+    while len(cands) < max_cands:
+        cands.append(BMotion(3, (0, 0), (0, 0)))
+    return cands[:max_cands]
+
+
+def amvp_candidates_b_pos(cells, gy: int, gx: int, s: int, lx: int,
+                          poc_cur: int, poc_l0: int, poc_l1: int
+                          ) -> List[Tuple[int, int]]:
+    """AMVP for list lx at spec positions A0/A1 then B0/B1/B2, with the
+    isScaledFlag rule (scaled above candidate only when no left neighbor
+    exists at A0/A1; spec 8.5.3.2.6)."""
+    poc_target = poc_l0 if lx == 0 else poc_l1
+
+    def mv_of(m: BMotion, which: int):
+        return m.mv0 if which == 0 else m.mv1
+
+    def poc_of_list(which: int):
+        return poc_l0 if which == 0 else poc_l1
+
+    def noscale(m: BMotion):
+        if m.dir & (1 << lx):
+            return mv_of(m, lx)
+        oy = 1 - lx
+        if (m.dir & (1 << oy)) and poc_of_list(oy) == poc_target:
+            return mv_of(m, oy)
+        return None
+
+    def scaled(m: BMotion):
+        for which in (lx, 1 - lx):
+            if m.dir & (1 << which):
+                tb = poc_cur - poc_target
+                td = poc_cur - poc_of_list(which)
+                if td == 0:
+                    return None
+                if tb == td:
+                    return mv_of(m, which)
+                return _scale_mv(mv_of(m, which), tb, td)
+        return None
+
+    A_POS = ((gy + s, gx - 1), (gy + s - 1, gx - 1))          # A0, A1
+    B_POS = ((gy - 1, gx + s), (gy - 1, gx + s - 1), (gy - 1, gx - 1))
+    cand_a = None
+    left_avail = False
+    for yy, xx in A_POS:
+        m = _cell_bmotion(cells, yy, xx)
+        if m is not None:
+            left_avail = True
+            cand_a = noscale(m)
+            if cand_a is not None:
+                break
+    if left_avail and cand_a is None:
+        for yy, xx in A_POS:
+            m = _cell_bmotion(cells, yy, xx)
+            if m is not None:
+                cand_a = scaled(m)
+                if cand_a is not None:
+                    break
+    out = []
+    if cand_a is not None:
+        out.append(cand_a)
+    for yy, xx in B_POS:
+        m = _cell_bmotion(cells, yy, xx)
+        if m is not None:
+            v = noscale(m)
+            if v is not None:
+                out.append(v)
+                break
+    if not left_avail and len(out) < 2:
+        for yy, xx in B_POS:
+            m = _cell_bmotion(cells, yy, xx)
+            if m is not None:
+                v = scaled(m)
+                if v is not None:
+                    out.append(v)
+                    break
+    if len(out) == 2 and out[0] == out[1]:
+        out.pop()
+    while len(out) < 2:
+        out.append((0, 0))
+    return out[:2]
+
+
+def _skip_ctx_pos_b(cells, gy, gx):
+    def sk(yy, xx):
+        if 0 <= yy < len(cells) and 0 <= xx < len(cells[0]):
+            cu = cells[yy][xx]
+            return 1 if (cu is not None and cu.skip) else 0
+        return 0
+    return sk(gy, gx - 1) + sk(gy - 1, gx)
+
+
+def encode_b_cu_qt(enc: CabacEncoder, d: BCTUDecision, cells,
+                   gy: int, gx: int, s: int, max_merge: int,
+                   sign_hiding: bool = False, cu_qp_delta=None):
+    """coding_unit() for a B slice at cell (gy, gx), size s cells."""
+    log2_cu = 4 if s == 1 else 5
+    is_skip = (not d.is_intra and d.merge_idx >= 0 and not d.has_residual)
+    enc.encode_bin(1 if is_skip else 0,
+                   CTX["skip"] + _skip_ctx_pos_b(cells, gy, gx))
+
+    def fill(cu):
+        for yy in range(gy, gy + s):
+            for xx in range(gx, gx + s):
+                cells[yy][xx] = cu
+    if is_skip:
+        encode_merge_idx(enc, d.merge_idx, max_merge)
+        fill(BCUState(False, d.motion, skip=True))
+        return
+    enc.encode_bin(1 if d.is_intra else 0, CTX["pred_mode"])
+    if d.is_intra:
+        if s == 1:
+            enc.encode_bin(1, CTX["part_size"])
+        left = cells[gy][gx - 1] if gx > 0 else None
+        cl = left.intra_mode if (left is not None and left.is_intra) \
+            else DC_MODE
+        if (gy & 1) == 1:
+            above = cells[gy - 1][gx]
+            ca = above.intra_mode if (above is not None and above.is_intra) \
+                else DC_MODE
+        else:
+            ca = DC_MODE
+        mpm = derive_mpm(cl, ca)
+        encode_intra_luma_mode(enc, d.intra_mode, mpm)
+        enc.encode_bin(0, CTX["intra_chroma"])
+        cbf_cb = 1 if np.any(d.cb_levels) else 0
+        cbf_cr = 1 if np.any(d.cr_levels) else 0
+        cbf_y = 1 if np.any(d.luma_levels) else 0
+        enc.encode_bin(cbf_cb, CTX["qt_cbf"] + 2)
+        enc.encode_bin(cbf_cr, CTX["qt_cbf"] + 2)
+        enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
+        if cu_qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
+            encode_cu_qp_delta(enc, cu_qp_delta)
+        if cbf_y:
+            encode_residual(enc, d.luma_levels, log2_cu, True, d.intra_mode,
+                            sign_hiding)
+        if cbf_cb:
+            encode_residual(enc, d.cb_levels, log2_cu - 1, False,
+                            d.intra_mode, sign_hiding)
+        if cbf_cr:
+            encode_residual(enc, d.cr_levels, log2_cu - 1, False,
+                            d.intra_mode, sign_hiding)
+        fill(BCUState(True, None, d.intra_mode))
+        return
+
+    enc.encode_bin(1, CTX["part_size"])
+    if d.merge_idx >= 0:
+        enc.encode_bin(1, CTX["merge_flag"])
+        encode_merge_idx(enc, d.merge_idx, max_merge)
+        rqt = 1
+        assert d.has_residual, "residual-less merge must be skip"
+    else:
+        enc.encode_bin(0, CTX["merge_flag"])
+        m = d.motion
+        # inter_pred_idc ctx: bin0 uses CtDepth; 16-CU at depth 1, 32 at 0
+        depth_ctx = 1 if s == 1 else 0
+        enc.encode_bin(1 if m.dir == 3 else 0, CTX["inter_dir"] + depth_ctx)
+        if m.dir != 3:
+            enc.encode_bin(0 if m.dir == 1 else 1, CTX["inter_dir"] + 4)
+        if m.dir & 1:
+            encode_mvd(enc, d.mvd0[0], d.mvd0[1])
+            enc.encode_bin(d.mvp_flag0, CTX["mvp_idx"])
+        if m.dir & 2:
+            encode_mvd(enc, d.mvd1[0], d.mvd1[1])
+            enc.encode_bin(d.mvp_flag1, CTX["mvp_idx"])
+        rqt = 1 if d.has_residual else 0
+        enc.encode_bin(rqt, CTX["qt_root_cbf"])
+    if rqt:
+        cbf_cb = 1 if np.any(d.cb_levels) else 0
+        cbf_cr = 1 if np.any(d.cr_levels) else 0
+        cbf_y = 1 if np.any(d.luma_levels) else 0
+        enc.encode_bin(cbf_cb, CTX["qt_cbf"] + 2)
+        enc.encode_bin(cbf_cr, CTX["qt_cbf"] + 2)
+        if cbf_cb or cbf_cr:
+            enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
+        else:
+            assert cbf_y
+        if cu_qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
+            encode_cu_qp_delta(enc, cu_qp_delta)
+        if cbf_y:
+            encode_residual(enc, d.luma_levels, log2_cu, True, -1, sign_hiding)
+        if cbf_cb:
+            encode_residual(enc, d.cb_levels, log2_cu - 1, False, -1,
+                            sign_hiding)
+        if cbf_cr:
+            encode_residual(enc, d.cr_levels, log2_cu - 1, False, -1,
+                            sign_hiding)
+    fill(BCUState(False, d.motion, skip=False))

@@ -626,9 +626,8 @@ class VideoEncoderSession:
         from .ratecontrol import RateControl, RCConfig
         if max_depth:
             cu_size = 32
-            assert not bframes and not weightp and not analysis_load \
-                and not analysis_save, \
-                "inter quadtree: IPPP only (v1); no weightp/analysis reuse"
+            assert not weightp and not analysis_load and not analysis_save, \
+                "inter quadtree: no weightp/analysis reuse (v1)"
         self.max_depth = max_depth
         # per-CU QP (AQ/cuTree) and deblocking are mutually exclusive this
         # round: the in-loop filter still derives thresholds from the frame
@@ -707,7 +706,7 @@ class VideoEncoderSession:
             self.bi_encoder = InterFrameEncoder(InterFrameConfig(
                 width=self.coded_w, height=self.coded_h, cu_size=cu_size,
                 qp=qp, search_range=search_range, bi=True, rdoq=rdoq,
-                sbh=self.sbh))
+                sbh=self.sbh, max_depth=max_depth))
         self.pending = []           # buffered display-order frames (y, u, v)
         self.pending_lowres = []    # matching lowres planes (b-adapt)
         self.anchor_lowres = None   # lowres of the last coded anchor
@@ -1135,6 +1134,9 @@ class VideoEncoderSession:
                           rps=None) -> bytes:
         from ..bitstream import inter_syntax as IS
         from ..bitstream.bitio import NAL_TRAIL_N, NAL_TRAIL_R
+        if self.max_depth:
+            return self._assemble_b_slice_qt(out, qp, poc, poc0, poc1,
+                                             sao_params, is_ref, rps)
         sess = self.intra_sess
         log2cu = self.cu.bit_length() - 1
         nal_type = NAL_TRAIL_R if is_ref else NAL_TRAIL_N
@@ -1182,6 +1184,119 @@ class VideoEncoderSession:
         bw.write_bits(tail, tail_bits)
         bw.rbsp_trailing_bits()
         return wrap_nal(nal_type, bw.get_bytes())
+
+    def _assemble_b_slice_qt(self, out: dict, qp: int, poc: int, poc0: int,
+                             poc1: int, sao_params=None, is_ref: bool = False,
+                             rps=None) -> bytes:
+        """Quadtree B slice: split_cu_flag per CTU, then 1 or 4 B coding
+        units with position-based merge/AMVP (POC-scaled) derivation."""
+        from ..bitstream import inter_syntax as IS
+        from ..bitstream.bitio import NAL_TRAIL_N, NAL_TRAIL_R
+        from ..bitstream.tables import CTX_OFFSET as CTX
+        sess = self.intra_sess
+        nal_type = NAL_TRAIL_R if is_ref else NAL_TRAIL_N
+        bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=0,
+                                    slice_qp=qp, nal_type=nal_type,
+                                    poc=poc, max_merge=self.max_merge,
+                                    ref_poc_delta=poc - poc0,
+                                    pos_poc_delta=poc1 - poc,
+                                    rps=rps,
+                                    sao_luma=1 if sao_params else 0,
+                                    sao_chroma=1 if sao_params else 0)
+        enc = CabacEncoder()
+        enc.init_contexts(0, qp)
+        gr, gc = 2 * self.rows, 2 * self.cols
+        cells = [[None] * gc for _ in range(gr)]
+        depth = np.zeros((gr, gc), np.int32)
+        last = self.rows * self.cols - 1
+        for r in range(self.rows):
+            for c in range(self.cols):
+                if sao_params is not None:
+                    CS.encode_sao_ctu(
+                        enc, sao_params[r][c],
+                        sao_params[r][c - 1] if c > 0 else None,
+                        sao_params[r - 1][c] if r > 0 else None,
+                        True, True, sess.bit_depth)
+                gy, gx = 2 * r, 2 * c
+                sp = bool(out["split"][r, c])
+                ctx = ((1 if gx > 0 and depth[gy, gx - 1] > 0 else 0)
+                       + (1 if gy > 0 and depth[gy - 1, gx] > 0 else 0))
+                enc.encode_bin(1 if sp else 0, CTX["split_cu"] + ctx)
+                if not sp:
+                    d = self._decide_cu_b_pos(
+                        IS, cells, gy, gx, 2, bool(out["use_intra"][r, c]),
+                        int(out["modes"][r, c]), int(out["pdir"][r, c]),
+                        (int(out["mvx"][r, c]), int(out["mvy"][r, c])),
+                        (int(out["mv1x"][r, c]), int(out["mv1y"][r, c])),
+                        out["levels_y"][r, c], out["levels_cb"][r, c],
+                        out["levels_cr"][r, c], poc, poc0, poc1)
+                    IS.encode_b_cu_qt(enc, d, cells, gy, gx, 2,
+                                      self.max_merge, sign_hiding=self.sbh)
+                    depth[gy:gy + 2, gx:gx + 2] = 0
+                else:
+                    for q, (qy, qx) in enumerate(((0, 0), (0, 1),
+                                                  (1, 0), (1, 1))):
+                        my, mx = gy + qy, gx + qx
+                        d = self._decide_cu_b_pos(
+                            IS, cells, my, mx, 1,
+                            bool(out["use_intra4"][r, c, q]),
+                            int(out["modes4"][r, c, q]),
+                            int(out["pdir4"][r, c, q]),
+                            (int(out["mv4x"][r, c, q]),
+                             int(out["mv4y"][r, c, q])),
+                            (int(out["mv41x"][r, c, q]),
+                             int(out["mv41y"][r, c, q])),
+                            out["levels_y"][r, c][16 * qy:16 * qy + 16,
+                                                  16 * qx:16 * qx + 16],
+                            out["levels_cb"][r, c][8 * qy:8 * qy + 8,
+                                                   8 * qx:8 * qx + 8],
+                            out["levels_cr"][r, c][8 * qy:8 * qy + 8,
+                                                   8 * qx:8 * qx + 8],
+                            poc, poc0, poc1)
+                        IS.encode_b_cu_qt(enc, d, cells, my, mx, 1,
+                                          self.max_merge,
+                                          sign_hiding=self.sbh)
+                        depth[my, mx] = 1
+                enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
+        data, tail, tail_bits = enc.finish()
+        for b in data:
+            bw.write_byte(b)
+        bw.write_bits(tail, tail_bits)
+        bw.rbsp_trailing_bits()
+        return wrap_nal(nal_type, bw.get_bytes())
+
+    def _decide_cu_b_pos(self, IS, cells, gy, gx, s, is_intra, mode, pdir,
+                         mv0_in, mv1_in, lv_y, lv_cb, lv_cr,
+                         poc, poc0, poc1):
+        if is_intra:
+            return IS.BCTUDecision(
+                is_intra=True, intra_mode=mode,
+                luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)
+        mv0 = mv0_in if pdir & 1 else (0, 0)
+        mv1 = mv1_in if pdir & 2 else (0, 0)
+        motion = IS.BMotion(pdir, mv0, mv1)
+        cands = IS.merge_candidates_b_pos(cells, gy, gx, s, self.max_merge)
+        for i, cand in enumerate(cands):
+            if cand.key() == motion.key():
+                return IS.BCTUDecision(
+                    is_intra=False, motion=motion, merge_idx=i,
+                    luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)
+        d = IS.BCTUDecision(is_intra=False, motion=motion, merge_idx=-1,
+                            luma_levels=lv_y, cb_levels=lv_cb,
+                            cr_levels=lv_cr)
+        for lx, mv in ((0, mv0), (1, mv1)):
+            if not (pdir & (1 << lx)):
+                continue
+            preds = IS.amvp_candidates_b_pos(cells, gy, gx, s, lx,
+                                             poc, poc0, poc1)
+            costs = [abs(mv[0] - p[0]) + abs(mv[1] - p[1]) for p in preds]
+            flag = 0 if costs[0] <= costs[1] else 1
+            mvd = (mv[0] - preds[flag][0], mv[1] - preds[flag][1])
+            if lx == 0:
+                d.mvp_flag0, d.mvd0 = flag, mvd
+            else:
+                d.mvp_flag1, d.mvd1 = flag, mvd
+        return d
 
     def _decide_cu_b(self, out, grid, r, c, poc, poc0, poc1):
         from ..bitstream import inter_syntax as IS

@@ -59,8 +59,9 @@ class InterFrameEncoder:
     def __init__(self, cfg: InterFrameConfig):
         self.cfg = cfg
         if cfg.max_depth:
-            assert cfg.cu_size == 32 and not cfg.bi and not cfg.weightp \
-                and not cfg.analysis_load, "inter quadtree: P-only CTU32 (v1)"
+            assert cfg.cu_size == 32 and not cfg.weightp \
+                and not cfg.analysis_load, \
+                "inter quadtree: CTU32; no weightp/analysis reuse (v1)"
         nd, ns, rc, valid = wavefront_schedule(cfg.rows, cfg.cols, slope=2)
         self.num_diags = nd
         self.num_slots = ns
@@ -571,6 +572,61 @@ class InterFrameEncoder:
             rr = transforms.inverse_transform(dq, bd, xp=jnp)
             return levels, rr
 
+        def est_mv_bits_arr(mvx, mvy):
+            ax = jnp.abs(mvx).astype(jnp.float32)
+            ay = jnp.abs(mvy).astype(jnp.float32)
+            return 4.0 + 2.0 * jnp.log2(1.0 + ax) + 2.0 * jnp.log2(1.0 + ay)
+
+        def ps_all(refs, mvx, mvy, px, py, nn):
+            return (interp.mc_luma_qpel_ps(refs[0], px, py, mvx, mvy, nn,
+                                           bd, xp=jnp),
+                    interp.mc_chroma_qpel_ps(refs[1], px // 2, py // 2,
+                                             mvx, mvy, nn // 2, bd, xp=jnp),
+                    interp.mc_chroma_qpel_ps(refs[2], px // 2, py // 2,
+                                             mvx, mvy, nn // 2, bd, xp=jnp))
+
+        def decide_motion(yb, refs0, refs1, px, py, nn, qp_s):
+            """Per-block motion decision at one size. P: single-list search.
+            B: two searches + uni/uni/bi selection by SATD + lambda*bits
+            (search.cpp predInterSearch analog). Returns (pdir, mv0x, mv0y,
+            mv1x, mv1y, pred_yuv, satd_sel, bits_sel)."""
+            mv0x, mv0y, s0 = search_size(yb, refs0[0], px, py, nn)
+            if refs1 is None:
+                pred = mc_all(refs0, mv0x, mv0y, px, py, nn)
+                bits = est_mv_bits_arr(mv0x, mv0y)
+                ones = jnp.ones_like(mv0x)
+                return (ones, mv0x, mv0y, mv0x * 0, mv0y * 0, pred, s0, bits)
+            mv1x, mv1y, s1 = search_size(yb, refs1[0], px, py, nn)
+            p0 = mc_all(refs0, mv0x, mv0y, px, py, nn)
+            p1 = mc_all(refs1, mv1x, mv1y, px, py, nn)
+            ps0 = ps_all(refs0, mv0x, mv0y, px, py, nn)
+            ps1 = ps_all(refs1, mv1x, mv1y, px, py, nn)
+            pbi = tuple(interp.add_avg(a, b, bd, xp=jnp)
+                        for a, b in zip(ps0, ps1))
+            sbi = pixel.satd(yb, pbi[0], xp=jnp)
+            lam = 0.9 * jnp.exp2((qp_s.astype(jnp.float32) - 12.0) / 6.0)
+            b0 = est_mv_bits_arr(mv0x, mv0y)
+            b1 = est_mv_bits_arr(mv1x, mv1y)
+            costs = jnp.stack([s0 + lam * b0, s1 + lam * (b1 + 1.0),
+                               sbi + lam * (b0 + b1 + 2.0)], axis=1)
+            sel = jnp.argmin(costs, axis=1).astype(jnp.int32)
+            pdir = jnp.where(sel == 2, 3, sel + 1)
+
+            def pick(a, b, c):
+                s_ = sel[:, None, None]
+                return jnp.where(s_ == 0, a, jnp.where(s_ == 1, b, c))
+
+            pred = tuple(pick(a, b, c) for a, b, c in zip(p0, p1, pbi))
+            satd_sel = jnp.stack([s0, s1, sbi], 1)[jnp.arange(s0.shape[0]),
+                                                   sel]
+            bits_sel = jnp.stack([b0, b1 + 1.0, b0 + b1 + 2.0], 1)[
+                jnp.arange(s0.shape[0]), sel]
+            # zero unused-list MVs (the syntax layer requires it)
+            m0 = (pdir & 1).astype(mv0x.dtype)
+            m1 = ((pdir & 2) >> 1).astype(mv1x.dtype)
+            return (pdir, mv0x * m0, mv0y * m0, mv1x * m1, mv1y * m1,
+                    pred, satd_sel, bits_sel)
+
         def seg(arr, lo, hi, rev=False):
             s = arr[:, lo:hi]
             return s[:, ::-1] if rev else s
@@ -644,12 +700,10 @@ class InterFrameEncoder:
             return 4.0 + 2.0 * jnp.log2(1.0 + ax) + 2.0 * jnp.log2(1.0 + ay)
 
         def make_step(srcs, predsA, predsB, satd32, satd16,
-                      mv32, mv16, qp_y_pad, qp_c_pad, qp_sig_pad):
+                      mvbits32, mvbits16, qp_y_pad, qp_c_pad, qp_sig_pad):
             src_yb, src_ub, src_vb = srcs
             pA_y, pA_u, pA_v = predsA
             pB_y, pB_u, pB_v = predsB
-            mv32x, mv32y = mv32
-            mv16x, mv16y = mv16
 
             def step(carry, xs):
                 (bry, rcy, bru, rcu_, brv, rcv) = carry
@@ -729,13 +783,11 @@ class InterFrameEncoder:
                 recA_y = jnp.clip(predA_yf + rrA_y, 0, maxv)
                 recA_u = jnp.clip(predA_uf + rrA_u, 0, maxv)
                 recA_v = jnp.clip(predA_vf + rrA_v, 0, maxv)
-                mvAx = jnp.take(mv32x, cu_s)
-                mvAy = jnp.take(mv32y, cu_s)
                 bitsA = (quant.est_tu_bits(lvA_y, xp=jnp)
                          + quant.est_tu_bits(lvA_cb, xp=jnp)
                          + quant.est_tu_bits(lvA_cr, xp=jnp)
                          + jnp.where(use_intraA, MODE_BITS,
-                                     est_mv_bits(mvAx, mvAy)) + 1.0)
+                                     jnp.take(mvbits32, cu_s)) + 1.0)
 
                 # ===== variant B: four 16x16 CUs =====
                 tile_y = jnp.zeros((S, n, n), jnp.int32)
@@ -744,7 +796,7 @@ class InterFrameEncoder:
                 lvB_y = jnp.zeros((S, n, n), jnp.int32)
                 lvB_cb = jnp.zeros((S, nc, nc), jnp.int32)
                 lvB_cr = jnp.zeros((S, nc, nc), jnp.int32)
-                ui16, im16, mv16xs, mv16ys = [], [], [], []
+                ui16, im16 = [], []
                 bitsB = jnp.zeros((S,), jnp.float32)
                 for q, (qy, qx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
                     y0, x0 = qy * h, qx * h
@@ -782,17 +834,13 @@ class InterFrameEncoder:
                     lvB_y = lvB_y.at[:, y0:y0 + h, x0:x0 + h].set(lq_y)
                     lvB_cb = lvB_cb.at[:, yc0:yc0 + hc, xc0:xc0 + hc].set(lq_cb)
                     lvB_cr = lvB_cr.at[:, yc0:yc0 + hc, xc0:xc0 + hc].set(lq_cr)
-                    mvqx = jnp.take(mv16x, q16)
-                    mvqy = jnp.take(mv16y, q16)
                     ui16.append(uiq)
                     im16.append(imq)
-                    mv16xs.append(mvqx)
-                    mv16ys.append(mvqy)
                     bitsB = (bitsB + quant.est_tu_bits(lq_y, xp=jnp)
                              + quant.est_tu_bits(lq_cb, xp=jnp)
                              + quant.est_tu_bits(lq_cr, xp=jnp)
                              + jnp.where(uiq, MODE_BITS,
-                                         est_mv_bits(mvqx, mvqy)))
+                                         jnp.take(mvbits16, q16)))
                 bitsB = bitsB + 1.0
 
                 # ===== RD selection =====
@@ -824,12 +872,15 @@ class InterFrameEncoder:
 
                 ys = (cu_s, split, use_intraA, imodeA,
                       jnp.stack(ui16, 1), jnp.stack(im16, 1),
-                      jnp.stack(mv16xs, 1), jnp.stack(mv16ys, 1),
                       lv_y, lv_cb, lv_cr, rec_y, rec_u, rec_v)
                 return (bry, rcy, bru, rcu_, brv, rcv), ys
             return step
 
-        def encode(y, u, v, ref_y, ref_u, ref_v, qp):
+        def encode(y, u, v, ref_y, ref_u, ref_v, *rest):
+            if cfg.bi:
+                ref1_y, ref1_u, ref1_v, qp = rest
+            else:
+                (qp,) = rest
             qp_sig = qp.astype(jnp.int32)
             qp_cu = jnp.broadcast_to(qp_sig, (ncu,))
             qp_y_map = qp_cu + 6 * (bd - 8)
@@ -843,13 +894,20 @@ class InterFrameEncoder:
             v32 = v.astype(jnp.int32)
             refs = (ref_y.astype(jnp.int32), ref_u.astype(jnp.int32),
                     ref_v.astype(jnp.int32))
+            refs1 = None
+            if cfg.bi:
+                refs1 = (ref1_y.astype(jnp.int32), ref1_u.astype(jnp.int32),
+                         ref1_v.astype(jnp.int32))
+            qp_max = jnp.max(qp_sig) if qp_sig.ndim else qp_sig
 
             yb32 = to_blocks(y32, n)
             yb16 = to_blocks(y32, h)
-            mvAx, mvAy, satd32 = search_size(yb32, refs[0], PX32, PY32, n)
-            mvBx, mvBy, satd16 = search_size(yb16, refs[0], PX16, PY16, h)
-            pA = mc_all(refs, mvAx, mvAy, PX32, PY32, n)
-            pB = mc_all(refs, mvBx, mvBy, PX16, PY16, h)
+            (pdirA, mvA0x, mvA0y, mvA1x, mvA1y, pA, satd32,
+             mvbits32) = decide_motion(yb32, refs, refs1, PX32, PY32, n,
+                                       qp_max)
+            (pdirB, mvB0x, mvB0y, mvB1x, mvB1y, pB, satd16,
+             mvbits16) = decide_motion(yb16, refs, refs1, PX16, PY16, h,
+                                       qp_max)
 
             def padded(a, shape):
                 return jnp.concatenate([a, jnp.zeros((1,) + shape, a.dtype)], 0)
@@ -861,20 +919,15 @@ class InterFrameEncoder:
                       padded(pA[2], (nc, nc)))
             predsB = (padded(pB[0], (h, h)), padded(pB[1], (hc, hc)),
                       padded(pB[2], (hc, hc)))
-            satd32_p = jnp.concatenate([satd32, jnp.zeros((1,), satd32.dtype)])
-            satd16_p = jnp.concatenate([satd16, jnp.zeros((1,), satd16.dtype)])
-            mv32_p = (jnp.concatenate([mvAx, jnp.zeros((1,), mvAx.dtype)]),
-                      jnp.concatenate([mvAy, jnp.zeros((1,), mvAy.dtype)]))
-            mv16_p = (jnp.concatenate([mvBx, jnp.zeros((1,), mvBx.dtype)]),
-                      jnp.concatenate([mvBy, jnp.zeros((1,), mvBy.dtype)]))
-
-            step = make_step(srcs, predsA, predsB, satd32_p, satd16_p,
-                             mv32_p, mv16_p, qp_y_pad, qp_c_pad, qp_sig_pad)
+            pad1 = lambda a: jnp.concatenate([a, jnp.zeros((1,), a.dtype)])
+            step = make_step(srcs, predsA, predsB, pad1(satd32), pad1(satd16),
+                             pad1(mvbits32), pad1(mvbits16),
+                             qp_y_pad, qp_c_pad, qp_sig_pad)
             z0 = y.reshape(-1)[0].astype(jnp.int32) * 0
             init = tuple(jnp.full((ncu + 1, k), fill, jnp.int32) + z0
                          for k in (n, n, nc, nc, nc, nc))
             _, ys = jax.lax.scan(step, init, (rc_all, valid_all))
-            (cu_s, split_s, uiA_s, imA_s, ui16_s, im16_s, mv16x_s, mv16y_s,
+            (cu_s, split_s, uiA_s, imA_s, ui16_s, im16_s,
              lv_y_s, lv_cb_s, lv_cr_s, rec_y_s, rec_u_s, rec_v_s) = ys
             flat_cu = cu_s.reshape(-1)
 
@@ -890,8 +943,6 @@ class InterFrameEncoder:
             imA = collect(imA_s, ())
             ui16 = collect(ui16_s, (4,), jnp.uint8)
             im16 = collect(im16_s, (4,))
-            mv16x = collect(mv16x_s, (4,))
-            mv16y = collect(mv16y_s, (4,))
             lv_y = collect(lv_y_s, (n, n))
             lv_cb = collect(lv_cb_s, (nc, nc))
             lv_cr = collect(lv_cr_s, (nc, nc))
@@ -899,18 +950,24 @@ class InterFrameEncoder:
             rec_u = collect(rec_u_s, (nc, nc))
             rec_v = collect(rec_v_s, (nc, nc))
 
+            # quadrant-ordered 16-grid fields (CTU-major, z-order)
+            q16 = MAP16[:ncu]                         # [ncu, 4]
+            gq = lambda a: jnp.take(a, q16.reshape(-1), axis=0)
             recon8 = jnp.concatenate([
                 from_blocks(rec_y, n, H, W).reshape(-1),
                 from_blocks(rec_u, nc, H // 2, W // 2).reshape(-1),
                 from_blocks(rec_v, nc, H // 2, W // 2).reshape(-1),
             ]).astype(jnp.uint8)
-            head8 = jnp.concatenate([
-                split, uiA, imA.astype(jnp.uint8),
-                ui16.reshape(-1), im16.astype(jnp.uint8).reshape(-1)])
-            mv16_cat = jnp.concatenate([
-                mvAx.astype(jnp.int16), mvAy.astype(jnp.int16),
-                mv16x.astype(jnp.int16).reshape(-1),
-                mv16y.astype(jnp.int16).reshape(-1)])
+            head_parts = [split, uiA, imA.astype(jnp.uint8),
+                          ui16.reshape(-1), im16.astype(jnp.uint8).reshape(-1)]
+            if cfg.bi:
+                head_parts += [pdirA.astype(jnp.uint8),
+                               gq(pdirB).astype(jnp.uint8)]
+            head8 = jnp.concatenate(head_parts)
+            mv_parts = [mvA0x, mvA0y, gq(mvB0x), gq(mvB0y)]
+            if cfg.bi:
+                mv_parts += [mvA1x, mvA1y, gq(mvB1x), gq(mvB1y)]
+            mv16_cat = jnp.concatenate([m.astype(jnp.int16) for m in mv_parts])
             mv8 = jax.lax.bitcast_convert_type(mv16_cat, jnp.uint8).reshape(-1)
             levels16 = jnp.concatenate([
                 lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)
@@ -936,18 +993,31 @@ class InterFrameEncoder:
         modes = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
         ui4 = buf[o:o + 4 * ncu].astype(bool).reshape(rows, cols, 4); o += 4 * ncu
         m4 = buf[o:o + 4 * ncu].astype(np.int32).reshape(rows, cols, 4); o += 4 * ncu
-        nmv = 2 * (2 * ncu + 8 * ncu)
-        mv = buf[o:o + nmv].view(np.int16); o += nmv
+        pdir = pdir4 = None
+        if cfg.bi:
+            pdir = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
+            pdir4 = buf[o:o + 4 * ncu].astype(np.int32).reshape(rows, cols, 4)
+            o += 4 * ncu
+        nmv_units = 20 * ncu if cfg.bi else 10 * ncu
+        mv = buf[o:o + 2 * nmv_units].view(np.int16); o += 2 * nmv_units
         mvx = mv[:ncu].astype(np.int32).reshape(rows, cols)
         mvy = mv[ncu:2 * ncu].astype(np.int32).reshape(rows, cols)
         mv4x = mv[2 * ncu:6 * ncu].astype(np.int32).reshape(rows, cols, 4)
         mv4y = mv[6 * ncu:10 * ncu].astype(np.int32).reshape(rows, cols, 4)
+        mv1x = mv1y = mv41x = mv41y = None
+        if cfg.bi:
+            mv1x = mv[10 * ncu:11 * ncu].astype(np.int32).reshape(rows, cols)
+            mv1y = mv[11 * ncu:12 * ncu].astype(np.int32).reshape(rows, cols)
+            mv41x = mv[12 * ncu:16 * ncu].astype(np.int32).reshape(rows, cols, 4)
+            mv41y = mv[16 * ncu:20 * ncu].astype(np.int32).reshape(rows, cols, 4)
         lv = buf[o:].view(np.int16)
         sy, sc = ncu * n * n, ncu * nc * nc
         return {
             "split": split,
             "use_intra": use_intra, "modes": modes, "mvx": mvx, "mvy": mvy,
             "use_intra4": ui4, "modes4": m4, "mv4x": mv4x, "mv4y": mv4y,
+            "pdir": pdir, "pdir4": pdir4,
+            "mv1x": mv1x, "mv1y": mv1y, "mv41x": mv41x, "mv41y": mv41y,
             "levels_y": lv[:sy].astype(np.int32).reshape(rows, cols, n, n),
             "levels_cb": lv[sy:sy + sc].astype(np.int32).reshape(rows, cols, nc, nc),
             "levels_cr": lv[sy + sc:sy + 2 * sc].astype(np.int32).reshape(rows, cols, nc, nc),

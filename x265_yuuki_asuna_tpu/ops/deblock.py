@@ -365,20 +365,37 @@ def expand_qt_maps(out):
                              np.ones((rows, cols, 4), bool)), bool)
     z = np.zeros((rows, cols), np.int32)
     z4 = np.zeros((rows, cols, 4), np.int32)
-    mvx32 = np.asarray(out.get("mvx", z))
-    mvy32 = np.asarray(out.get("mvy", z))
-    mv4x = np.asarray(out.get("mv4x", z4))
-    mv4y = np.asarray(out.get("mv4y", z4))
+    g = lambda k, d: np.asarray(out[k]) if out.get(k) is not None else d
+    mvx32 = g("mvx", z)
+    mvy32 = g("mvy", z)
+    mv4x = g("mv4x", z4)
+    mv4y = g("mv4y", z4)
+    # B slices: second-list MVs and prediction direction (P: all-L0)
+    mv1x32, mv1y32 = g("mv1x", z), g("mv1y", z)
+    mv41x, mv41y = g("mv41x", z4), g("mv41y", z4)
+    pdir32 = g("pdir", np.ones((rows, cols), np.int32))
+    pdir4 = g("pdir4", np.ones((rows, cols, 4), np.int32))
     # zero MVs on intra cells so pair comparison is well-defined
     ii = cellize(ui4, ui32).astype(bool)
     mvx = np.where(ii, 0, cellize(mv4x, mvx32))
     mvy = np.where(ii, 0, cellize(mv4y, mvy32))
+    mv1x = np.where(ii, 0, cellize(mv41x, mv1x32))
+    mv1y = np.where(ii, 0, cellize(mv41y, mv1y32))
+    pdir = np.where(ii, 0, cellize(pdir4, pdir32))
+    # unused-list MVs are zeroed by the encoder; keep them zero here too
+    mvx = np.where((pdir & 1) != 0, mvx, 0)
+    mvy = np.where((pdir & 1) != 0, mvy, 0)
+    mv1x = np.where((pdir & 2) != 0, mv1x, 0)
+    mv1y = np.where((pdir & 2) != 0, mv1y, 0)
     return {
         "split": split,
         "is_intra": ii,
         "cbf": cellize(cbf4, cbf32).astype(bool),
         "mvx": mvx,
         "mvy": mvy,
+        "mv1x": mv1x,
+        "mv1y": mv1y,
+        "pdir": pdir,
     }
 
 
@@ -390,14 +407,20 @@ def compute_bs_qt(maps):
     ii = maps["is_intra"]
     cbf = maps["cbf"]
     mvx, mvy = maps["mvx"], maps["mvy"]
+    mv1x = maps.get("mv1x", np.zeros_like(mvx))
+    mv1y = maps.get("mv1y", np.zeros_like(mvy))
+    pdir = maps.get("pdir", np.ones_like(mvx))
     split = maps["split"]
     gr, gc = ii.shape
 
     def pair(sa, sb):
         intra = ii[sa] | ii[sb]
         coded = cbf[sa] | cbf[sb]
-        mis = ((np.abs(mvx[sa] - mvx[sb]) >= 4)
-               | (np.abs(mvy[sa] - mvy[sb]) >= 4))
+        mis = ((pdir[sa] != pdir[sb])
+               | (np.abs(mvx[sa] - mvx[sb]) >= 4)
+               | (np.abs(mvy[sa] - mvy[sb]) >= 4)
+               | (np.abs(mv1x[sa] - mv1x[sb]) >= 4)
+               | (np.abs(mv1y[sa] - mv1y[sb]) >= 4))
         return np.where(intra, 2, np.where(coded | mis, 1, 0))
 
     bs_v = pair(np.s_[:, :-1], np.s_[:, 1:])        # [gr, gc-1]
