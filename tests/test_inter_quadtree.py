@@ -185,3 +185,26 @@ def test_quadtree_b_conformance():
 def test_quadtree_b_filters_conformance():
     frames = _moving_clip(160, 96, 6, seed=43)
     _run_b_qt(160, 96, frames, deblock=True, sao=True)
+
+
+def test_quadtree_depth2_conformance():
+    # depth-2 (8x8 CUs): I, P and B slices, bit-exact vs libavcodec
+    w, h = 160, 96
+    frames = _moving_clip(w, h, 5, seed=51)
+    sess = VideoEncoderSession(w, h, qp=31, keyint=25, max_depth=2,
+                               bframes=2)
+    stream = sess.headers()
+    results = []
+    for (y, u, v) in frames:
+        results += sess.push_frame(y, u, v)
+    results += sess.flush()
+    for fr in results:
+        stream += fr.nals
+    decoded = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(decoded) == len(frames)
+    display = sorted(results, key=lambda f: f.poc)
+    for i, (d, fr) in enumerate(zip(decoded, display)):
+        for p in range(3):
+            got = d[p][:fr.recon[p].shape[0], :fr.recon[p].shape[1]]
+            assert np.array_equal(got.astype(np.uint8), fr.recon[p]), \
+                f"frame {i} plane {p}"

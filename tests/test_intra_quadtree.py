@@ -94,3 +94,31 @@ def test_quadtree_native_matches_python():
     finally:
         native.encode_intra_slice_qt = orig
     assert fr_native.nals == fr_python.nals
+
+
+def test_quadtree_depth2_intra_conformance():
+    w, h = 128, 96
+    y, u, v = _mixed_frame(w, h, seed=17)
+    sess = IntraEncoderSession(w, h, qp=30, max_depth=2)
+    stream = sess.headers()
+    fr = sess.encode_frame(y, u, v)
+    stream += fr.nals
+    dec = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    dy, du, dv = dec[0]
+    assert np.array_equal(dy[:h, :w], fr.recon[0])
+    assert np.array_equal(du[:h // 2, :w // 2], fr.recon[1])
+    assert np.array_equal(dv[:h // 2, :w // 2], fr.recon[2])
+
+
+def test_quadtree_depth2_beats_depth1_rd():
+    w, h = 160, 96
+    y, u, v = _mixed_frame(w, h, seed=23)
+    res = {}
+    for d in (1, 2):
+        sess = IntraEncoderSession(w, h, qp=32, max_depth=d, hash_sei=False,
+                                   info_sei=False)
+        fr = sess.encode_frame(y, u, v)
+        res[d] = (fr.bits, fr.psnr_y)
+    b1, p1 = res[1]
+    b2, p2 = res[2]
+    assert b2 <= b1 * 1.02 and p2 >= p1 - 0.1, res

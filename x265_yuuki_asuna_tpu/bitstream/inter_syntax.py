@@ -760,11 +760,13 @@ def skip_ctx_pos(cells, gy: int, gx: int) -> int:
 
 def encode_inter_cu_qt(enc: CabacEncoder, d: InterCTUDecision, cells,
                        gy: int, gx: int, s: int, max_merge: int,
-                       sign_hiding: bool = False, cu_qp_delta=None):
-    """coding_unit() for a P slice at cell (gy, gx), size s cells (16*s px).
-    Mirrors encode_inter_ctu but with position-based contexts/candidates and
-    size-dependent part_mode presence (intra part_mode only at min CB)."""
-    log2_cu = 4 if s == 1 else 5
+                       sign_hiding: bool = False, cu_qp_delta=None,
+                       cell_px: int = 16, min_log2: int = 4):
+    """coding_unit() for a P slice at cell (gy, gx), size s cells
+    (cell_px*s px). Mirrors encode_inter_ctu but with position-based
+    contexts/candidates and size-dependent part_mode presence (intra
+    part_mode only at min CB)."""
+    log2_cu = (s * cell_px).bit_length() - 1
     is_skip = (not d.is_intra and d.merge_idx >= 0 and not d.has_residual)
     enc.encode_bin(1 if is_skip else 0,
                    CTX["skip"] + skip_ctx_pos(cells, gy, gx))
@@ -778,13 +780,13 @@ def encode_inter_cu_qt(enc: CabacEncoder, d: InterCTUDecision, cells,
         return
     enc.encode_bin(0 if not d.is_intra else 1, CTX["pred_mode"])
     if d.is_intra:
-        if s == 1:                       # part_mode only at min CB size
+        if log2_cu == min_log2:          # part_mode only at min CB size
             enc.encode_bin(1, CTX["part_size"])
         left = cells[gy][gx - 1] if gx > 0 else None
         cl = left.intra_mode if (left is not None and left.is_intra) \
             else DC_MODE
         # above candidate: forced DC when outside the current CTB row
-        if (gy & 1) == 1:
+        if (gy % (32 // cell_px)) != 0:
             above = cells[gy - 1][gx]
             ca = above.intra_mode if (above is not None and above.is_intra) \
                 else DC_MODE
@@ -983,9 +985,10 @@ def _skip_ctx_pos_b(cells, gy, gx):
 
 def encode_b_cu_qt(enc: CabacEncoder, d: BCTUDecision, cells,
                    gy: int, gx: int, s: int, max_merge: int,
-                   sign_hiding: bool = False, cu_qp_delta=None):
+                   sign_hiding: bool = False, cu_qp_delta=None,
+                   cell_px: int = 16, min_log2: int = 4):
     """coding_unit() for a B slice at cell (gy, gx), size s cells."""
-    log2_cu = 4 if s == 1 else 5
+    log2_cu = (s * cell_px).bit_length() - 1
     is_skip = (not d.is_intra and d.merge_idx >= 0 and not d.has_residual)
     enc.encode_bin(1 if is_skip else 0,
                    CTX["skip"] + _skip_ctx_pos_b(cells, gy, gx))
@@ -1000,12 +1003,12 @@ def encode_b_cu_qt(enc: CabacEncoder, d: BCTUDecision, cells,
         return
     enc.encode_bin(1 if d.is_intra else 0, CTX["pred_mode"])
     if d.is_intra:
-        if s == 1:
+        if log2_cu == min_log2:
             enc.encode_bin(1, CTX["part_size"])
         left = cells[gy][gx - 1] if gx > 0 else None
         cl = left.intra_mode if (left is not None and left.is_intra) \
             else DC_MODE
-        if (gy & 1) == 1:
+        if (gy % (32 // cell_px)) != 0:
             above = cells[gy - 1][gx]
             ca = above.intra_mode if (above is not None and above.is_intra) \
                 else DC_MODE
@@ -1043,8 +1046,8 @@ def encode_b_cu_qt(enc: CabacEncoder, d: BCTUDecision, cells,
     else:
         enc.encode_bin(0, CTX["merge_flag"])
         m = d.motion
-        # inter_pred_idc ctx: bin0 uses CtDepth; 16-CU at depth 1, 32 at 0
-        depth_ctx = 1 if s == 1 else 0
+        # inter_pred_idc ctx: bin0 uses CtDepth
+        depth_ctx = 5 - log2_cu
         enc.encode_bin(1 if m.dir == 3 else 0, CTX["inter_dir"] + depth_ctx)
         if m.dir != 3:
             enc.encode_bin(0 if m.dir == 1 else 1, CTX["inter_dir"] + 4)

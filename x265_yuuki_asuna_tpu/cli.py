@@ -29,7 +29,7 @@ def main(argv=None):
     ap.add_argument("--fps", default="25")
     ap.add_argument("--qp", type=int, default=None)
     ap.add_argument("--ctu", type=int, default=None, choices=[16, 32])
-    ap.add_argument("--min-cu-size", type=int, default=None, choices=[0, 16, 32],
+    ap.add_argument("--min-cu-size", type=int, default=None, choices=[0, 8, 16, 32],
                     help="min CU size; < --ctu enables quadtree RDO "
                          "(all-intra, CTU32)")
     ap.add_argument("--frames", "-f", type=int, default=0, help="max frames")
@@ -153,7 +153,7 @@ def main(argv=None):
         rdoq_level = pick(args.rdoq_level, min(prm.rdoq_level, 1))
         sbh = bool(pick(args.signhide, prm.b_enable_sign_hiding))
         ctu = pick(args.ctu, min(prm.max_cu_size, 32))
-        min_cu = pick(args.min_cu_size, max(prm.min_cu_size, 16))
+        min_cu = pick(args.min_cu_size, max(prm.min_cu_size, 8))
         if args.qp is not None:
             rc_mode, qp = "cqp", args.qp
         elif args.bitrate:

@@ -54,6 +54,8 @@ class IntraEncoderSession:
             assert not lossless, "quadtree + lossless unsupported (v1)"
             assert slices == 1 and not wpp, \
                 "quadtree + slices/wpp unsupported (v1)"
+            if max_depth >= 2:
+                deblock = False     # 8-gran BS maps: next step
         self.max_depth = max_depth
         self.src_w = width
         self.src_h = height
@@ -395,11 +397,10 @@ class IntraEncoderSession:
     # ------------------------------------------------------------------
     def _assemble_slice_qt(self, out: dict, qp: int = None,
                            sao_params=None) -> bytes:
-        """Quadtree I-slice: per-CTU split_cu_flag then 1 or 4 CUs.
-        Syntax per spec 7.3.8.4 coding_quadtree; split_cu_flag context from
-        neighbor depths (9.3.4.2.2), intra-mode MPMs from a 16-pel-granular
-        mode map (above candidates outside the current CTB row force DC,
-        spec 8.4.2)."""
+        """Quadtree I-slice (depth 1 or 2): per-CTU coding_quadtree with
+        split_cu_flag contexts from neighbor depths (9.3.4.2.2), intra-mode
+        MPMs from a cell-granular mode map (above candidates outside the
+        current CTB row force DC, spec 8.4.2)."""
         qp = self.qp if qp is None else qp
         split = out["split"]
         mode32 = out["modes"]
@@ -409,7 +410,8 @@ class IntraEncoderSession:
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
         qp_map = out.get("qp_map")
-        res = None if (sao_params is not None or qp_map is not None) \
+        res = None if (sao_params is not None or qp_map is not None
+                       or self.max_depth != 1) \
             else native.encode_intra_slice_qt(
             split, mode32, modes4, out["levels_y"], out["levels_cb"],
             out["levels_cr"], qp, self.sbh)
@@ -418,7 +420,8 @@ class IntraEncoderSession:
         else:
             enc = CabacEncoder()
             enc.init_contexts(2, qp)
-            gr, gc = 2 * self.rows, 2 * self.cols
+            g = 1 << self.max_depth       # cells per CTU side
+            gr, gc = g * self.rows, g * self.cols
             mode_map = np.full((gr, gc), DC_MODE, np.int32)
             depth_map = np.zeros((gr, gc), np.int32)
             last = self.rows * self.cols - 1
@@ -432,12 +435,7 @@ class IntraEncoderSession:
                             sao_params[r - 1][c] if r > 0 else None,
                             True, True, self.bit_depth)
                     ctu_qp = None if qp_map is None else int(qp_map[r, c])
-                    self._write_ctu_qt(enc, bool(split[r, c]),
-                                       int(mode32[r, c]), modes4[r, c],
-                                       out["levels_y"][r, c],
-                                       out["levels_cb"][r, c],
-                                       out["levels_cr"][r, c],
-                                       r, c, mode_map, depth_map,
+                    self._write_ctu_qt(enc, out, r, c, mode_map, depth_map,
                                        ctu_qp, qp_state)
                     enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
             data, tail, tail_bits = enc.finish()
@@ -447,52 +445,71 @@ class IntraEncoderSession:
         bw.rbsp_trailing_bits()
         return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
 
-    def _write_ctu_qt(self, enc, sp, mode32, modes4, lv_y, lv_cb, lv_cr,
-                      r, c, mode_map, depth_map, ctu_qp=None, qp_state=None):
+    def _write_ctu_qt(self, enc, out, r, c, mode_map, depth_map,
+                      ctu_qp=None, qp_state=None):
         from ..bitstream.tables import CTX_OFFSET as CTX
-        gy, gx = 2 * r, 2 * c
-        ctx = ((1 if gx > 0 and depth_map[gy, gx - 1] > 0 else 0)
-               + (1 if gy > 0 and depth_map[gy - 1, gx] > 0 else 0))
-        enc.encode_bin(1 if sp else 0, CTX["split_cu"] + ctx)
-        delta_pending = ctu_qp is not None      # signal at first coded cbf
-        if not sp:
-            cand_left = int(mode_map[gy, gx - 1]) if gx > 0 else DC_MODE
-            d = CS.CTUDecisions(luma_mode=mode32, luma_levels=lv_y,
-                                cb_levels=lv_cb, cr_levels=lv_cr)
-            delta = None
-            if delta_pending and (np.any(lv_y) or np.any(lv_cb)
-                                  or np.any(lv_cr)):
-                delta = ctu_qp - qp_state[0]
-                qp_state[0] = ctu_qp
-            CS.encode_intra_ctu_full(enc, d, 5, cand_left, DC_MODE,
-                                     part_mode_coded=False,
-                                     sign_hiding=self.sbh,
-                                     cu_qp_delta=delta)
-            mode_map[gy:gy + 2, gx:gx + 2] = mode32
-            depth_map[gy:gy + 2, gx:gx + 2] = 0
-            return
-        for q, (qy, qx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-            my, mx = gy + qy, gx + qx
-            m = int(modes4[q])
-            cand_left = int(mode_map[my, mx - 1]) if mx > 0 else DC_MODE
-            cand_above = int(mode_map[my - 1, mx]) if qy == 1 else DC_MODE
+        from .qt_common import QOFF
+        md = self.max_depth
+        g = 1 << md                      # cells per CTU side
+        cell = 32 // g                   # cell size in pixels
+        gy, gx = g * r, g * c
+        lv_y = out["levels_y"][r, c]
+        lv_cb = out["levels_cb"][r, c]
+        lv_cr = out["levels_cr"][r, c]
+        state = {"pending": ctu_qp is not None}
+
+        def split_flag(cy, cx, d, sp):
+            ctx = ((1 if cx > 0 and depth_map[cy, cx - 1] > d else 0)
+                   + (1 if cy > 0 and depth_map[cy - 1, cx] > d else 0))
+            enc.encode_bin(1 if sp else 0, CTX["split_cu"] + ctx)
+
+        def code_cu(cy, cx, sc, mode, depth):
+            px = sc * cell
+            log2 = px.bit_length() - 1
+            oy, ox = (cy - gy) * cell, (cx - gx) * cell
             d = CS.CTUDecisions(
-                luma_mode=m,
-                luma_levels=lv_y[16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16],
-                cb_levels=lv_cb[8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
-                cr_levels=lv_cr[8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8])
+                luma_mode=mode,
+                luma_levels=lv_y[oy:oy + px, ox:ox + px],
+                cb_levels=lv_cb[oy // 2:oy // 2 + px // 2,
+                                ox // 2:ox // 2 + px // 2],
+                cr_levels=lv_cr[oy // 2:oy // 2 + px // 2,
+                                ox // 2:ox // 2 + px // 2])
+            cand_left = int(mode_map[cy, cx - 1]) if cx > 0 else DC_MODE
+            cand_above = int(mode_map[cy - 1, cx]) if (cy % g) != 0 \
+                else DC_MODE
             delta = None
-            if delta_pending and (np.any(d.luma_levels) or np.any(d.cb_levels)
-                                  or np.any(d.cr_levels)):
+            if state["pending"] and (np.any(d.luma_levels)
+                                     or np.any(d.cb_levels)
+                                     or np.any(d.cr_levels)):
                 delta = ctu_qp - qp_state[0]
                 qp_state[0] = ctu_qp
-                delta_pending = False           # one delta per QG (== CTU)
-            CS.encode_intra_ctu_full(enc, d, 4, cand_left, cand_above,
-                                     part_mode_coded=True,
+                state["pending"] = False     # one delta per QG (== CTU)
+            CS.encode_intra_ctu_full(enc, d, log2, cand_left, cand_above,
+                                     part_mode_coded=(log2 == 5 - md),
                                      sign_hiding=self.sbh,
                                      cu_qp_delta=delta)
-            mode_map[my, mx] = m
-            depth_map[my, mx] = 1
+            mode_map[cy:cy + sc, cx:cx + sc] = mode
+            depth_map[cy:cy + sc, cx:cx + sc] = depth
+
+        sp0 = bool(out["split"][r, c])
+        split_flag(gy, gx, 0, sp0)
+        if not sp0:
+            code_cu(gy, gx, g, int(out["modes"][r, c]), 0)
+            return
+        half = g // 2
+        for q, (qy, qx) in enumerate(QOFF):
+            cy, cx = gy + qy * half, gx + qx * half
+            if md == 1:
+                code_cu(cy, cx, 1, int(out["modes4"][r, c, q]), 1)
+                continue
+            sp1 = bool(out["split16"][r, c, q])
+            split_flag(cy, cx, 1, sp1)
+            if not sp1:
+                code_cu(cy, cx, 2, int(out["modes4"][r, c, q]), 1)
+            else:
+                for sq, (sy_, sx_) in enumerate(QOFF):
+                    code_cu(cy + sy_, cx + sx_, 1,
+                            int(out["modes8"][r, c, q, sq]), 2)
 
     # ------------------------------------------------------------------
     def _assemble_slice_wpp(self, out: dict, qp: int = None,
@@ -628,6 +645,8 @@ class VideoEncoderSession:
             cu_size = 32
             assert not weightp and not analysis_load and not analysis_save, \
                 "inter quadtree: no weightp/analysis reuse (v1)"
+            if max_depth >= 2:
+                deblock = False     # 8-gran BS maps: next step
         self.max_depth = max_depth
         # per-CU QP (AQ/cuTree) and deblocking are mutually exclusive this
         # round: the in-loop filter still derives thresholds from the frame
@@ -1188,11 +1207,12 @@ class VideoEncoderSession:
     def _assemble_b_slice_qt(self, out: dict, qp: int, poc: int, poc0: int,
                              poc1: int, sao_params=None, is_ref: bool = False,
                              rps=None) -> bytes:
-        """Quadtree B slice: split_cu_flag per CTU, then 1 or 4 B coding
-        units with position-based merge/AMVP (POC-scaled) derivation."""
+        """Quadtree B slice (depth 1 or 2): coding_quadtree per CTU with
+        position-based B merge/AMVP (POC-scaled) derivation."""
         from ..bitstream import inter_syntax as IS
         from ..bitstream.bitio import NAL_TRAIL_N, NAL_TRAIL_R
         from ..bitstream.tables import CTX_OFFSET as CTX
+        from .qt_common import QOFF
         sess = self.intra_sess
         nal_type = NAL_TRAIL_R if is_ref else NAL_TRAIL_N
         bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=0,
@@ -1205,10 +1225,20 @@ class VideoEncoderSession:
                                     sao_chroma=1 if sao_params else 0)
         enc = CabacEncoder()
         enc.init_contexts(0, qp)
-        gr, gc = 2 * self.rows, 2 * self.cols
+        md = self.max_depth
+        g = 1 << md
+        cell_px = 32 // g
+        min_log2 = 5 - md
+        gr, gc = g * self.rows, g * self.cols
         cells = [[None] * gc for _ in range(gr)]
         depth = np.zeros((gr, gc), np.int32)
         last = self.rows * self.cols - 1
+
+        def split_flag(cy, cx, d, sp):
+            ctx = ((1 if cx > 0 and depth[cy, cx - 1] > d else 0)
+                   + (1 if cy > 0 and depth[cy - 1, cx] > d else 0))
+            enc.encode_bin(1 if sp else 0, CTX["split_cu"] + ctx)
+
         for r in range(self.rows):
             for c in range(self.cols):
                 if sao_params is not None:
@@ -1217,46 +1247,59 @@ class VideoEncoderSession:
                         sao_params[r][c - 1] if c > 0 else None,
                         sao_params[r - 1][c] if r > 0 else None,
                         True, True, sess.bit_depth)
-                gy, gx = 2 * r, 2 * c
-                sp = bool(out["split"][r, c])
-                ctx = ((1 if gx > 0 and depth[gy, gx - 1] > 0 else 0)
-                       + (1 if gy > 0 and depth[gy - 1, gx] > 0 else 0))
-                enc.encode_bin(1 if sp else 0, CTX["split_cu"] + ctx)
-                if not sp:
+                gy, gx = g * r, g * c
+
+                def code(cy, cx, sc, is_intra, mode, pdir, mv0, mv1, dep):
+                    px = sc * cell_px
+                    oy, ox = (cy - gy) * cell_px, (cx - gx) * cell_px
                     d = self._decide_cu_b_pos(
-                        IS, cells, gy, gx, 2, bool(out["use_intra"][r, c]),
-                        int(out["modes"][r, c]), int(out["pdir"][r, c]),
-                        (int(out["mvx"][r, c]), int(out["mvy"][r, c])),
-                        (int(out["mv1x"][r, c]), int(out["mv1y"][r, c])),
-                        out["levels_y"][r, c], out["levels_cb"][r, c],
-                        out["levels_cr"][r, c], poc, poc0, poc1)
-                    IS.encode_b_cu_qt(enc, d, cells, gy, gx, 2,
-                                      self.max_merge, sign_hiding=self.sbh)
-                    depth[gy:gy + 2, gx:gx + 2] = 0
+                        IS, cells, cy, cx, sc, is_intra, mode, pdir, mv0,
+                        mv1,
+                        out["levels_y"][r, c][oy:oy + px, ox:ox + px],
+                        out["levels_cb"][r, c][oy // 2:(oy + px) // 2,
+                                               ox // 2:(ox + px) // 2],
+                        out["levels_cr"][r, c][oy // 2:(oy + px) // 2,
+                                               ox // 2:(ox + px) // 2],
+                        poc, poc0, poc1)
+                    IS.encode_b_cu_qt(enc, d, cells, cy, cx, sc,
+                                      self.max_merge, sign_hiding=self.sbh,
+                                      cell_px=cell_px, min_log2=min_log2)
+                    depth[cy:cy + sc, cx:cx + sc] = dep
+
+                sp0 = bool(out["split"][r, c])
+                split_flag(gy, gx, 0, sp0)
+                if not sp0:
+                    code(gy, gx, g, bool(out["use_intra"][r, c]),
+                         int(out["modes"][r, c]), int(out["pdir"][r, c]),
+                         (int(out["mvx"][r, c]), int(out["mvy"][r, c])),
+                         (int(out["mv1x"][r, c]), int(out["mv1y"][r, c])),
+                         0)
                 else:
-                    for q, (qy, qx) in enumerate(((0, 0), (0, 1),
-                                                  (1, 0), (1, 1))):
-                        my, mx = gy + qy, gx + qx
-                        d = self._decide_cu_b_pos(
-                            IS, cells, my, mx, 1,
-                            bool(out["use_intra4"][r, c, q]),
-                            int(out["modes4"][r, c, q]),
-                            int(out["pdir4"][r, c, q]),
-                            (int(out["mv4x"][r, c, q]),
-                             int(out["mv4y"][r, c, q])),
-                            (int(out["mv41x"][r, c, q]),
-                             int(out["mv41y"][r, c, q])),
-                            out["levels_y"][r, c][16 * qy:16 * qy + 16,
-                                                  16 * qx:16 * qx + 16],
-                            out["levels_cb"][r, c][8 * qy:8 * qy + 8,
-                                                   8 * qx:8 * qx + 8],
-                            out["levels_cr"][r, c][8 * qy:8 * qy + 8,
-                                                   8 * qx:8 * qx + 8],
-                            poc, poc0, poc1)
-                        IS.encode_b_cu_qt(enc, d, cells, my, mx, 1,
-                                          self.max_merge,
-                                          sign_hiding=self.sbh)
-                        depth[my, mx] = 1
+                    half = g // 2
+                    for q, (qy, qx) in enumerate(QOFF):
+                        cy, cx = gy + qy * half, gx + qx * half
+                        sub = md >= 2 and bool(out["split16"][r, c, q])
+                        if md >= 2:
+                            split_flag(cy, cx, 1, sub)
+                        if not sub:
+                            code(cy, cx, half,
+                                 bool(out["use_intra4"][r, c, q]),
+                                 int(out["modes4"][r, c, q]),
+                                 int(out["pdir4"][r, c, q]),
+                                 (int(out["mv4x"][r, c, q]),
+                                  int(out["mv4y"][r, c, q])),
+                                 (int(out["mv41x"][r, c, q]),
+                                  int(out["mv41y"][r, c, q])), 1)
+                        else:
+                            for sq, (sy_, sx_) in enumerate(QOFF):
+                                code(cy + sy_, cx + sx_, 1,
+                                     bool(out["use_intra8"][r, c, q, sq]),
+                                     int(out["modes8"][r, c, q, sq]),
+                                     int(out["pdir8"][r, c, q, sq]),
+                                     (int(out["mv8x"][r, c, q, sq]),
+                                      int(out["mv8y"][r, c, q, sq])),
+                                     (int(out["mv81x"][r, c, q, sq]),
+                                      int(out["mv81y"][r, c, q, sq])), 2)
                 enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
         data, tail, tail_bits = enc.finish()
         for b in data:
@@ -1392,11 +1435,12 @@ class VideoEncoderSession:
     def _assemble_p_slice_qt(self, out: dict, qp: int, poc=None,
                              ref_delta: int = 1, sao_params=None,
                              qp_map=None) -> bytes:
-        """Quadtree P slice (CTU32, depth-1): split_cu_flag per CTU, then
-        1 or 4 coding units with position-based merge/AMVP derivation."""
+        """Quadtree P slice (depth 1 or 2): coding_quadtree per CTU with
+        position-based merge/AMVP derivation on the cell grid."""
         from ..bitstream import inter_syntax as IS
         from ..bitstream.bitio import NAL_TRAIL_R
         from ..bitstream.tables import CTX_OFFSET as CTX
+        from .qt_common import QOFF
         sess = self.intra_sess
         bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=1,
                                     slice_qp=qp, nal_type=NAL_TRAIL_R,
@@ -1405,7 +1449,8 @@ class VideoEncoderSession:
                                     max_merge=self.max_merge,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
-        res = None if (sao_params is not None or qp_map is not None) \
+        res = None if (sao_params is not None or qp_map is not None
+                       or self.max_depth != 1) \
             else native.encode_p_slice_qt(
             out["split"], out["use_intra"], out["modes"],
             out["mvx"], out["mvy"], out["use_intra4"], out["modes4"],
@@ -1416,11 +1461,21 @@ class VideoEncoderSession:
         else:
             enc = CabacEncoder()
             enc.init_contexts(1, qp)
-            gr, gc = 2 * self.rows, 2 * self.cols
+            md = self.max_depth
+            g = 1 << md
+            cell_px = 32 // g
+            min_log2 = 5 - md
+            gr, gc = g * self.rows, g * self.cols
             cells = [[None] * gc for _ in range(gr)]
             depth = np.zeros((gr, gc), np.int32)
             last = self.rows * self.cols - 1
-            qp_prev = qp                # decoder qPY_PREV chain (QG == CTU)
+            qp_prev = qp
+
+            def split_flag(cy, cx, d, sp):
+                ctx = ((1 if cx > 0 and depth[cy, cx - 1] > d else 0)
+                       + (1 if cy > 0 and depth[cy - 1, cx] > d else 0))
+                enc.encode_bin(1 if sp else 0, CTX["split_cu"] + ctx)
+
             for r in range(self.rows):
                 for c in range(self.cols):
                     if sao_params is not None:
@@ -1429,58 +1484,63 @@ class VideoEncoderSession:
                             sao_params[r][c - 1] if c > 0 else None,
                             sao_params[r - 1][c] if r > 0 else None,
                             True, True, sess.bit_depth)
-                    gy, gx = 2 * r, 2 * c
-                    sp = bool(out["split"][r, c])
-                    ctx = ((1 if gx > 0 and depth[gy, gx - 1] > 0 else 0)
-                           + (1 if gy > 0 and depth[gy - 1, gx] > 0 else 0))
-                    enc.encode_bin(1 if sp else 0, CTX["split_cu"] + ctx)
-                    delta_pending = qp_map is not None
+                    gy, gx = g * r, g * c
+                    state = {"pending": qp_map is not None}
                     ctu_qp = None if qp_map is None else int(qp_map[r, c])
-                    if not sp:
+
+                    def code(cy, cx, sc, is_intra, mode, mv, dep):
+                        px = sc * cell_px
+                        oy, ox = (cy - gy) * cell_px, (cx - gx) * cell_px
                         d = self._decide_cu_pos(
-                            IS, cells, gy, gx, 2,
-                            bool(out["use_intra"][r, c]),
-                            int(out["modes"][r, c]),
-                            (int(out["mvx"][r, c]), int(out["mvy"][r, c])),
-                            out["levels_y"][r, c], out["levels_cb"][r, c],
-                            out["levels_cr"][r, c])
+                            IS, cells, cy, cx, sc, is_intra, mode, mv,
+                            out["levels_y"][r, c][oy:oy + px, ox:ox + px],
+                            out["levels_cb"][r, c][oy // 2:(oy + px) // 2,
+                                                   ox // 2:(ox + px) // 2],
+                            out["levels_cr"][r, c][oy // 2:(oy + px) // 2,
+                                                   ox // 2:(ox + px) // 2])
                         delta = None
-                        if delta_pending and d.has_residual:
-                            delta = ctu_qp - qp_prev
-                            qp_prev = ctu_qp
-                        IS.encode_inter_cu_qt(enc, d, cells, gy, gx, 2,
+                        if state["pending"] and d.has_residual:
+                            delta = ctu_qp - qp_prev_holder[0]
+                            qp_prev_holder[0] = ctu_qp
+                            state["pending"] = False
+                        IS.encode_inter_cu_qt(enc, d, cells, cy, cx, sc,
                                               self.max_merge,
                                               sign_hiding=self.sbh,
-                                              cu_qp_delta=delta)
-                        depth[gy:gy + 2, gx:gx + 2] = 0
+                                              cu_qp_delta=delta,
+                                              cell_px=cell_px,
+                                              min_log2=min_log2)
+                        depth[cy:cy + sc, cx:cx + sc] = dep
+
+                    qp_prev_holder = [qp_prev]
+                    sp0 = bool(out["split"][r, c])
+                    split_flag(gy, gx, 0, sp0)
+                    if not sp0:
+                        code(gy, gx, g, bool(out["use_intra"][r, c]),
+                             int(out["modes"][r, c]),
+                             (int(out["mvx"][r, c]), int(out["mvy"][r, c])),
+                             0)
                     else:
-                        for q, (qy, qx) in enumerate(((0, 0), (0, 1),
-                                                      (1, 0), (1, 1))):
-                            my, mx = gy + qy, gx + qx
-                            d = self._decide_cu_pos(
-                                IS, cells, my, mx, 1,
-                                bool(out["use_intra4"][r, c, q]),
-                                int(out["modes4"][r, c, q]),
-                                (int(out["mv4x"][r, c, q]),
-                                 int(out["mv4y"][r, c, q])),
-                                out["levels_y"][r, c][16 * qy:16 * qy + 16,
-                                                      16 * qx:16 * qx + 16],
-                                out["levels_cb"][r, c][8 * qy:8 * qy + 8,
-                                                       8 * qx:8 * qx + 8],
-                                out["levels_cr"][r, c][8 * qy:8 * qy + 8,
-                                                       8 * qx:8 * qx + 8])
-                            delta = None
-                            if delta_pending and d.has_residual \
-                                    and not (d.merge_idx >= 0
-                                             and not d.has_residual):
-                                delta = ctu_qp - qp_prev
-                                qp_prev = ctu_qp
-                                delta_pending = False
-                            IS.encode_inter_cu_qt(enc, d, cells, my, mx, 1,
-                                                  self.max_merge,
-                                                  sign_hiding=self.sbh,
-                                                  cu_qp_delta=delta)
-                            depth[my, mx] = 1
+                        half = g // 2
+                        for q, (qy, qx) in enumerate(QOFF):
+                            cy, cx = gy + qy * half, gx + qx * half
+                            sub = (md >= 2
+                                   and bool(out["split16"][r, c, q]))
+                            if md >= 2:
+                                split_flag(cy, cx, 1, sub)
+                            if not sub:
+                                code(cy, cx, half,
+                                     bool(out["use_intra4"][r, c, q]),
+                                     int(out["modes4"][r, c, q]),
+                                     (int(out["mv4x"][r, c, q]),
+                                      int(out["mv4y"][r, c, q])), 1)
+                            else:
+                                for sq, (sy_, sx_) in enumerate(QOFF):
+                                    code(cy + sy_, cx + sx_, 1,
+                                         bool(out["use_intra8"][r, c, q, sq]),
+                                         int(out["modes8"][r, c, q, sq]),
+                                         (int(out["mv8x"][r, c, q, sq]),
+                                          int(out["mv8y"][r, c, q, sq])), 2)
+                    qp_prev = qp_prev_holder[0]
                     enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
             data, tail, tail_bits = enc.finish()
         for b in data:

@@ -469,32 +469,34 @@ class InterFrameEncoder:
 
     # ------------------------------------------------------------------
     def _build_qt(self):
-        """P-frame CTU32 with in-scan depth-1 quadtree RD decision.
+        """Inter CTU32 wavefront with in-scan quadtree RD (depth 1 or 2:
+        CUs of 32/16 or 32/16/8), P or B.
 
-        Dense phase: full-search + subpel ME at BOTH block sizes (one 32x32
-        MV per CTU and four 16x16 MVs) — candidate depths are batch axes,
-        the TPU formulation of the reference's recursive compressInterCU
-        (analysis.cpp:1146). Wavefront phase: per CTU evaluate variant A
-        (one 32 CU, intra-or-inter) and variant B (four 16 CUs in z-order,
-        each intra-or-inter, exact local reference propagation), select by
-        SSE + lambda2 * estimated bits.
+        Dense phase: full-search + subpel ME at every CU size (and both
+        lists + bi selection for B) — candidate depths/lists are batch
+        axes, the TPU formulation of the reference's recursive
+        compressInterCU (analysis.cpp:1146). Wavefront phase: per CTU,
+        bottom-up RD split selection with exact local reference
+        propagation through a CTU-local recon tile (qt_common.block_v).
         """
+        from .qt_common import block_v, QOFF
         cfg = self.cfg
         n = cfg.cu_size            # 32
-        h = n // 2                 # 16 luma sub-CU
-        nc = n // 2                # 16 chroma tile
-        hc = nc // 2               # 8 chroma sub-CU
+        h = 16
+        nc = 16
         rows, cols = cfg.rows, cfg.cols
         W, H = cfg.width, cfg.height
         bd = cfg.bit_depth
         maxv = (1 << bd) - 1
         ncu = rows * cols
         n16 = 4 * ncu
+        n8 = 16 * ncu
         R = cfg.search_range
         rc_all, valid_all = self._rc, self._valid
         S = self.num_slots
         fill = 1 << (bd - 1)
         MODE_BITS = 7.0
+        depth2 = cfg.max_depth >= 2
 
         def to_blocks(plane, nn):
             hh, ww = plane.shape
@@ -505,22 +507,29 @@ class InterFrameEncoder:
             return (blocks.reshape(hh // nn, ww // nn, nn, nn)
                     .transpose(0, 2, 1, 3).reshape(hh, ww))
 
-        # block-grid geometry at both sizes
+        # block-grid geometry per size + CTU -> block-index maps (z-order)
         g32r = np.arange(ncu, dtype=np.int32) // cols
         g32c = np.arange(ncu, dtype=np.int32) % cols
         PX32 = jnp.asarray(g32c * n)
         PY32 = jnp.asarray(g32r * n)
         cols16 = cols * 2
-        g16r = np.arange(n16, dtype=np.int32) // cols16
-        g16c = np.arange(n16, dtype=np.int32) % cols16
-        PX16 = jnp.asarray(g16c * h)
-        PY16 = jnp.asarray(g16r * h)
-        # CTU -> quadrant 16-block raster indices (sentinel row = n16)
+        PX16 = jnp.asarray((np.arange(n16, dtype=np.int32) % cols16) * h)
+        PY16 = jnp.asarray((np.arange(n16, dtype=np.int32) // cols16) * h)
+        cols8 = cols * 4
+        PX8 = jnp.asarray((np.arange(n8, dtype=np.int32) % cols8) * 8)
+        PY8 = jnp.asarray((np.arange(n8, dtype=np.int32) // cols8) * 8)
         map16 = np.zeros((ncu + 1, 4), np.int32)
-        for q, (qy, qx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        for q, (qy, qx) in enumerate(QOFF):
             map16[:ncu, q] = (g32r * 2 + qy) * cols16 + (g32c * 2 + qx)
         map16[ncu] = n16
         MAP16 = jnp.asarray(map16)
+        map8 = np.zeros((ncu + 1, 4, 4), np.int32)
+        for q, (qy, qx) in enumerate(QOFF):
+            for sq, (sy, sx) in enumerate(QOFF):
+                map8[:ncu, q, sq] = ((g32r * 4 + 2 * qy + sy) * cols8
+                                     + (g32c * 4 + 2 * qx + sx))
+        map8[ncu] = n8
+        MAP8 = jnp.asarray(map8)
 
         def search_size(yb, ref_y, px, py, nn):
             mvx_i, mvy_i, _ = me.full_search_sad(
@@ -586,10 +595,8 @@ class InterFrameEncoder:
                                              mvx, mvy, nn // 2, bd, xp=jnp))
 
         def decide_motion(yb, refs0, refs1, px, py, nn, qp_s):
-            """Per-block motion decision at one size. P: single-list search.
-            B: two searches + uni/uni/bi selection by SATD + lambda*bits
-            (search.cpp predInterSearch analog). Returns (pdir, mv0x, mv0y,
-            mv1x, mv1y, pred_yuv, satd_sel, bits_sel)."""
+            """Per-block motion decision at one size (P: L0 only; B:
+            SATD + lambda*bits over L0/L1/BI, search.cpp analog)."""
             mv0x, mv0y, s0 = search_size(yb, refs0[0], px, py, nn)
             if refs1 is None:
                 pred = mc_all(refs0, mv0x, mv0y, px, py, nn)
@@ -617,65 +624,13 @@ class InterFrameEncoder:
                 return jnp.where(s_ == 0, a, jnp.where(s_ == 1, b, c))
 
             pred = tuple(pick(a, b, c) for a, b, c in zip(p0, p1, pbi))
-            satd_sel = jnp.stack([s0, s1, sbi], 1)[jnp.arange(s0.shape[0]),
-                                                   sel]
-            bits_sel = jnp.stack([b0, b1 + 1.0, b0 + b1 + 2.0], 1)[
-                jnp.arange(s0.shape[0]), sel]
-            # zero unused-list MVs (the syntax layer requires it)
+            ar = jnp.arange(s0.shape[0])
+            satd_sel = jnp.stack([s0, s1, sbi], 1)[ar, sel]
+            bits_sel = jnp.stack([b0, b1 + 1.0, b0 + b1 + 2.0], 1)[ar, sel]
             m0 = (pdir & 1).astype(mv0x.dtype)
             m1 = ((pdir & 2) >> 1).astype(mv1x.dtype)
             return (pdir, mv0x * m0, mv0y * m0, mv1x * m1, mv1y * m1,
                     pred, satd_sel, bits_sel)
-
-        def seg(arr, lo, hi, rev=False):
-            s = arr[:, lo:hi]
-            return s[:, ::-1] if rev else s
-
-        def assemble_v(parts):
-            vs, avs = [], []
-            for t, a in parts:
-                if t.ndim == 1:
-                    t = t[:, None]
-                k = t.shape[1]
-                vs.append(t)
-                avs.append(jnp.broadcast_to(a[:, None], (S, k)))
-            return jnp.concatenate(vs, axis=1), jnp.concatenate(avs, axis=1)
-
-        def quad_v(q, tile, left_rc, top_br, tr_br, tl_br, al, at, atr, nn):
-            F = jnp.ones((S,), bool)
-            NO = jnp.zeros((S,), bool)
-            zs = jnp.zeros((S, nn), jnp.int32)
-            if q == 0:
-                return assemble_v([
-                    (seg(left_rc, nn, 2 * nn, rev=True), al),
-                    (seg(left_rc, 0, nn, rev=True), al),
-                    (tl_br[:, 2 * nn - 1], at & al),
-                    (seg(top_br, 0, nn), at),
-                    (seg(top_br, nn, 2 * nn), at),
-                ])
-            if q == 1:
-                return assemble_v([
-                    (zs, NO),
-                    (tile[:, 0:nn, nn - 1][:, ::-1], F),
-                    (top_br[:, nn - 1], at),
-                    (seg(top_br, nn, 2 * nn), at),
-                    (seg(tr_br, 0, nn), atr),
-                ])
-            if q == 2:
-                return assemble_v([
-                    (zs, NO),
-                    (seg(left_rc, nn, 2 * nn, rev=True), al),
-                    (left_rc[:, nn - 1], al),
-                    (tile[:, nn - 1, 0:nn], F),
-                    (tile[:, nn - 1, nn:2 * nn], F),
-                ])
-            return assemble_v([
-                (zs, NO),
-                (tile[:, nn:2 * nn, nn - 1][:, ::-1], F),
-                (tile[:, nn - 1, nn - 1], F),
-                (tile[:, nn - 1, nn:2 * nn], F),
-                (zs, NO),
-            ])
 
         def intra_block(v_raw, av, src, qp, log2nn, luma, modes=None):
             v = intra.substitute_references(v_raw, av, bd, xp=jnp)
@@ -694,16 +649,14 @@ class InterFrameEncoder:
                 axis=1)[:, 0]
             return modes, best, pred
 
-        def est_mv_bits(mvx, mvy):
-            ax = jnp.abs(mvx).astype(jnp.float32)
-            ay = jnp.abs(mvy).astype(jnp.float32)
-            return 4.0 + 2.0 * jnp.log2(1.0 + ax) + 2.0 * jnp.log2(1.0 + ay)
+        def ssd(a, b):
+            d = (a - b).astype(jnp.float32)
+            return jnp.sum(d * d, axis=(-2, -1))
 
-        def make_step(srcs, predsA, predsB, satd32, satd16,
-                      mvbits32, mvbits16, qp_y_pad, qp_c_pad, qp_sig_pad):
+        def make_step(srcs, ipreds, qp_y_pad, qp_c_pad, qp_sig_pad):
+            """ipreds: dict size -> (pred_y pad, pred_u pad, pred_v pad,
+            satd pad, mvbits pad, idx_map gather fn)."""
             src_yb, src_ub, src_vb = srcs
-            pA_y, pA_u, pA_v = predsA
-            pB_y, pB_u, pB_v = predsB
 
             def step(carry, xs):
                 (bry, rcy, bru, rcu_, brv, rcv) = carry
@@ -727,141 +680,148 @@ class InterFrameEncoder:
                 qp_y = jnp.take(qp_y_pad, cu_s)
                 qp_c = jnp.take(qp_c_pad, cu_s)
                 qp_sig = jnp.take(qp_sig_pad, cu_s)
+                lam2 = 0.85 * jnp.exp2((qp_sig.astype(jnp.float32) - 12.0)
+                                       / 3.0)
 
-                def gather_nb(botrow, rightcol):
-                    return (jnp.take(rightcol, gl, axis=0),
-                            jnp.take(botrow, gt, axis=0),
-                            jnp.take(botrow, gtr, axis=0),
-                            jnp.take(botrow, gtl, axis=0))
+                nb_y = (jnp.take(rcy, gl, axis=0), jnp.take(bry, gt, axis=0),
+                        jnp.take(bry, gtr, axis=0), jnp.take(bry, gtl, axis=0))
+                nb_u = (jnp.take(rcu_, gl, axis=0), jnp.take(bru, gt, axis=0),
+                        jnp.take(bru, gtr, axis=0), jnp.take(bru, gtl, axis=0))
+                nb_v = (jnp.take(rcv, gl, axis=0), jnp.take(brv, gt, axis=0),
+                        jnp.take(brv, gtr, axis=0), jnp.take(brv, gtl, axis=0))
+                flags = (al, at, atr, atl)
 
-                lrc_y, tbr_y, trbr_y, tlbr_y = gather_nb(bry, rcy)
-                lrc_u, tbr_u, trbr_u, tlbr_u = gather_nb(bru, rcu_)
-                lrc_v, tbr_v, trbr_v, tlbr_v = gather_nb(brv, rcv)
-
-                # ===== variant A: one 32x32 CU =====
-                vA, avA = assemble_v([
-                    (jnp.broadcast_to(lrc_y[:, n - 1:n], (S, n)),
-                     jnp.zeros((S,), bool)),
-                    (lrc_y[:, ::-1], al),
-                    (tlbr_y[:, n - 1], atl),
-                    (tbr_y, at),
-                    (trbr_y, atr),
-                ])
-                imodeA, ibestA, ipredA_y = intra_block(vA, avA, src_y, qp_y,
-                                                       5, True)
-                isatdA = jnp.take(satd32, cu_s)
-                use_intraA = (ibestA + cfg.intra_bias) < isatdA
-                ipA_y = jnp.take(pA_y, cu_s, axis=0)
-                selA = use_intraA[:, None, None]
-                predA_yf = jnp.where(selA, ipredA_y, ipA_y)
-                # chroma A
-                vAu, avAu = assemble_v([
-                    (jnp.broadcast_to(lrc_u[:, nc - 1:nc], (S, nc)),
-                     jnp.zeros((S,), bool)),
-                    (lrc_u[:, ::-1], al),
-                    (tlbr_u[:, nc - 1], atl),
-                    (tbr_u, at),
-                    (trbr_u, atr),
-                ])
-                _, _, ipredA_u = intra_block(vAu, avAu, src_u, qp_c, 4,
-                                             False, imodeA)
-                vAv, avAv = assemble_v([
-                    (jnp.broadcast_to(lrc_v[:, nc - 1:nc], (S, nc)),
-                     jnp.zeros((S,), bool)),
-                    (lrc_v[:, ::-1], al),
-                    (tlbr_v[:, nc - 1], atl),
-                    (tbr_v, at),
-                    (trbr_v, atr),
-                ])
-                _, _, ipredA_v = intra_block(vAv, avAv, src_v, qp_c, 4,
-                                             False, imodeA)
-                predA_uf = jnp.where(selA, ipredA_u, jnp.take(pA_u, cu_s, axis=0))
-                predA_vf = jnp.where(selA, ipredA_v, jnp.take(pA_v, cu_s, axis=0))
-                lvA_y, rrA_y = tq(src_y - predA_yf, qp_y, 5)
-                lvA_cb, rrA_u = tq(src_u - predA_uf, qp_c, 4)
-                lvA_cr, rrA_v = tq(src_v - predA_vf, qp_c, 4)
-                recA_y = jnp.clip(predA_yf + rrA_y, 0, maxv)
-                recA_u = jnp.clip(predA_uf + rrA_u, 0, maxv)
-                recA_v = jnp.clip(predA_vf + rrA_v, 0, maxv)
-                bitsA = (quant.est_tu_bits(lvA_y, xp=jnp)
-                         + quant.est_tu_bits(lvA_cb, xp=jnp)
-                         + quant.est_tu_bits(lvA_cr, xp=jnp)
-                         + jnp.where(use_intraA, MODE_BITS,
-                                     jnp.take(mvbits32, cu_s)) + 1.0)
-
-                # ===== variant B: four 16x16 CUs =====
-                tile_y = jnp.zeros((S, n, n), jnp.int32)
-                tile_u = jnp.zeros((S, nc, nc), jnp.int32)
-                tile_v = jnp.zeros((S, nc, nc), jnp.int32)
-                lvB_y = jnp.zeros((S, n, n), jnp.int32)
-                lvB_cb = jnp.zeros((S, nc, nc), jnp.int32)
-                lvB_cr = jnp.zeros((S, nc, nc), jnp.int32)
-                ui16, im16 = [], []
-                bitsB = jnp.zeros((S,), jnp.float32)
-                for q, (qy, qx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-                    y0, x0 = qy * h, qx * h
-                    yc0, xc0 = qy * hc, qx * hc
-                    q16 = jnp.take(MAP16[:, q], cu_s)
-                    sq_y = src_y[:, y0:y0 + h, x0:x0 + h]
-                    sq_u = src_u[:, yc0:yc0 + hc, xc0:xc0 + hc]
-                    sq_v = src_v[:, yc0:yc0 + hc, xc0:xc0 + hc]
-                    vq, avq = quad_v(q, tile_y, lrc_y, tbr_y, trbr_y, tlbr_y,
-                                     al, at, atr, h)
-                    imq, ibq, ipq_y = intra_block(vq, avq, sq_y, qp_y, 4, True)
-                    isq = jnp.take(satd16, q16)
+                def code_at(tiles, y0, x0, nn, blk_idx):
+                    """One inter/intra CU at (y0, x0), size nn. blk_idx: [S]
+                    index into the size's dense-phase arrays."""
+                    p_y, p_u, p_v, satd, mvbits = ipreds[nn]
+                    ty, tu, tv = tiles
+                    sy = src_y[:, y0:y0 + nn, x0:x0 + nn]
+                    yc, xc = y0 // 2, x0 // 2
+                    hc2 = nn // 2
+                    su = src_u[:, yc:yc + hc2, xc:xc + hc2]
+                    sv = src_v[:, yc:yc + hc2, xc:xc + hc2]
+                    vy, ay = block_v(ty, *nb_y, *flags, y0, x0, nn)
+                    imq, ibq, ip_y = intra_block(vy, ay, sy, qp_y,
+                                                 nn.bit_length() - 1, True)
+                    isq = jnp.take(satd, blk_idx)
                     uiq = (ibq + cfg.intra_bias) < isq
                     selq = uiq[:, None, None]
-                    pq_y = jnp.where(selq, ipq_y, jnp.take(pB_y, q16, axis=0))
-                    vqu, avqu = quad_v(q, tile_u, lrc_u, tbr_u, trbr_u, tlbr_u,
-                                       al, at, atr, hc)
-                    _, _, ipq_u = intra_block(vqu, avqu, sq_u, qp_c, 3,
-                                              False, imq)
-                    vqv, avqv = quad_v(q, tile_v, lrc_v, tbr_v, trbr_v, tlbr_v,
-                                       al, at, atr, hc)
-                    _, _, ipq_v = intra_block(vqv, avqv, sq_v, qp_c, 3,
-                                              False, imq)
-                    pq_u = jnp.where(selq, ipq_u, jnp.take(pB_u, q16, axis=0))
-                    pq_v = jnp.where(selq, ipq_v, jnp.take(pB_v, q16, axis=0))
-                    lq_y, rq_y = tq(sq_y - pq_y, qp_y, 4)
-                    lq_cb, rq_u = tq(sq_u - pq_u, qp_c, 3)
-                    lq_cr, rq_v = tq(sq_v - pq_v, qp_c, 3)
-                    rec_qy = jnp.clip(pq_y + rq_y, 0, maxv)
-                    rec_qu = jnp.clip(pq_u + rq_u, 0, maxv)
-                    rec_qv = jnp.clip(pq_v + rq_v, 0, maxv)
-                    tile_y = tile_y.at[:, y0:y0 + h, x0:x0 + h].set(rec_qy)
-                    tile_u = tile_u.at[:, yc0:yc0 + hc, xc0:xc0 + hc].set(rec_qu)
-                    tile_v = tile_v.at[:, yc0:yc0 + hc, xc0:xc0 + hc].set(rec_qv)
-                    lvB_y = lvB_y.at[:, y0:y0 + h, x0:x0 + h].set(lq_y)
-                    lvB_cb = lvB_cb.at[:, yc0:yc0 + hc, xc0:xc0 + hc].set(lq_cb)
-                    lvB_cr = lvB_cr.at[:, yc0:yc0 + hc, xc0:xc0 + hc].set(lq_cr)
-                    ui16.append(uiq)
-                    im16.append(imq)
-                    bitsB = (bitsB + quant.est_tu_bits(lq_y, xp=jnp)
-                             + quant.est_tu_bits(lq_cb, xp=jnp)
-                             + quant.est_tu_bits(lq_cr, xp=jnp)
-                             + jnp.where(uiq, MODE_BITS,
-                                         jnp.take(mvbits16, q16)))
+                    pred_y = jnp.where(selq, ip_y, jnp.take(p_y, blk_idx,
+                                                            axis=0))
+                    vu, au = block_v(tu, *nb_u, *flags, yc, xc, hc2)
+                    _, _, ip_u = intra_block(vu, au, su, qp_c,
+                                             hc2.bit_length() - 1, False, imq)
+                    vv, av_ = block_v(tv, *nb_v, *flags, yc, xc, hc2)
+                    _, _, ip_v = intra_block(vv, av_, sv, qp_c,
+                                             hc2.bit_length() - 1, False, imq)
+                    pred_u = jnp.where(selq, ip_u, jnp.take(p_u, blk_idx,
+                                                            axis=0))
+                    pred_v = jnp.where(selq, ip_v, jnp.take(p_v, blk_idx,
+                                                            axis=0))
+                    lvq_y, rr_y = tq(sy - pred_y, qp_y, nn.bit_length() - 1)
+                    lvq_cb, rr_u = tq(su - pred_u, qp_c,
+                                      hc2.bit_length() - 1)
+                    lvq_cr, rr_v = tq(sv - pred_v, qp_c,
+                                      hc2.bit_length() - 1)
+                    rec_y = jnp.clip(pred_y + rr_y, 0, maxv)
+                    rec_u = jnp.clip(pred_u + rr_u, 0, maxv)
+                    rec_v = jnp.clip(pred_v + rr_v, 0, maxv)
+                    dist = ssd(sy, rec_y) + ssd(su, rec_u) + ssd(sv, rec_v)
+                    bits = (quant.est_tu_bits(lvq_y, xp=jnp)
+                            + quant.est_tu_bits(lvq_cb, xp=jnp)
+                            + quant.est_tu_bits(lvq_cr, xp=jnp)
+                            + jnp.where(uiq, MODE_BITS,
+                                        jnp.take(mvbits, blk_idx)))
+                    return (uiq, imq, lvq_y, rec_y, lvq_cb, rec_u,
+                            lvq_cr, rec_v, dist, bits)
+
+                def put(tiles, lvs, y0, x0, nn, rec3, lv3):
+                    ty, tu, tv = tiles
+                    ly, lcb, lcr = lvs
+                    yc, xc = y0 // 2, x0 // 2
+                    hc2 = nn // 2
+                    return ((ty.at[:, y0:y0 + nn, x0:x0 + nn].set(rec3[0]),
+                             tu.at[:, yc:yc + hc2, xc:xc + hc2].set(rec3[1]),
+                             tv.at[:, yc:yc + hc2, xc:xc + hc2].set(rec3[2])),
+                            (ly.at[:, y0:y0 + nn, x0:x0 + nn].set(lv3[0]),
+                             lcb.at[:, yc:yc + hc2, xc:xc + hc2].set(lv3[1]),
+                             lcr.at[:, yc:yc + hc2, xc:xc + hc2].set(lv3[2])))
+
+                zt = (jnp.zeros((S, n, n), jnp.int32),
+                      jnp.zeros((S, nc, nc), jnp.int32),
+                      jnp.zeros((S, nc, nc), jnp.int32))
+
+                # ---- variant A: one 32 CU ----
+                (uiA, imA, lvA_y, recA_y, lvA_cb, recA_u, lvA_cr, recA_v,
+                 distA, bitsA) = code_at(zt, 0, 0, n, cu_s)
+                bitsA = bitsA + 1.0
+
+                # ---- variant B: quadrants ----
+                tiles, lvs = zt, zt
+                ui16, im16, split16, ui8, im8 = [], [], [], [], []
+                distB = jnp.zeros((S,), jnp.float32)
+                bitsB = jnp.zeros((S,), jnp.float32)
+                for q, (qy, qx) in enumerate(QOFF):
+                    y0, x0 = qy * h, qx * h
+                    i16 = jnp.take(MAP16[:, q], cu_s)
+                    (u16, m16, l16y, r16y, l16cb, r16u, l16cr, r16v,
+                     d16, b16) = code_at(tiles, y0, x0, h, i16)
+                    ui16.append(u16)
+                    im16.append(m16)
+                    if not depth2:
+                        tiles, lvs = put(tiles, lvs, y0, x0, h,
+                                         (r16y, r16u, r16v),
+                                         (l16y, l16cb, l16cr))
+                        distB = distB + d16
+                        bitsB = bitsB + b16
+                        continue
+                    t8, lv8 = tiles, lvs
+                    u8q, m8q = [], []
+                    d8 = jnp.zeros((S,), jnp.float32)
+                    b8 = jnp.zeros((S,), jnp.float32)
+                    for sq, (sy_, sx_) in enumerate(QOFF):
+                        yy, xx = y0 + 8 * sy_, x0 + 8 * sx_
+                        i8 = jnp.take(MAP8[:, q, sq], cu_s)
+                        (u8, m8, l8y, r8y, l8cb, r8u, l8cr, r8v,
+                         dd, bb) = code_at(t8, yy, xx, 8, i8)
+                        t8, lv8 = put(t8, lv8, yy, xx, 8,
+                                      (r8y, r8u, r8v), (l8y, l8cb, l8cr))
+                        u8q.append(u8)
+                        m8q.append(m8)
+                        d8 = d8 + dd
+                        b8 = b8 + bb
+                    sp16 = (d8 + lam2 * (b8 + 1.0)) < (d16 + lam2 * (b16 + 1.0))
+                    sel = sp16[:, None, None]
+                    rec_sel = tuple(
+                        jnp.where(sel, t8[i][:, a:a + k, b:b + k],
+                                  (r16y, r16u, r16v)[i])
+                        for i, (a, b, k) in enumerate(
+                            ((y0, x0, h), (y0 // 2, x0 // 2, 8),
+                             (y0 // 2, x0 // 2, 8))))
+                    lv_sel = tuple(
+                        jnp.where(sel, lv8[i][:, a:a + k, b:b + k],
+                                  (l16y, l16cb, l16cr)[i])
+                        for i, (a, b, k) in enumerate(
+                            ((y0, x0, h), (y0 // 2, x0 // 2, 8),
+                             (y0 // 2, x0 // 2, 8))))
+                    tiles, lvs = put(tiles, lvs, y0, x0, h, rec_sel, lv_sel)
+                    split16.append(sp16)
+                    ui8.append(jnp.stack(u8q, 1))
+                    im8.append(jnp.stack(m8q, 1))
+                    distB = distB + jnp.where(sp16, d8, d16)
+                    bitsB = bitsB + jnp.where(sp16, b8 + 1.0, b16 + 1.0)
+
                 bitsB = bitsB + 1.0
-
-                # ===== RD selection =====
-                def ssd(a, b):
-                    d = (a - b).astype(jnp.float32)
-                    return jnp.sum(d * d, axis=(-2, -1))
-
-                distA = (ssd(src_y, recA_y) + ssd(src_u, recA_u)
-                         + ssd(src_v, recA_v))
-                distB = (ssd(src_y, tile_y) + ssd(src_u, tile_u)
-                         + ssd(src_v, tile_v))
-                lam2 = 0.85 * jnp.exp2((qp_sig.astype(jnp.float32) - 12.0) / 3.0)
                 split = (distB + lam2 * bitsB) < (distA + lam2 * bitsA)
 
                 sel = split[:, None, None]
-                rec_y = jnp.where(sel, tile_y, recA_y)
-                rec_u = jnp.where(sel, tile_u, recA_u)
-                rec_v = jnp.where(sel, tile_v, recA_v)
-                lv_y = jnp.where(sel, lvB_y, lvA_y)
-                lv_cb = jnp.where(sel, lvB_cb, lvA_cb)
-                lv_cr = jnp.where(sel, lvB_cr, lvA_cr)
+                rec_y = jnp.where(sel, tiles[0], recA_y)
+                rec_u = jnp.where(sel, tiles[1], recA_u)
+                rec_v = jnp.where(sel, tiles[2], recA_v)
+                lv_y = jnp.where(sel, lvs[0], lvA_y)
+                lv_cb = jnp.where(sel, lvs[1], lvA_cb)
+                lv_cr = jnp.where(sel, lvs[2], lvA_cr)
 
                 bry = bry.at[cu_s].set(rec_y[:, n - 1, :], mode="drop")
                 rcy = rcy.at[cu_s].set(rec_y[:, :, n - 1], mode="drop")
@@ -870,10 +830,14 @@ class InterFrameEncoder:
                 brv = brv.at[cu_s].set(rec_v[:, nc - 1, :], mode="drop")
                 rcv = rcv.at[cu_s].set(rec_v[:, :, nc - 1], mode="drop")
 
-                ys = (cu_s, split, use_intraA, imodeA,
+                ys = [cu_s, split, uiA, imA,
                       jnp.stack(ui16, 1), jnp.stack(im16, 1),
-                      lv_y, lv_cb, lv_cr, rec_y, rec_u, rec_v)
-                return (bry, rcy, bru, rcu_, brv, rcv), ys
+                      lv_y, lv_cb, lv_cr, rec_y, rec_u, rec_v]
+                if depth2:
+                    ys.insert(6, jnp.stack(split16, 1))       # [S, 4]
+                    ys.insert(7, jnp.stack(ui8, 1))           # [S, 4, 4]
+                    ys.insert(8, jnp.stack(im8, 1))           # [S, 4, 4]
+                return (bry, rcy, bru, rcu_, brv, rcv), tuple(ys)
             return step
 
         def encode(y, u, v, ref_y, ref_u, ref_v, *rest):
@@ -900,35 +864,43 @@ class InterFrameEncoder:
                          ref1_v.astype(jnp.int32))
             qp_max = jnp.max(qp_sig) if qp_sig.ndim else qp_sig
 
-            yb32 = to_blocks(y32, n)
-            yb16 = to_blocks(y32, h)
-            (pdirA, mvA0x, mvA0y, mvA1x, mvA1y, pA, satd32,
-             mvbits32) = decide_motion(yb32, refs, refs1, PX32, PY32, n,
-                                       qp_max)
-            (pdirB, mvB0x, mvB0y, mvB1x, mvB1y, pB, satd16,
-             mvbits16) = decide_motion(yb16, refs, refs1, PX16, PY16, h,
-                                       qp_max)
+            sizes = [(n, PX32, PY32), (h, PX16, PY16)]
+            if depth2:
+                sizes.append((8, PX8, PY8))
+            dense = {}
+            for nn, px, py in sizes:
+                yb = to_blocks(y32, nn)
+                dense[nn] = decide_motion(yb, refs, refs1, px, py, nn, qp_max)
 
             def padded(a, shape):
                 return jnp.concatenate([a, jnp.zeros((1,) + shape, a.dtype)], 0)
 
-            srcs = (padded(yb32, (n, n)),
+            def pad1(a):
+                return jnp.concatenate([a, jnp.zeros((1,), a.dtype)])
+
+            ipreds = {}
+            for nn, _, _ in sizes:
+                (_, _, _, _, _, pred, satd, mvbits) = dense[nn]
+                ipreds[nn] = (padded(pred[0], (nn, nn)),
+                              padded(pred[1], (nn // 2, nn // 2)),
+                              padded(pred[2], (nn // 2, nn // 2)),
+                              pad1(satd), pad1(mvbits))
+
+            srcs = (padded(to_blocks(y32, n), (n, n)),
                     padded(to_blocks(u32, nc), (nc, nc)),
                     padded(to_blocks(v32, nc), (nc, nc)))
-            predsA = (padded(pA[0], (n, n)), padded(pA[1], (nc, nc)),
-                      padded(pA[2], (nc, nc)))
-            predsB = (padded(pB[0], (h, h)), padded(pB[1], (hc, hc)),
-                      padded(pB[2], (hc, hc)))
-            pad1 = lambda a: jnp.concatenate([a, jnp.zeros((1,), a.dtype)])
-            step = make_step(srcs, predsA, predsB, pad1(satd32), pad1(satd16),
-                             pad1(mvbits32), pad1(mvbits16),
-                             qp_y_pad, qp_c_pad, qp_sig_pad)
+            step = make_step(srcs, ipreds, qp_y_pad, qp_c_pad, qp_sig_pad)
             z0 = y.reshape(-1)[0].astype(jnp.int32) * 0
             init = tuple(jnp.full((ncu + 1, k), fill, jnp.int32) + z0
                          for k in (n, n, nc, nc, nc, nc))
             _, ys = jax.lax.scan(step, init, (rc_all, valid_all))
-            (cu_s, split_s, uiA_s, imA_s, ui16_s, im16_s,
-             lv_y_s, lv_cb_s, lv_cr_s, rec_y_s, rec_u_s, rec_v_s) = ys
+            if depth2:
+                (cu_s, split_s, uiA_s, imA_s, ui16_s, im16_s, split16_s,
+                 ui8_s, im8_s, lv_y_s, lv_cb_s, lv_cr_s,
+                 rec_y_s, rec_u_s, rec_v_s) = ys
+            else:
+                (cu_s, split_s, uiA_s, imA_s, ui16_s, im16_s,
+                 lv_y_s, lv_cb_s, lv_cr_s, rec_y_s, rec_u_s, rec_v_s) = ys
             flat_cu = cu_s.reshape(-1)
 
             def collect(x, shape, dtype=None):
@@ -950,9 +922,8 @@ class InterFrameEncoder:
             rec_u = collect(rec_u_s, (nc, nc))
             rec_v = collect(rec_v_s, (nc, nc))
 
-            # quadrant-ordered 16-grid fields (CTU-major, z-order)
-            q16 = MAP16[:ncu]                         # [ncu, 4]
-            gq = lambda a: jnp.take(a, q16.reshape(-1), axis=0)
+            q16 = MAP16[:ncu]
+            gq16 = lambda a: jnp.take(a, q16.reshape(-1), axis=0)
             recon8 = jnp.concatenate([
                 from_blocks(rec_y, n, H, W).reshape(-1),
                 from_blocks(rec_u, nc, H // 2, W // 2).reshape(-1),
@@ -960,13 +931,30 @@ class InterFrameEncoder:
             ]).astype(jnp.uint8)
             head_parts = [split, uiA, imA.astype(jnp.uint8),
                           ui16.reshape(-1), im16.astype(jnp.uint8).reshape(-1)]
+            (pdirA, mvA0x, mvA0y, mvA1x, mvA1y, _, _, _) = dense[n]
+            (pdirB, mvB0x, mvB0y, mvB1x, mvB1y, _, _, _) = dense[h]
+            if depth2:
+                split16 = collect(split16_s, (4,), jnp.uint8)
+                ui8 = collect(ui8_s, (4, 4), jnp.uint8)
+                im8 = collect(im8_s, (4, 4))
+                head_parts += [split16.reshape(-1), ui8.reshape(-1),
+                               im8.astype(jnp.uint8).reshape(-1)]
+                q8 = MAP8[:ncu]
+                gq8 = lambda a: jnp.take(a, q8.reshape(-1), axis=0)
+                (pdirC, mvC0x, mvC0y, mvC1x, mvC1y, _, _, _) = dense[8]
             if cfg.bi:
                 head_parts += [pdirA.astype(jnp.uint8),
-                               gq(pdirB).astype(jnp.uint8)]
+                               gq16(pdirB).astype(jnp.uint8)]
+                if depth2:
+                    head_parts.append(gq8(pdirC).astype(jnp.uint8))
             head8 = jnp.concatenate(head_parts)
-            mv_parts = [mvA0x, mvA0y, gq(mvB0x), gq(mvB0y)]
+            mv_parts = [mvA0x, mvA0y, gq16(mvB0x), gq16(mvB0y)]
+            if depth2:
+                mv_parts += [gq8(mvC0x), gq8(mvC0y)]
             if cfg.bi:
-                mv_parts += [mvA1x, mvA1y, gq(mvB1x), gq(mvB1y)]
+                mv_parts += [mvA1x, mvA1y, gq16(mvB1x), gq16(mvB1y)]
+                if depth2:
+                    mv_parts += [gq8(mvC1x), gq8(mvC1y)]
             mv16_cat = jnp.concatenate([m.astype(jnp.int16) for m in mv_parts])
             mv8 = jax.lax.bitcast_convert_type(mv16_cat, jnp.uint8).reshape(-1)
             levels16 = jnp.concatenate([
@@ -976,7 +964,6 @@ class InterFrameEncoder:
             return jnp.concatenate([recon8, head8, mv8, levels8])
 
         return encode
-
     # ------------------------------------------------------------------
     def _unpack_qt(self, buf: np.ndarray) -> dict:
         cfg = self.cfg
@@ -993,30 +980,59 @@ class InterFrameEncoder:
         modes = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
         ui4 = buf[o:o + 4 * ncu].astype(bool).reshape(rows, cols, 4); o += 4 * ncu
         m4 = buf[o:o + 4 * ncu].astype(np.int32).reshape(rows, cols, 4); o += 4 * ncu
-        pdir = pdir4 = None
+        depth2 = cfg.max_depth >= 2
+        split16 = ui8 = m8 = None
+        if depth2:
+            split16 = buf[o:o + 4 * ncu].astype(bool).reshape(rows, cols, 4)
+            o += 4 * ncu
+            ui8 = buf[o:o + 16 * ncu].astype(bool).reshape(rows, cols, 4, 4)
+            o += 16 * ncu
+            m8 = buf[o:o + 16 * ncu].astype(np.int32).reshape(rows, cols, 4, 4)
+            o += 16 * ncu
+        pdir = pdir4 = pdir8 = None
         if cfg.bi:
             pdir = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
             pdir4 = buf[o:o + 4 * ncu].astype(np.int32).reshape(rows, cols, 4)
             o += 4 * ncu
-        nmv_units = 20 * ncu if cfg.bi else 10 * ncu
+            if depth2:
+                pdir8 = (buf[o:o + 16 * ncu].astype(np.int32)
+                         .reshape(rows, cols, 4, 4))
+                o += 16 * ncu
+        per_list = 10 * ncu + (32 * ncu if depth2 else 0)
+        nmv_units = per_list * (2 if cfg.bi else 1)
         mv = buf[o:o + 2 * nmv_units].view(np.int16); o += 2 * nmv_units
-        mvx = mv[:ncu].astype(np.int32).reshape(rows, cols)
-        mvy = mv[ncu:2 * ncu].astype(np.int32).reshape(rows, cols)
-        mv4x = mv[2 * ncu:6 * ncu].astype(np.int32).reshape(rows, cols, 4)
-        mv4y = mv[6 * ncu:10 * ncu].astype(np.int32).reshape(rows, cols, 4)
+        k = 0
+        def take(count, shape):
+            nonlocal k
+            a = mv[k:k + count].astype(np.int32).reshape(shape)
+            k += count
+            return a
+        mvx = take(ncu, (rows, cols))
+        mvy = take(ncu, (rows, cols))
+        mv4x = take(4 * ncu, (rows, cols, 4))
+        mv4y = take(4 * ncu, (rows, cols, 4))
+        mv8x = mv8y = mv81x = mv81y = None
+        if depth2:
+            mv8x = take(16 * ncu, (rows, cols, 4, 4))
+            mv8y = take(16 * ncu, (rows, cols, 4, 4))
         mv1x = mv1y = mv41x = mv41y = None
         if cfg.bi:
-            mv1x = mv[10 * ncu:11 * ncu].astype(np.int32).reshape(rows, cols)
-            mv1y = mv[11 * ncu:12 * ncu].astype(np.int32).reshape(rows, cols)
-            mv41x = mv[12 * ncu:16 * ncu].astype(np.int32).reshape(rows, cols, 4)
-            mv41y = mv[16 * ncu:20 * ncu].astype(np.int32).reshape(rows, cols, 4)
+            mv1x = take(ncu, (rows, cols))
+            mv1y = take(ncu, (rows, cols))
+            mv41x = take(4 * ncu, (rows, cols, 4))
+            mv41y = take(4 * ncu, (rows, cols, 4))
+            if depth2:
+                mv81x = take(16 * ncu, (rows, cols, 4, 4))
+                mv81y = take(16 * ncu, (rows, cols, 4, 4))
         lv = buf[o:].view(np.int16)
         sy, sc = ncu * n * n, ncu * nc * nc
         return {
             "split": split,
             "use_intra": use_intra, "modes": modes, "mvx": mvx, "mvy": mvy,
             "use_intra4": ui4, "modes4": m4, "mv4x": mv4x, "mv4y": mv4y,
-            "pdir": pdir, "pdir4": pdir4,
+            "split16": split16, "use_intra8": ui8, "modes8": m8,
+            "mv8x": mv8x, "mv8y": mv8y, "mv81x": mv81x, "mv81y": mv81y,
+            "pdir": pdir, "pdir4": pdir4, "pdir8": pdir8,
             "mv1x": mv1x, "mv1y": mv1y, "mv41x": mv41x, "mv41y": mv41y,
             "levels_y": lv[:sy].astype(np.int32).reshape(rows, cols, n, n),
             "levels_cb": lv[sy:sy + sc].astype(np.int32).reshape(rows, cols, nc, nc),

@@ -345,21 +345,20 @@ class IntraFrameEncoder:
 
     # ------------------------------------------------------------------
     def _build_qt(self, with_recon: bool = True):
-        """CTU32 wavefront with an in-scan depth-1 quadtree RD decision.
+        """CTU32 wavefront with an in-scan quadtree RD decision (depth 1 or
+        2: CUs of 32/16 or 32/16/8).
 
-        Each scan step evaluates BOTH coding variants for every CTU on the
-        diagonal — (A) one 32x32 CU, (B) four 16x16 CUs in z-order with
-        exact intra reference propagation through a CTU-local recon tile —
-        then picks per CTU by SSE + lambda2 * estimated bits. This is the
-        TPU formulation of the reference's recursive compressIntraCU
-        (analysis.cpp:514): candidate depths are evaluated as dense batches
-        instead of a depth-first walk.
+        Each scan step evaluates the coding variants for every CTU on the
+        diagonal with exact intra reference propagation through a CTU-local
+        recon tile (qt_common.block_v handles any sub-block position with
+        z-order availability), then picks splits bottom-up by SSE +
+        lambda2 * estimated bits — the TPU formulation of the reference's
+        recursive compressIntraCU (analysis.cpp:514).
         """
+        from .qt_common import block_v, QOFF
         cfg = self.cfg
         n = cfg.cu_size            # 32
-        nc = n // 2                # 16 (chroma tile)
-        h = n // 2                 # 16 (luma sub-CU)
-        hc = nc // 2               # 8  (chroma sub-CU)
+        nc = n // 2                # 16 chroma tile
         rows, cols = cfg.rows, cfg.cols
         W, H = cfg.width, cfg.height
         bd = cfg.bit_depth
@@ -369,7 +368,8 @@ class IntraFrameEncoder:
         valid_all = self._valid
         S = self.num_slots
         fill = 1 << (bd - 1)
-        MODE_BITS = 7.0            # approx mode+part+cbf syntax per CU
+        MODE_BITS = 7.0
+        depth2 = cfg.max_depth >= 2
 
         def to_blocks(plane, nn):
             hh, ww = plane.shape
@@ -405,64 +405,9 @@ class IntraFrameEncoder:
             recon = jnp.clip(pred + rr, 0, maxv)
             return modes, levels, recon
 
-        def seg(arr, lo, hi, rev=False):
-            s = arr[:, lo:hi]
-            return s[:, ::-1] if rev else s
-
-        def assemble_v(parts, nn):
-            """parts: list of (tensor [S, k] or [S] scalar, avail [S] bool).
-            Returns (v [S, 4nn+1], av [S, 4nn+1])."""
-            vs, avs = [], []
-            for t, a in parts:
-                if t.ndim == 1:
-                    t = t[:, None]
-                k = t.shape[1]
-                vs.append(t)
-                avs.append(jnp.broadcast_to(a[:, None], (S, k)))
-            return jnp.concatenate(vs, axis=1), jnp.concatenate(avs, axis=1)
-
-        # quadrant geometry (z-order): (y0, x0) in luma pixels
-        QOFF = ((0, 0), (0, 1), (1, 0), (1, 1))
-
-        def quad_v(q, tile, left_rc, top_br, tr_br, tl_br, al, at, atr, atl,
-                   nn):
-            """Reference vector for sub-CU q of size nn (16 luma / 8 chroma).
-            tile: local recon [S, 2nn, 2nn]; *_rc/_br: neighbor CTU columns/
-            rows [S, 2nn]; a*: availability flags [S]."""
-            F = jnp.ones((S,), bool)
-            NO = jnp.zeros((S,), bool)
-            zs = jnp.zeros((S, nn), jnp.int32)
-            if q == 0:
-                return assemble_v([
-                    (seg(left_rc, nn, 2 * nn, rev=True), al),   # below-left
-                    (seg(left_rc, 0, nn, rev=True), al),        # left
-                    (tl_br[:, 2 * nn - 1], atl),                # corner
-                    (seg(top_br, 0, nn), at),                   # top
-                    (seg(top_br, nn, 2 * nn), at),              # top-right
-                ], nn)
-            if q == 1:
-                return assemble_v([
-                    (zs, NO),
-                    (tile[:, 0:nn, nn - 1][:, ::-1], F),
-                    (top_br[:, nn - 1], at),
-                    (seg(top_br, nn, 2 * nn), at),
-                    (seg(tr_br, 0, nn), atr),
-                ], nn)
-            if q == 2:
-                return assemble_v([
-                    (zs, NO),
-                    (seg(left_rc, nn, 2 * nn, rev=True), al),
-                    (left_rc[:, nn - 1], al),
-                    (tile[:, nn - 1, 0:nn], F),
-                    (tile[:, nn - 1, nn:2 * nn], F),
-                ], nn)
-            return assemble_v([
-                (zs, NO),
-                (tile[:, nn:2 * nn, nn - 1][:, ::-1], F),
-                (tile[:, nn - 1, nn - 1], F),
-                (tile[:, nn - 1, nn:2 * nn], F),
-                (zs, NO),
-            ], nn)
+        def ssd(a, b):
+            d = (a - b).astype(jnp.float32)
+            return jnp.sum(d * d, axis=(-2, -1))
 
         def make_step(src_y_blocks, src_u_blocks, src_v_blocks,
                       qp_y_map, qp_c_map, qp_sig_map):
@@ -477,7 +422,6 @@ class IntraFrameEncoder:
                 at = (r > 0) & valid
                 atr = ((r > 0) & (c < cols - 1)) & valid
                 atl = ((r > 0) & (c > 0)) & valid
-                avail = (al, at, atr, atl)
                 pad = ncu
                 gl = jnp.where(al, cu - 1, pad)
                 gt = jnp.where(at, cu - cols, pad)
@@ -490,94 +434,132 @@ class IntraFrameEncoder:
                 qp_y = jnp.take(qp_y_map, cu_s, axis=0)
                 qp_c = jnp.take(qp_c_map, cu_s, axis=0)
                 qp_sig = jnp.take(qp_sig_map, cu_s, axis=0)
+                lam2 = 0.85 * jnp.exp2((qp_sig.astype(jnp.float32) - 12.0)
+                                       / 3.0)
+
+                nb_y = (jnp.take(rcy, gl, axis=0), jnp.take(bry, gt, axis=0),
+                        jnp.take(bry, gtr, axis=0), jnp.take(bry, gtl, axis=0))
+                nb_u = (jnp.take(rcu_, gl, axis=0), jnp.take(bru, gt, axis=0),
+                        jnp.take(bru, gtr, axis=0), jnp.take(bru, gtl, axis=0))
+                nb_v = (jnp.take(rcv, gl, axis=0), jnp.take(brv, gt, axis=0),
+                        jnp.take(brv, gtr, axis=0), jnp.take(brv, gtl, axis=0))
+                flags = (al, at, atr, atl)
+
+                def code_at(tiles, y0, x0, nn, modes=None):
+                    """Encode one CU (luma nn + chroma nn/2 at y0/2, x0/2)
+                    against the current tiles. Returns (mode, lv_y, rec_y,
+                    lv_cb, rec_u, lv_cr, rec_v, dist, bits)."""
+                    ty, tu, tv = tiles
+                    vy, ay = block_v(ty, *nb_y, *flags, y0, x0, nn)
+                    sy = src_y[:, y0:y0 + nn, x0:x0 + nn]
+                    m, lv_y, rec_y = encode_block(vy, ay, sy, qp_y,
+                                                  nn.bit_length() - 1, True,
+                                                  modes)
+                    hc2 = nn // 2
+                    yc, xc = y0 // 2, x0 // 2
+                    vu, au = block_v(tu, *nb_u, *flags, yc, xc, hc2)
+                    su = src_u[:, yc:yc + hc2, xc:xc + hc2]
+                    _, lv_cb, rec_u = encode_block(vu, au, su, qp_c,
+                                                   hc2.bit_length() - 1,
+                                                   False, m)
+                    vv, av_ = block_v(tv, *nb_v, *flags, yc, xc, hc2)
+                    sv = src_v[:, yc:yc + hc2, xc:xc + hc2]
+                    _, lv_cr, rec_v = encode_block(vv, av_, sv, qp_c,
+                                                   hc2.bit_length() - 1,
+                                                   False, m)
+                    dist = ssd(sy, rec_y) + ssd(su, rec_u) + ssd(sv, rec_v)
+                    bits = (quant.est_tu_bits(lv_y, xp=jnp)
+                            + quant.est_tu_bits(lv_cb, xp=jnp)
+                            + quant.est_tu_bits(lv_cr, xp=jnp) + MODE_BITS)
+                    return m, lv_y, rec_y, lv_cb, rec_u, lv_cr, rec_v, \
+                        dist, bits
+
+                def put(tiles, lvs, y0, x0, nn, rec3, lv3):
+                    ty, tu, tv = tiles
+                    ly, lcb, lcr = lvs
+                    yc, xc = y0 // 2, x0 // 2
+                    hc2 = nn // 2
+                    return ((ty.at[:, y0:y0 + nn, x0:x0 + nn].set(rec3[0]),
+                             tu.at[:, yc:yc + hc2, xc:xc + hc2].set(rec3[1]),
+                             tv.at[:, yc:yc + hc2, xc:xc + hc2].set(rec3[2])),
+                            (ly.at[:, y0:y0 + nn, x0:x0 + nn].set(lv3[0]),
+                             lcb.at[:, yc:yc + hc2, xc:xc + hc2].set(lv3[1]),
+                             lcr.at[:, yc:yc + hc2, xc:xc + hc2].set(lv3[2])))
+
+                zt = (jnp.zeros((S, n, n), jnp.int32),
+                      jnp.zeros((S, nc, nc), jnp.int32),
+                      jnp.zeros((S, nc, nc), jnp.int32))
 
                 # ---- variant A: one 32x32 CU ----
-                def build_v32(botrow, rightcol, nn):
-                    left_rc = jnp.take(rightcol, gl, axis=0)
-                    top_br = jnp.take(botrow, gt, axis=0)
-                    tr_br = jnp.take(botrow, gtr, axis=0)
-                    tl_br = jnp.take(botrow, gtl, axis=0)
-                    return assemble_v([
-                        (jnp.broadcast_to(left_rc[:, nn - 1:nn], (S, nn)),
-                         jnp.zeros((S,), bool)),
-                        (left_rc[:, ::-1], al),
-                        (tl_br[:, nn - 1], atl),
-                        (top_br, at),
-                        (tr_br, atr),
-                    ], nn), (left_rc, top_br, tr_br, tl_br)
+                (modeA, lvA_y, recA_y, lvA_cb, recA_u, lvA_cr, recA_v,
+                 distA, bitsA) = code_at(zt, 0, 0, n)
+                bitsA = bitsA + 1.0
 
-                (vA, avA), (lrc_y, tbr_y, trbr_y, tlbr_y) = build_v32(bry, rcy, n)
-                modeA, lvA_y, recA_y = encode_block(vA, avA, src_y, qp_y, 5, True)
-                (vAu, avAu), (lrc_u, tbr_u, trbr_u, tlbr_u) = build_v32(bru, rcu_, nc)
-                _, lvA_cb, recA_u = encode_block(vAu, avAu, src_u, qp_c, 4,
-                                                 False, modeA)
-                (vAv, avAv), (lrc_v, tbr_v, trbr_v, tlbr_v) = build_v32(brv, rcv, nc)
-                _, lvA_cr, recA_v = encode_block(vAv, avAv, src_v, qp_c, 4,
-                                                 False, modeA)
-
-                # ---- variant B: four 16x16 CUs in z-order ----
-                tile_y = jnp.zeros((S, n, n), jnp.int32)
-                tile_u = jnp.zeros((S, nc, nc), jnp.int32)
-                tile_v = jnp.zeros((S, nc, nc), jnp.int32)
-                lvB_y = jnp.zeros((S, n, n), jnp.int32)
-                lvB_cb = jnp.zeros((S, nc, nc), jnp.int32)
-                lvB_cr = jnp.zeros((S, nc, nc), jnp.int32)
-                modesB = []
-                bitsB_lv = jnp.zeros((S,), jnp.float32)
+                # ---- variant B: quadrants (16 or, at depth 2, 16-vs-4x8) --
+                tiles = zt
+                lvs = zt
+                modes16 = []
+                split16 = []
+                modes8 = []
+                distB = jnp.zeros((S,), jnp.float32)
+                bitsB = jnp.zeros((S,), jnp.float32)
                 for q, (qy, qx) in enumerate(QOFF):
-                    y0, x0 = qy * h, qx * h
-                    vq, avq = quad_v(q, tile_y, lrc_y, tbr_y, trbr_y, tlbr_y,
-                                     al, at, atr, atl, h)
-                    mq, lq, rq = encode_block(
-                        vq, avq, src_y[:, y0:y0 + h, x0:x0 + h], qp_y, 4, True)
-                    modesB.append(mq)
-                    tile_y = tile_y.at[:, y0:y0 + h, x0:x0 + h].set(rq)
-                    lvB_y = lvB_y.at[:, y0:y0 + h, x0:x0 + h].set(lq)
-                    bitsB_lv = bitsB_lv + quant.est_tu_bits(lq, xp=jnp)
-                    # chroma sub-CU (DM mode)
-                    yc0, xc0 = qy * hc, qx * hc
-                    vqu, avqu = quad_v(q, tile_u, lrc_u, tbr_u, trbr_u, tlbr_u,
-                                       al, at, atr, atl, hc)
-                    _, lqu, rqu = encode_block(
-                        vqu, avqu, src_u[:, yc0:yc0 + hc, xc0:xc0 + hc],
-                        qp_c, 3, False, mq)
-                    tile_u = tile_u.at[:, yc0:yc0 + hc, xc0:xc0 + hc].set(rqu)
-                    lvB_cb = lvB_cb.at[:, yc0:yc0 + hc, xc0:xc0 + hc].set(lqu)
-                    vqv, avqv = quad_v(q, tile_v, lrc_v, tbr_v, trbr_v, tlbr_v,
-                                       al, at, atr, atl, hc)
-                    _, lqv, rqv = encode_block(
-                        vqv, avqv, src_v[:, yc0:yc0 + hc, xc0:xc0 + hc],
-                        qp_c, 3, False, mq)
-                    tile_v = tile_v.at[:, yc0:yc0 + hc, xc0:xc0 + hc].set(rqv)
-                    lvB_cr = lvB_cr.at[:, yc0:yc0 + hc, xc0:xc0 + hc].set(lqv)
-                    bitsB_lv = (bitsB_lv + quant.est_tu_bits(lqu, xp=jnp)
-                                + quant.est_tu_bits(lqv, xp=jnp))
+                    y0, x0 = qy * 16, qx * 16
+                    (m16, l16y, r16y, l16cb, r16u, l16cr, r16v,
+                     d16, b16) = code_at(tiles, y0, x0, 16)
+                    if not depth2:
+                        modes16.append(m16)
+                        tiles, lvs = put(tiles, lvs, y0, x0, 16,
+                                         (r16y, r16u, r16v),
+                                         (l16y, l16cb, l16cr))
+                        distB = distB + d16
+                        bitsB = bitsB + b16
+                        continue
+                    # depth-2: four 8x8 sub-CUs on a scratch copy
+                    t8, lv8 = tiles, lvs
+                    m8q = []
+                    d8 = jnp.zeros((S,), jnp.float32)
+                    b8 = jnp.zeros((S,), jnp.float32)
+                    for sq, (sy_, sx_) in enumerate(QOFF):
+                        yy, xx = y0 + 8 * sy_, x0 + 8 * sx_
+                        (m8, l8y, r8y, l8cb, r8u, l8cr, r8v,
+                         dd, bb) = code_at(t8, yy, xx, 8)
+                        t8, lv8 = put(t8, lv8, yy, xx, 8,
+                                      (r8y, r8u, r8v), (l8y, l8cb, l8cr))
+                        m8q.append(m8)
+                        d8 = d8 + dd
+                        b8 = b8 + bb
+                    sp16 = (d8 + lam2 * (b8 + 1.0)) < (d16 + lam2 * (b16 + 1.0))
+                    sel = sp16[:, None, None]
+                    rec_sel = tuple(
+                        jnp.where(sel, t8[i][:, a:a + k, b:b + k],
+                                  (r16y, r16u, r16v)[i])
+                        for i, (a, b, k) in enumerate(
+                            ((y0, x0, 16), (y0 // 2, x0 // 2, 8),
+                             (y0 // 2, x0 // 2, 8))))
+                    lv_sel = tuple(
+                        jnp.where(sel, lv8[i][:, a:a + k, b:b + k],
+                                  (l16y, l16cb, l16cr)[i])
+                        for i, (a, b, k) in enumerate(
+                            ((y0, x0, 16), (y0 // 2, x0 // 2, 8),
+                             (y0 // 2, x0 // 2, 8))))
+                    tiles, lvs = put(tiles, lvs, y0, x0, 16, rec_sel, lv_sel)
+                    split16.append(sp16)
+                    modes16.append(m16)
+                    modes8.append(jnp.stack(m8q, axis=1))      # [S, 4]
+                    distB = distB + jnp.where(sp16, d8, d16)
+                    bitsB = bitsB + jnp.where(sp16, b8 + 1.0, b16 + 1.0)
 
-                # ---- RD selection ----
-                def ssd(a, b):
-                    d = (a - b).astype(jnp.float32)
-                    return jnp.sum(d * d, axis=(-2, -1))
-
-                s32 = src_y.astype(jnp.int32)
-                su = src_u.astype(jnp.int32)
-                sv = src_v.astype(jnp.int32)
-                distA = ssd(s32, recA_y) + ssd(su, recA_u) + ssd(sv, recA_v)
-                distB = ssd(s32, tile_y) + ssd(su, tile_u) + ssd(sv, tile_v)
-                bitsA = (quant.est_tu_bits(lvA_y, xp=jnp)
-                         + quant.est_tu_bits(lvA_cb, xp=jnp)
-                         + quant.est_tu_bits(lvA_cr, xp=jnp)
-                         + MODE_BITS + 1.0)
-                bitsB = bitsB_lv + 4.0 * MODE_BITS + 1.0
-                lam2 = 0.85 * jnp.exp2((qp_sig.astype(jnp.float32) - 12.0) / 3.0)
+                bitsB = bitsB + 1.0
                 split = (distB + lam2 * bitsB) < (distA + lam2 * bitsA)
 
                 sel = split[:, None, None]
-                rec_y = jnp.where(sel, tile_y, recA_y)
-                rec_u = jnp.where(sel, tile_u, recA_u)
-                rec_v = jnp.where(sel, tile_v, recA_v)
-                lv_y = jnp.where(sel, lvB_y, lvA_y)
-                lv_cb = jnp.where(sel, lvB_cb, lvA_cb)
-                lv_cr = jnp.where(sel, lvB_cr, lvA_cr)
+                rec_y = jnp.where(sel, tiles[0], recA_y)
+                rec_u = jnp.where(sel, tiles[1], recA_u)
+                rec_v = jnp.where(sel, tiles[2], recA_v)
+                lv_y = jnp.where(sel, lvs[0], lvA_y)
+                lv_cb = jnp.where(sel, lvs[1], lvA_cb)
+                lv_cr = jnp.where(sel, lvs[2], lvA_cr)
 
                 bry = bry.at[cu_s].set(rec_y[:, n - 1, :], mode="drop")
                 rcy = rcy.at[cu_s].set(rec_y[:, :, n - 1], mode="drop")
@@ -586,10 +568,12 @@ class IntraFrameEncoder:
                 brv = brv.at[cu_s].set(rec_v[:, nc - 1, :], mode="drop")
                 rcv = rcv.at[cu_s].set(rec_v[:, :, nc - 1], mode="drop")
 
-                modes4 = jnp.stack(modesB, axis=1)      # [S, 4]
-                ys = (cu_s, split, modeA, modes4, lv_y, lv_cb, lv_cr,
-                      rec_y, rec_u, rec_v)
-                return (bry, rcy, bru, rcu_, brv, rcv), ys
+                ys = [cu_s, split, modeA, jnp.stack(modes16, axis=1),
+                      lv_y, lv_cb, lv_cr, rec_y, rec_u, rec_v]
+                if depth2:
+                    ys.insert(4, jnp.stack(split16, axis=1))   # [S, 4]
+                    ys.insert(5, jnp.stack(modes8, axis=1))    # [S, 4, 4]
+                return (bry, rcy, bru, rcu_, brv, rcv), tuple(ys)
             return step
 
         def encode(y, u, v, qp):
@@ -608,8 +592,12 @@ class IntraFrameEncoder:
             init = tuple(jnp.full((ncu + 1, k), fill, jnp.int32) + z0
                          for k in (n, n, nc, nc, nc, nc))
             _, ys = jax.lax.scan(step, init, (rc_all, valid_all))
-            (cu_s, split_s, modeA_s, modes4_s, lv_y_s, lv_cb_s, lv_cr_s,
-             rec_y_s, rec_u_s, rec_v_s) = ys
+            if depth2:
+                (cu_s, split_s, modeA_s, modes16_s, split16_s, modes8_s,
+                 lv_y_s, lv_cb_s, lv_cr_s, rec_y_s, rec_u_s, rec_v_s) = ys
+            else:
+                (cu_s, split_s, modeA_s, modes16_s,
+                 lv_y_s, lv_cb_s, lv_cr_s, rec_y_s, rec_u_s, rec_v_s) = ys
             flat_cu = cu_s.reshape(-1)
 
             def collect(x, shape, dtype=None):
@@ -621,16 +609,21 @@ class IntraFrameEncoder:
 
             split = collect(split_s, (), jnp.uint8)
             modeA = collect(modeA_s, ())
-            modes4 = collect(modes4_s, (4,))
+            modes4 = collect(modes16_s, (4,))
             lv_y = collect(lv_y_s, (n, n))
             lv_cb = collect(lv_cb_s, (nc, nc))
             lv_cr = collect(lv_cr_s, (nc, nc))
             rec_y = collect(rec_y_s, (n, n))
             rec_u = collect(rec_u_s, (nc, nc))
             rec_v = collect(rec_v_s, (nc, nc))
-            head8 = jnp.concatenate([
-                split, modeA.astype(jnp.uint8),
-                modes4.astype(jnp.uint8).reshape(-1)])
+            head_parts = [split, modeA.astype(jnp.uint8),
+                          modes4.astype(jnp.uint8).reshape(-1)]
+            if depth2:
+                split16 = collect(split16_s, (4,), jnp.uint8)
+                modes8 = collect(modes8_s, (4, 4))
+                head_parts += [split16.reshape(-1),
+                               modes8.astype(jnp.uint8).reshape(-1)]
+            head8 = jnp.concatenate(head_parts)
             levels16 = jnp.concatenate([
                 lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)
             ]).astype(jnp.int16)
@@ -650,7 +643,6 @@ class IntraFrameEncoder:
             return jnp.concatenate([recon8, head8, levels8])
 
         return encode
-
     # ------------------------------------------------------------------
     def _unpack(self, buf: np.ndarray, with_recon: bool = True) -> dict:
         if self.cfg.max_depth:
@@ -713,6 +705,13 @@ class IntraFrameEncoder:
         modes = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
         modes4 = buf[o:o + 4 * ncu].astype(np.int32).reshape(rows, cols, 4)
         o += 4 * ncu
+        split16 = modes8 = None
+        if cfg.max_depth >= 2:
+            split16 = buf[o:o + 4 * ncu].astype(bool).reshape(rows, cols, 4)
+            o += 4 * ncu
+            modes8 = (buf[o:o + 16 * ncu].astype(np.int32)
+                      .reshape(rows, cols, 4, 4))
+            o += 16 * ncu
         lv = buf[o:].view(np.int16)
         sy = ncu * n * n
         sc = ncu * nc * nc
@@ -720,6 +719,8 @@ class IntraFrameEncoder:
             "split": split,
             "modes": modes,
             "modes4": modes4,
+            "split16": split16,
+            "modes8": modes8,
             "levels_y": lv[:sy].astype(np.int32).reshape(rows, cols, n, n),
             "levels_cb": lv[sy:sy + sc].astype(np.int32).reshape(rows, cols, nc, nc),
             "levels_cr": lv[sy + sc:sy + 2 * sc].astype(np.int32).reshape(rows, cols, nc, nc),
