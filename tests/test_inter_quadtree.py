@@ -208,3 +208,24 @@ def test_quadtree_depth2_conformance():
             got = d[p][:fr.recon[p].shape[0], :fr.recon[p].shape[1]]
             assert np.array_equal(got.astype(np.uint8), fr.recon[p]), \
                 f"frame {i} plane {p}"
+
+
+def test_quadtree_depth2_filters_conformance():
+    # depth-2 with full loop filters: BS on the 8-pel grid masked to true
+    # CU boundaries (cu_id map); chroma stays on the 16-luma grid
+    w, h = 160, 96
+    frames = _moving_clip(w, h, 4, seed=61)
+    sess = VideoEncoderSession(w, h, qp=30, keyint=10, max_depth=2,
+                               deblock=True, sao=True)
+    stream = sess.headers()
+    recons = []
+    for (y, u, v) in frames:
+        fr = sess.encode_frame(y, u, v)
+        stream += fr.nals
+        recons.append(fr.recon)
+    dec = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(dec) == len(frames)
+    for (dy, du, dv), (ry, ru, rv) in zip(dec, recons):
+        assert np.array_equal(dy[:h, :w], ry)
+        assert np.array_equal(du[:h // 2, :w // 2], ru)
+        assert np.array_equal(dv[:h // 2, :w // 2], rv)

@@ -54,8 +54,6 @@ class IntraEncoderSession:
             assert not lossless, "quadtree + lossless unsupported (v1)"
             assert slices == 1 and not wpp, \
                 "quadtree + slices/wpp unsupported (v1)"
-            if max_depth >= 2:
-                deblock = False     # 8-gran BS maps: next step
         self.max_depth = max_depth
         self.src_w = width
         self.src_h = height
@@ -150,7 +148,16 @@ class IntraEncoderSession:
         """In-loop deblocking on the session recon (QT-aware: edges on the
         16-pel CU-boundary grid with interior edges of unsplit CTUs off)."""
         qp = self.qp if qp is None else qp
-        if self.max_depth:
+        if self.max_depth >= 2:
+            maps = DB.expand_qt_maps8({"split": out["split"],
+                                       "split16": out["split16"],
+                                       "levels_y": out["levels_y"]})
+            bs_v, bs_h = DB.compute_bs_qt2(maps)
+            dy, du, dv = DB.deblock_frame_qt2(
+                out["recon_y"], out["recon_u"], out["recon_v"],
+                qp, chroma_qp_from_luma(qp), bs_v, bs_h,
+                bit_depth=self.bit_depth)
+        elif self.max_depth:
             maps = DB.expand_qt_maps({"split": out["split"],
                                       "levels_y": out["levels_y"]})
             bs_v, bs_h = DB.compute_bs_qt(maps)
@@ -645,8 +652,6 @@ class VideoEncoderSession:
             cu_size = 32
             assert not weightp and not analysis_load and not analysis_save, \
                 "inter quadtree: no weightp/analysis reuse (v1)"
-            if max_depth >= 2:
-                deblock = False     # 8-gran BS maps: next step
         self.max_depth = max_depth
         # per-CU QP (AQ/cuTree) and deblocking are mutually exclusive this
         # round: the in-loop filter still derives thresholds from the frame
@@ -948,7 +953,16 @@ class VideoEncoderSession:
         reference for subsequent frames)."""
         if not self.deblock:
             return
-        if self.max_depth:
+        if self.max_depth >= 2:
+            src = out if not is_idr else {"split": out["split"],
+                                          "split16": out["split16"],
+                                          "levels_y": out["levels_y"]}
+            maps = DB.expand_qt_maps8(src)
+            bs_v, bs_h = DB.compute_bs_qt2(maps)
+            dy, du, dv = DB.deblock_frame_qt2(
+                out["recon_y"], out["recon_u"], out["recon_v"],
+                qp, chroma_qp_from_luma(qp), bs_v, bs_h)
+        elif self.max_depth:
             maps = DB.expand_qt_maps(out) if not is_idr else \
                 DB.expand_qt_maps({"split": out["split"],
                                    "levels_y": out["levels_y"]})

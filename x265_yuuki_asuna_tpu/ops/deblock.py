@@ -434,3 +434,172 @@ def compute_bs_qt(maps):
     for i in range(0, gr - 1, 2):
         bs_h[i, :] = np.where(split_cols[i // 2, :], bs_h[i, :], 0)
     return bs_v, bs_h
+
+
+# ---------------------------------------------------------------------------
+# Depth-2 quadtree deblocking: edges on the 8-pel grid, masked to true CU
+# boundaries; chroma stays on the 16-luma-pel grid (8 chroma samples).
+# ---------------------------------------------------------------------------
+
+def _z_to_raster(a8):
+    """[r, c, 4(q z-order), 4(sq z-order)] -> [r, c, 4(by), 4(bx)] raster."""
+    r, c = a8.shape[:2]
+    z = a8.reshape(r, c, 2, 2, 2, 2)          # (qy, qx, sy, sx)
+    return z.transpose(0, 1, 2, 4, 3, 5).reshape(r, c, 4, 4)
+
+
+def expand_qt_maps8(out):
+    """8-pel-granular attribute maps + CU-id map for a depth-2 frame."""
+    split = np.asarray(out["split"], bool)
+    split16 = np.asarray(out["split16"], bool)
+    rows, cols = split.shape
+    s32 = split[:, :, None, None]
+    # split16 is z-ordered over quadrants == raster for 2x2
+    s16r = split16.reshape(rows, cols, 2, 2)
+    s16 = np.repeat(np.repeat(s16r, 2, axis=2), 2, axis=3)    # [r,c,4,4] raster
+
+    def sel(a32, a16, a8_z):
+        """a32 [r,c]; a16 [r,c,4] (q z-order); a8_z [r,c,4,4] (z-order)."""
+        a8 = _z_to_raster(np.asarray(a8_z))
+        a16r = np.asarray(a16).reshape(rows, cols, 2, 2)
+        a16f = np.repeat(np.repeat(a16r, 2, axis=2), 2, axis=3)
+        a32f = np.broadcast_to(np.asarray(a32)[:, :, None, None], a8.shape)
+        return np.where(s32 & s16, a8, np.where(s32, a16f, a32f))
+
+    def to_grid(a):
+        return (a.reshape(rows, cols, 4, 4).transpose(0, 2, 1, 3)
+                .reshape(4 * rows, 4 * cols))
+
+    lv = np.asarray(out["levels_y"])
+    cbf32 = lv.any(axis=(2, 3))
+    cbf16 = lv.reshape(rows, cols, 2, 16, 2, 16).any(axis=(3, 5)) \
+        .reshape(rows, cols, 4)
+    cbf8_r = lv.reshape(rows, cols, 4, 8, 4, 8).any(axis=(3, 5))  # raster
+    # convert raster cbf8 to z-order for sel()'s a8_z argument
+    cbf8_z = (cbf8_r.reshape(rows, cols, 2, 2, 2, 2)
+              .transpose(0, 1, 2, 4, 3, 5).reshape(rows, cols, 4, 4))
+
+    ones8 = np.ones((rows, cols, 4, 4), np.int32)
+    zeros8 = np.zeros((rows, cols, 4, 4), np.int32)
+    g = lambda k, d: np.asarray(out[k]) if out.get(k) is not None else d
+    z2 = np.zeros((rows, cols), np.int32)
+    z4 = np.zeros((rows, cols, 4), np.int32)
+    ui = sel(g("use_intra", np.ones((rows, cols), bool)),
+             g("use_intra4", np.ones((rows, cols, 4), bool)),
+             g("use_intra8", ones8.astype(bool))).astype(bool)
+    mvx = sel(g("mvx", z2), g("mv4x", z4), g("mv8x", zeros8))
+    mvy = sel(g("mvy", z2), g("mv4y", z4), g("mv8y", zeros8))
+    mv1x = sel(g("mv1x", z2), g("mv41x", z4), g("mv81x", zeros8))
+    mv1y = sel(g("mv1y", z2), g("mv41y", z4), g("mv81y", zeros8))
+    pdir = sel(g("pdir", np.ones((rows, cols), np.int32)),
+               g("pdir4", np.ones((rows, cols, 4), np.int32)),
+               g("pdir8", ones8))
+    cbf = sel(cbf32, cbf16, cbf8_z).astype(bool)
+    mvx = np.where(ui, 0, mvx)
+    mvy = np.where(ui, 0, mvy)
+    mv1x = np.where(ui, 0, mv1x)
+    mv1y = np.where(ui, 0, mv1y)
+    pdir = np.where(ui, 0, pdir)
+    mvx = np.where((pdir & 1) != 0, mvx, 0)
+    mvy = np.where((pdir & 1) != 0, mvy, 0)
+    mv1x = np.where((pdir & 2) != 0, mv1x, 0)
+    mv1y = np.where((pdir & 2) != 0, mv1y, 0)
+
+    # CU id per cell: same id <=> same CU (masks interior edges)
+    q_idx = np.arange(4)
+    qmap = np.repeat(np.repeat(q_idx.reshape(2, 2), 2, 0), 2, 1)  # [4,4] by,bx
+    # sq index within quadrant, raster layout
+    sq_idx = np.zeros((4, 4), np.int32)
+    for by in range(4):
+        for bx in range(4):
+            sq_idx[by, bx] = (by % 2) * 2 + (bx % 2)
+    kmap = np.where(~s32[..., 0, 0][:, :, None, None],
+                    0,
+                    np.where(~s16, 1 + qmap[None, None],
+                             5 + 4 * qmap[None, None] + sq_idx[None, None]))
+    ctu_id = (np.arange(rows * cols).reshape(rows, cols) * 21)
+    idm = ctu_id[:, :, None, None] + kmap
+
+    return {
+        "is_intra": to_grid(ui),
+        "cbf": to_grid(cbf),
+        "mvx": to_grid(mvx), "mvy": to_grid(mvy),
+        "mv1x": to_grid(mv1x), "mv1y": to_grid(mv1y),
+        "pdir": to_grid(pdir),
+        "cu_id": to_grid(idm),
+    }
+
+
+def compute_bs_qt2(maps):
+    """BS on the 8-pel grid, masked to CU boundaries via the id map."""
+    ii = maps["is_intra"]
+    cbf = maps["cbf"]
+    mvx, mvy = maps["mvx"], maps["mvy"]
+    mv1x, mv1y = maps["mv1x"], maps["mv1y"]
+    pdir = maps["pdir"]
+    cid = maps["cu_id"]
+
+    def pair(sa, sb):
+        intra = ii[sa] | ii[sb]
+        coded = cbf[sa] | cbf[sb]
+        mis = ((pdir[sa] != pdir[sb])
+               | (np.abs(mvx[sa] - mvx[sb]) >= 4)
+               | (np.abs(mvy[sa] - mvy[sb]) >= 4)
+               | (np.abs(mv1x[sa] - mv1x[sb]) >= 4)
+               | (np.abs(mv1y[sa] - mv1y[sb]) >= 4))
+        bs = np.where(intra, 2, np.where(coded | mis, 1, 0))
+        return np.where(cid[sa] != cid[sb], bs, 0)
+
+    bs_v = pair(np.s_[:, :-1], np.s_[:, 1:])
+    bs_h = pair(np.s_[:-1, :], np.s_[1:, :])
+    return bs_v, bs_h
+
+
+def deblock_frame_qt2(recon_y, recon_u, recon_v, qp_y: int, qp_c: int,
+                      bs_v, bs_h, bit_depth: int = 8,
+                      beta_offset: int = 0, tc_offset: int = 0, xp=np):
+    """Deblock with luma edges on the 8-pel grid (bs arrays at that
+    granularity) and chroma edges on the 16-luma grid (spec: chroma is
+    filtered on the 8-chroma-sample grid only)."""
+    H, W = recon_y.shape
+    maxv = (1 << bit_depth) - 1
+    shift = bit_depth - 8
+    beta = int(BETA_TABLE[int(np.clip(qp_y + beta_offset, 0, 51))]) << shift
+
+    y = recon_y.astype(xp.int32)
+    u = recon_u.astype(xp.int32)
+    v = recon_v.astype(xp.int32)
+
+    vcols = list(range(8, W, 8))
+    hrows = list(range(8, H, 8))
+    tc_v = np.repeat(_tc_seg_from_bs(bs_v, qp_y, tc_offset, shift), 2, axis=0)
+    tc_h = np.repeat(_tc_seg_from_bs(bs_h, qp_y, tc_offset, shift).T, 2, axis=0)
+    if xp is not np:
+        tc_v, tc_h = xp.asarray(tc_v), xp.asarray(tc_h)
+    y = _filter_vertical_edges(y, vcols, beta, tc_v, maxv, xp)
+    y = xp.swapaxes(
+        _filter_vertical_edges(xp.swapaxes(y, 0, 1), hrows, beta, tc_h,
+                               maxv, xp), 0, 1)
+
+    # chroma: edges every 8 chroma px (= 16 luma); BS from odd 8-grid edges
+    vcols_c = list(range(8, W // 2, 8))
+    hrows_c = list(range(8, H // 2, 8))
+    tc_c = int(TC_TABLE[int(np.clip(qp_c + DEFAULT_INTRA_TC_OFFSET
+                                    + tc_offset, 0, 53))]) << shift
+    bs_v_c = bs_v[:, 1::2]               # luma x = 16, 32, ...
+    bs_h_c = bs_h[1::2, :]
+    mask_v = np.repeat(bs_v_c == 2, 4, axis=0)       # 8-cell -> 4 chroma rows
+    mask_h = np.repeat((bs_h_c == 2).T, 4, axis=0)
+    if xp is not np:
+        mask_v, mask_h = xp.asarray(mask_v), xp.asarray(mask_h)
+    for pl in ("u", "v"):
+        p = u if pl == "u" else v
+        p = _filter_vertical_edges_chroma(p, vcols_c, tc_c, maxv, xp, mask_v)
+        p = xp.swapaxes(
+            _filter_vertical_edges_chroma(xp.swapaxes(p, 0, 1), hrows_c, tc_c,
+                                          maxv, xp, mask_h), 0, 1)
+        if pl == "u":
+            u = p
+        else:
+            v = p
+    return y, u, v
