@@ -122,3 +122,16 @@ def test_quadtree_depth2_beats_depth1_rd():
     b1, p1 = res[1]
     b2, p2 = res[2]
     assert b2 <= b1 * 1.02 and p2 >= p1 - 0.1, res
+
+
+def test_psy_rd_conformance():
+    # psy-rd biases the split decision; streams must stay decoder-exact
+    w, h = 128, 96
+    y, u, v = _mixed_frame(w, h, seed=29)
+    sess = IntraEncoderSession(w, h, qp=30, max_depth=2, psy_rd=2.0,
+                               hash_sei=False)
+    stream = sess.headers()
+    fr = sess.encode_frame(y, u, v)
+    stream += fr.nals
+    dec = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert np.array_equal(dec[0][0][:h, :w], fr.recon[0])

@@ -132,3 +132,36 @@ def test_vbv_constrains_bitstream():
         worst = min(worst, fill)
     assert worst > -rate, f"VBV underflow: worst fill {worst}"
     assert sum(bits_vbv) < sum(bits_free), "VBV cap did not bind"
+
+
+def test_vbv_reencode_retry():
+    # forced overshoot must trigger a same-frame higher-QP re-encode
+    # (reference row-level VBV re-encode analog) and stay conformant
+    import numpy as np
+    from x265_yuuki_asuna_tpu.models.encoder_top import VideoEncoderSession
+    from x265_yuuki_asuna_tpu.utils.av_decode import decode_hevc
+    rng = np.random.default_rng(3)
+    frames = [(rng.integers(0, 256, (48, 64)).astype(np.uint8),
+               rng.integers(0, 256, (24, 32)).astype(np.uint8),
+               rng.integers(0, 256, (24, 32)).astype(np.uint8))
+              for _ in range(2)]
+    sess = VideoEncoderSession(64, 48, qp=24, keyint=100, rc_mode="cqp",
+                               vbv_maxrate_kbps=500, vbv_bufsize_kbps=250,
+                               hash_sei=False)
+    calls = [0]
+    orig = sess.rc.vbv_overshoot
+    def spy(bits):
+        calls[0] += 1
+        return 2.0 if calls[0] == 1 else orig(bits)
+    sess.rc.vbv_overshoot = spy
+    stream = sess.headers()
+    recons = []
+    for f in frames:
+        fr = sess.encode_frame(*f)
+        stream += fr.nals
+        recons.append(fr.recon)
+    assert calls[0] >= 2          # the first frame was re-encoded
+    dec = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(dec) == 2
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d[0][:48, :64], r[0])

@@ -81,6 +81,8 @@ def main(argv=None):
     ap.add_argument("--deblock", action=argparse.BooleanOptionalAction, default=None,
                     help="deblocking filter")
     ap.add_argument("--aq-mode", type=int, default=None, choices=[0, 1, 2, 3, 4])
+    ap.add_argument("--psy-rd", type=float, default=None,
+                    help="psycho-visual RD strength (quadtree sessions)")
     ap.add_argument("--aq-strength", type=float, default=1.0)
     ap.add_argument("--slices", type=int, default=1,
                     help="independent slice bands per frame (intra)")
@@ -136,6 +138,7 @@ def main(argv=None):
         aq_mode = args.aq_mode or 0
         cutree = bool(args.cutree)
         rdoq_level = args.rdoq_level or 0
+        psy_rd = args.psy_rd or 0.0
         sbh = bool(args.signhide)
         qp = 32 if args.qp is None else args.qp
         ctu = args.ctu or 16
@@ -151,6 +154,7 @@ def main(argv=None):
         aq_mode = pick(args.aq_mode, prm.rc.aq_mode)
         cutree = bool(pick(args.cutree, prm.rc.cu_tree))
         rdoq_level = pick(args.rdoq_level, min(prm.rdoq_level, 1))
+        psy_rd = float(pick(args.psy_rd, prm.psy_rd))
         sbh = bool(pick(args.signhide, prm.b_enable_sign_hiding))
         ctu = pick(args.ctu, min(prm.max_cu_size, 32))
         min_cu = pick(args.min_cu_size, max(prm.min_cu_size, 8))
@@ -207,7 +211,7 @@ def main(argv=None):
                                    analysis_load=args.analysis_load,
                                    aq_mode=2 if aq_mode else 0,
                                    aq_strength=args.aq_strength,
-                                   cutree=cutree)
+                                   cutree=cutree, psy_rd=psy_rd)
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         if args.lossless or args.slices > 1 or args.wpp:
@@ -227,7 +231,7 @@ def main(argv=None):
                                    sbh=sbh,
                                    master_display=args.master_display,
                                    max_cll=args.max_cll,
-                                   max_depth=qt_depth)
+                                   max_depth=qt_depth, psy_rd=psy_rd)
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None

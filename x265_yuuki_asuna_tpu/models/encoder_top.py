@@ -48,7 +48,7 @@ class IntraEncoderSession:
                  slices: int = 1, rdoq: bool = False, wpp: bool = False,
                  sbh: bool = False, info_sei: bool = True,
                  master_display: str = None, max_cll: str = None,
-                 max_depth: int = 0):
+                 max_depth: int = 0, psy_rd: float = 0.0):
         if max_depth:
             cu_size = 32
             assert not lossless, "quadtree + lossless unsupported (v1)"
@@ -87,7 +87,7 @@ class IntraEncoderSession:
             cu_size=cu_size, qp=qp,
             bit_depth=bit_depth, lossless=lossless,
             rdoq=rdoq and not lossless, sbh=self.sbh,
-            max_depth=max_depth))
+            max_depth=max_depth, psy_rd=psy_rd if max_depth else 0.0))
 
         from ..bitstream import sei as SEI
         ptl = HDR.ProfileTierLevel(
@@ -645,7 +645,7 @@ class VideoEncoderSession:
                  analysis_save: str = None, analysis_load: str = None,
                  aq_mode: int = 0, aq_strength: float = 1.0,
                  cutree: bool = False, b_pyramid: bool = True,
-                 max_depth: int = 0):
+                 max_depth: int = 0, psy_rd: float = 0.0):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         if max_depth:
@@ -665,7 +665,8 @@ class VideoEncoderSession:
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
                                               hash_sei=False, deblock=deblock,
                                               sao=sao, rdoq=rdoq, sbh=sbh,
-                                              max_depth=max_depth)
+                                              max_depth=max_depth,
+                                              psy_rd=psy_rd)
         self.sbh = self.intra_sess.sbh
         if per_cu_qp:
             self.intra_sess.pps.cu_qp_delta = 1
@@ -703,7 +704,8 @@ class VideoEncoderSession:
             width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp,
             search_range=search_range, rdoq=rdoq, weightp=weightp,
             sbh=self.sbh, analysis_load=self.analysis_data is not None,
-            max_depth=max_depth))
+            max_depth=max_depth,
+            psy_rd=psy_rd if max_depth else 0.0))
         self.frame_idx = 0
         self.poc = 0
         self.ref = None   # (y, u, v) padded recon planes
@@ -730,7 +732,8 @@ class VideoEncoderSession:
             self.bi_encoder = InterFrameEncoder(InterFrameConfig(
                 width=self.coded_w, height=self.coded_h, cu_size=cu_size,
                 qp=qp, search_range=search_range, bi=True, rdoq=rdoq,
-                sbh=self.sbh, max_depth=max_depth))
+                sbh=self.sbh, max_depth=max_depth,
+                psy_rd=psy_rd if max_depth else 0.0))
         self.pending = []           # buffered display-order frames (y, u, v)
         self.pending_lowres = []    # matching lowres planes (b-adapt)
         self.anchor_lowres = None   # lowres of the last coded anchor
@@ -783,40 +786,60 @@ class VideoEncoderSession:
         qp = self._zone_qp(self.display_idx, qp)
         self.display_idx += 1
         self._cutree_update()
-        qp_map = self._frame_qp_map(yp0, qp)
         yp = yp0
         up = G.pad_plane(u, self.coded_h // 2, self.coded_w // 2)
         vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
+
+        def attempt(qp):
+            """One full encode + serialize at the given frame QP. Re-run by
+            the VBV guard below with a higher QP when the coded size would
+            underflow the decoder buffer (the reference's row-level VBV
+            re-encode, frameencoder.cpp:1655, as a frame-level retry —
+            runtime QP costs no recompile)."""
+            qp_map = self._frame_qp_map(yp0, qp)
+            if is_idr:
+                out = self.intra_sess.frame_encoder.encode_frame(
+                    yp, up, vp,
+                    qp=qp_map.reshape(-1) if qp_map is not None else qp)
+                if qp_map is not None:
+                    out["qp_map"] = qp_map
+                self._deblock_frame(out, qp, is_idr=True)
+                sao_params = self._sao_frame(out, yp, up, vp)
+                nals = self.intra_sess._assemble_slice(out, qp=qp,
+                                                       sao_params=sao_params)
+            else:
+                weights = self._decide_weights(yp, up, vp, self.ref)
+                hx = hy = None
+                if self.analysis_data is not None:
+                    rec = self.analysis_data[min(self.analysis_idx,
+                                                 len(self.analysis_data) - 1)]
+                    ncu = self.rows * self.cols
+                    hx = rec.get("mvx", np.zeros(ncu, np.int32)).reshape(-1)
+                    hy = rec.get("mvy", np.zeros(ncu, np.int32)).reshape(-1)
+                out = self.inter_encoder.encode_frame(
+                    yp, up, vp, self.ref[0], self.ref[1], self.ref[2],
+                    qp=qp_map.reshape(-1) if qp_map is not None else qp,
+                    weights=weights, hint_mvx=hx, hint_mvy=hy)
+                self._deblock_frame(out, qp, is_idr=False)
+                sao_params = self._sao_frame(out, yp, up, vp)
+                nals = self._assemble_p_slice(out, qp,
+                                              sao_params=sao_params,
+                                              weights=weights, qp_map=qp_map)
+            return out, nals
+
         if is_idr:
-            out = self.intra_sess.frame_encoder.encode_frame(
-                yp, up, vp,
-                qp=qp_map.reshape(-1) if qp_map is not None else qp)
-            if qp_map is not None:
-                out["qp_map"] = qp_map
-            self._deblock_frame(out, qp, is_idr=True)
-            sao_params = self._sao_frame(out, yp, up, vp)
-            nals = self.intra_sess._assemble_slice(out, qp=qp,
-                                                   sao_params=sao_params)
             self.poc = 0
             self.frame_idx = 0   # scenecut restarts the GOP
         else:
-            weights = self._decide_weights(yp, up, vp, self.ref)
-            hx = hy = None
-            if self.analysis_data is not None:
-                rec = self.analysis_data[min(self.analysis_idx,
-                                             len(self.analysis_data) - 1)]
-                ncu = self.rows * self.cols
-                hx = rec.get("mvx", np.zeros(ncu, np.int32)).reshape(-1)
-                hy = rec.get("mvy", np.zeros(ncu, np.int32)).reshape(-1)
-            out = self.inter_encoder.encode_frame(
-                yp, up, vp, self.ref[0], self.ref[1], self.ref[2],
-                qp=qp_map.reshape(-1) if qp_map is not None else qp,
-                weights=weights, hint_mvx=hx, hint_mvy=hy)
-            self.poc += 1
-            self._deblock_frame(out, qp, is_idr=False)
-            sao_params = self._sao_frame(out, yp, up, vp)
-            nals = self._assemble_p_slice(out, qp, sao_params=sao_params,
-                                          weights=weights, qp_map=qp_map)
+            self.poc += 1        # slice header reads self.poc in attempt()
+        out, nals = attempt(qp)
+        import math as _math
+        for _ in range(2):
+            over = self.rc.vbv_overshoot(len(nals) * 8)
+            if over <= 1.08 or qp >= 51:
+                break
+            qp = min(qp + max(1, int(round(6 * _math.log2(over)))), 51)
+            out, nals = attempt(qp)
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         if self.analysis_save is not None:

@@ -41,6 +41,7 @@ class InterFrameConfig:
                                   # subpel-refine around the hint only
     max_depth: int = 0            # 1: CTU32 may split into 4 16x16 CUs
                                   # (in-scan RD quadtree; P slices)
+    psy_rd: float = 0.0           # psycho-visual RD strength (--psy-rd)
 
     @property
     def rows(self):
@@ -728,6 +729,11 @@ class InterFrameEncoder:
                     rec_u = jnp.clip(pred_u + rr_u, 0, maxv)
                     rec_v = jnp.clip(pred_v + rr_v, 0, maxv)
                     dist = ssd(sy, rec_y) + ssd(su, rec_u) + ssd(sv, rec_v)
+                    if cfg.psy_rd > 0:
+                        dist = dist + cfg.psy_rd * jnp.abs(
+                            pixel.psy_energy(sy, xp=jnp)
+                            - pixel.psy_energy(rec_y, xp=jnp)
+                        ).astype(jnp.float32)
                     bits = (quant.est_tu_bits(lvq_y, xp=jnp)
                             + quant.est_tu_bits(lvq_cb, xp=jnp)
                             + quant.est_tu_bits(lvq_cr, xp=jnp)

@@ -63,6 +63,7 @@ class IntraFrameConfig:
     sbh: bool = False               # sign-bit hiding
     max_depth: int = 0              # 1: CTU32 may split into 4 16x16 CUs
                                     # (in-scan RD quadtree decision)
+    psy_rd: float = 0.0             # psycho-visual RD strength (--psy-rd)
 
     @property
     def rows(self) -> int:
@@ -468,6 +469,11 @@ class IntraFrameEncoder:
                                                    hc2.bit_length() - 1,
                                                    False, m)
                     dist = ssd(sy, rec_y) + ssd(su, rec_u) + ssd(sv, rec_v)
+                    if cfg.psy_rd > 0:
+                        dist = dist + cfg.psy_rd * jnp.abs(
+                            pixel.psy_energy(sy, xp=jnp)
+                            - pixel.psy_energy(rec_y, xp=jnp)
+                        ).astype(jnp.float32)
                     bits = (quant.est_tu_bits(lv_y, xp=jnp)
                             + quant.est_tu_bits(lv_cb, xp=jnp)
                             + quant.est_tu_bits(lv_cr, xp=jnp) + MODE_BITS)

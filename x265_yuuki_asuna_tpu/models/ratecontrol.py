@@ -133,6 +133,17 @@ class RateControl:
         return qscale_to_qp(qscale)
 
     # ------------------------------------------------------------------
+    def vbv_overshoot(self, bits: int) -> float:
+        """How badly a coded frame overshoots the decoder buffer: >1 means
+        the frame would underflow the buffer (the reference's row-level VBV
+        triggers mid-frame re-encodes; the TPU analog re-runs the frame at a
+        higher QP — runtime QP needs no recompile)."""
+        if not self.vbv:
+            return 0.0
+        max_bits = self.buffer_fill + self.buffer_rate * 0.5
+        return bits / max(max_bits, 1.0)
+
+    # ------------------------------------------------------------------
     def frame_done(self, qp_used: int, bits: int):
         qscale = QP_TO_QSCALE(qp_used)
         cplx = bits * qscale

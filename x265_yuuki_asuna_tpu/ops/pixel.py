@@ -123,3 +123,15 @@ def ssim_plane(a: np.ndarray, b: np.ndarray, bit_depth: int = 8) -> float:
             vals.append(((2 * ma * mb + c1) * (2 * cov + c2)) /
                         ((ma * ma + mb * mb + c1) * (va + vb + c2)))
     return float(np.mean(vals)) if vals else 1.0
+
+
+def psy_energy(a, xp=np):
+    """Psycho-visual energy of [..., N, N] blocks: AC energy measured as
+    sa8d against the block DC (reference psyCost shape, rdcost.h:34 —
+    energy = sa8d(block) - |block DC|; here computed as sa8d vs the DC
+    plane, which is the same AC measure)."""
+    ai = a.astype(xp.int32)
+    dc = xp.mean(ai.reshape(ai.shape[:-2] + (-1,)), axis=-1,
+                 keepdims=True).astype(xp.int32)
+    flat_dc = xp.broadcast_to(dc[..., None], ai.shape)
+    return sa8d(ai, flat_dc, xp=xp)
