@@ -1,0 +1,80 @@
+"""Public API surface (reference x265.h / api.cpp analog): param lifecycle,
+encoder open/headers/encode/stats/close, dither."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("cv2")
+
+from x265_yuuki_asuna_tpu import api
+from x265_yuuki_asuna_tpu.utils.av_decode import decode_hevc
+
+
+def _frames(n, w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    return [(rng.integers(0, 256, (h, w)).astype(np.uint8),
+             rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+             rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8))
+            for _ in range(n)]
+
+
+def test_api_all_intra_roundtrip():
+    p = api.param_default_preset("ultrafast")
+    api.param_parse(p, "input-res", "64x48")
+    api.param_parse(p, "fps", "25")
+    api.param_parse(p, "qp", "30")
+    api.param_parse(p, "keyint", "1")
+    api.param_parse(p, "bframes", "0")
+    enc = api.encoder_open(p)
+    stream = api.encoder_headers(enc)
+    for f in _frames(2, 64, 48):
+        pic = api.picture_init(p, api.picture_alloc())
+        pic.planes = f
+        for nals in api.encoder_encode(enc, pic):
+            stream += nals
+    for nals in api.encoder_encode(enc, None):
+        stream += nals
+    st = api.encoder_get_stats(enc)
+    api.encoder_close(enc)
+    assert st.encoded_picture_count == 2
+    assert st.accumulated_bits > 0
+    dec = decode_hevc(stream, 64, 48)
+    assert len(dec) == 2
+
+
+def test_api_video_session_presets():
+    p = api.param_default_preset("ultrafast")
+    api.param_parse(p, "input-res", "64x48")
+    api.param_parse(p, "fps", "25")
+    api.param_parse(p, "qp", "32")
+    enc = api.encoder_open(p)      # ultrafast: keyint 250, bframes 3
+    stream = api.encoder_headers(enc)
+    for f in _frames(5, 64, 48, seed=2):
+        pic = api.picture_alloc()
+        pic.planes = f
+        for nals in api.encoder_encode(enc, pic):
+            stream += nals
+    for nals in api.encoder_encode(enc, None):
+        stream += nals
+    st = api.encoder_get_stats(enc)
+    assert st.encoded_picture_count == 5
+    dec = decode_hevc(stream, 64, 48)
+    assert len(dec) == 5
+
+
+def test_api_check_params():
+    p = api.param_default()
+    with pytest.raises(api.ParamError):
+        api.encoder_open(p)        # no dimensions
+
+
+def test_dither_image():
+    rng = np.random.default_rng(0)
+    p10 = rng.integers(0, 1024, (16, 32)).astype(np.uint16)
+    d8 = api.dither_image(p10, 10, 8)
+    assert d8.dtype == np.uint8
+    # mean must be preserved to within the quantization step
+    assert abs(d8.astype(float).mean() * 4 - p10.astype(float).mean()) < 2.5
+    # identity case
+    p8 = (p10 >> 2).astype(np.uint16)
+    assert np.array_equal(api.dither_image(p8, 8, 8), p8.astype(np.uint8))

@@ -1,0 +1,262 @@
+"""Public API: the x265 C-API surface (x265.h, encoder/api.cpp) as the
+package's stable entry points.
+
+Mirrors the reference's function set — x265_param_* / x265_picture_* /
+x265_encoder_* (api.cpp:76 encoder_open, :410 encoder_encode) — with Python
+naming. The session type (all-intra / video with B frames) is derived from
+the param the way Encoder::configure does; settings reconcile against this
+round's implementation limits.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .utils import param as P
+from .utils.param import Param, ParamError, RC_ABR, RC_CQP, RC_CRF
+
+# -- param lifecycle (x265_param_alloc/default/parse/...) -------------------
+
+param_default = P.param_default
+param_default_preset = P.param_default_preset
+param_parse = P.param_parse
+
+
+def param_alloc() -> Param:
+    return P.param_default()
+
+
+def param_apply_profile(p: Param, profile: Optional[str]):
+    """x265_param_apply_profile subset: main / main10 / mainstillpicture."""
+    if not profile:
+        return
+    profile = profile.strip().lower()
+    if profile == "main":
+        p.internal_bit_depth = 8
+    elif profile == "main10":
+        p.internal_bit_depth = 10
+    elif profile in ("mainstillpicture", "msp", "main-intra"):
+        p.keyframe_max = 1
+        p.bframes = 0
+    else:
+        raise ParamError(f"unknown profile '{profile}'")
+
+
+# -- picture (x265_picture) --------------------------------------------------
+
+@dataclass
+class Picture:
+    planes: Tuple[np.ndarray, np.ndarray, np.ndarray] = None
+    pts: int = 0
+    poc: int = 0
+    slice_type: str = ""
+    bit_depth: int = 8
+
+
+def picture_alloc() -> Picture:
+    return Picture()
+
+
+def picture_init(p: Param, pic: Picture):
+    pic.bit_depth = p.internal_bit_depth
+    return pic
+
+
+# -- stats (x265_stats / x265_frame_stats subset) ----------------------------
+
+@dataclass
+class Stats:
+    encoded_picture_count: int = 0
+    accumulated_bits: int = 0
+    global_psnr_y: float = 0.0
+    elapsed_seconds: float = 0.0
+
+    @property
+    def bitrate_kbps_at(self):
+        def f(fps: float) -> float:
+            n = max(self.encoded_picture_count, 1)
+            return self.accumulated_bits * fps / n / 1000.0
+        return f
+
+
+# -- encoder session ----------------------------------------------------------
+
+class Encoder:
+    """x265_encoder analog: owns one encode session configured from Param."""
+
+    def __init__(self, p: Param):
+        import time
+        if p.source_width <= 0 or p.source_height <= 0:
+            raise ParamError("sourceWidth/sourceHeight required")
+        self.param = p
+        self._t0 = time.time()
+        self._stats = Stats()
+        self._psnr_sum = 0.0
+        fps = (p.fps_num or 25, p.fps_denom or 1)
+
+        ctu = min(p.max_cu_size, 32)
+        min_cu = max(p.min_cu_size, 8)
+        qt_depth = (ctu.bit_length() - min_cu.bit_length()) \
+            if min_cu < ctu else 0
+        bframes = p.bframes
+        weightp = bool(p.b_enable_weighted_pred)
+        if weightp and qt_depth:
+            weightp = False            # quadtree session takes priority
+        rc_mode = {RC_CQP: "cqp", RC_CRF: "crf", RC_ABR: "abr"}[
+            p.rc.rate_control_mode]
+        all_intra = p.keyframe_max <= 1 and rc_mode == "cqp" and not bframes
+
+        if all_intra:
+            from .models.encoder_top import IntraEncoderSession
+            self._sess = IntraEncoderSession(
+                p.source_width, p.source_height, qp=int(p.rc.qp),
+                cu_size=ctu, fps=fps,
+                hash_sei=p.decoded_picture_hash_sei != 0,
+                lossless=bool(p.b_lossless),
+                sao=bool(p.b_enable_sao) and not qt_depth,
+                deblock=bool(p.b_enable_loop_filter),
+                aq_mode=2 if p.rc.aq_mode else 0,
+                aq_strength=p.rc.aq_strength,
+                rdoq=p.rdoq_level > 0,
+                sbh=bool(p.b_enable_sign_hiding),
+                wpp=bool(p.b_enable_wavefront) and not qt_depth,
+                max_depth=qt_depth, psy_rd=p.psy_rd)
+            self._video = False
+        else:
+            from .models.encoder_top import VideoEncoderSession
+            self._sess = VideoEncoderSession(
+                p.source_width, p.source_height, qp=int(p.rc.qp),
+                cu_size=ctu, fps=fps,
+                keyint=max(p.keyframe_max, 2),
+                search_range=min(p.search_range, 24),
+                hash_sei=p.decoded_picture_hash_sei != 0,
+                rc_mode=rc_mode, crf=p.rc.rf_constant,
+                bitrate_kbps=p.rc.bitrate,
+                bframes=bframes,
+                deblock=bool(p.b_enable_loop_filter),
+                sao=bool(p.b_enable_sao),
+                vbv_maxrate_kbps=p.rc.vbv_max_bitrate,
+                vbv_bufsize_kbps=p.rc.vbv_buffer_size,
+                rdoq=p.rdoq_level > 0,
+                weightp=weightp,
+                sbh=bool(p.b_enable_sign_hiding),
+                aq_mode=2 if p.rc.aq_mode else 0,
+                aq_strength=p.rc.aq_strength,
+                cutree=bool(p.rc.cu_tree),
+                max_depth=qt_depth, psy_rd=p.psy_rd)
+            self._video = True
+        self._use_b = getattr(self._sess, "bframes", 0) > 0
+        self._closed = False
+
+    # -- x265_encoder_headers --
+    def headers(self) -> bytes:
+        return self._sess.headers()
+
+    # -- x265_encoder_encode: pic_in=None flushes --
+    def encode(self, pic_in: Optional[Picture]) -> List[bytes]:
+        assert not self._closed
+        results = []
+        if pic_in is None:
+            if self._use_b:
+                results = self._sess.flush()
+        else:
+            y, u, v = pic_in.planes
+            if self._use_b:
+                results = self._sess.push_frame(y, u, v)
+            else:
+                results = [self._sess.encode_frame(y, u, v)]
+        out = []
+        for fr in results:
+            self._stats.encoded_picture_count += 1
+            self._stats.accumulated_bits += fr.bits
+            self._psnr_sum += fr.psnr_y
+            out.append(fr.nals)
+        return out
+
+    # -- x265_encoder_get_stats --
+    def get_stats(self) -> Stats:
+        import time
+        n = max(self._stats.encoded_picture_count, 1)
+        self._stats.global_psnr_y = self._psnr_sum / n
+        self._stats.elapsed_seconds = time.time() - self._t0
+        return self._stats
+
+    # -- x265_encoder_reconfig (zone-style subset: rate/qp changes) --
+    def reconfig(self, p: Param) -> int:
+        if self._video and p.rc.rate_control_mode == RC_CQP:
+            self._sess.qp = int(p.rc.qp)
+            self._sess.rc.cfg.qp = int(p.rc.qp)
+            return 0
+        return -1
+
+    # -- x265_encoder_close --
+    def close(self):
+        self._closed = True
+
+
+def encoder_open(p: Param) -> Encoder:
+    check_params(p)
+    return Encoder(p)
+
+
+def encoder_headers(enc: Encoder) -> bytes:
+    return enc.headers()
+
+
+def encoder_encode(enc: Encoder, pic_in: Optional[Picture]) -> List[bytes]:
+    return enc.encode(pic_in)
+
+
+def encoder_get_stats(enc: Encoder) -> Stats:
+    return enc.get_stats()
+
+
+def encoder_reconfig(enc: Encoder, p: Param) -> int:
+    return enc.reconfig(p)
+
+
+def encoder_close(enc: Encoder):
+    enc.close()
+
+
+def check_params(p: Param):
+    """x265_check_params subset."""
+    if p.source_width <= 0 or p.source_height <= 0:
+        raise ParamError("invalid source dimensions")
+    if p.internal_bit_depth not in (8, 10):
+        raise ParamError("bit depth must be 8 or 10")
+    if not (0 <= p.rc.qp <= 69):
+        raise ParamError("qp out of range")
+
+
+def cleanup():
+    """x265_cleanup analog (no global state to free)."""
+
+
+def dither_image(plane16: np.ndarray, bit_depth_in: int,
+                 bit_depth_out: int = 8) -> np.ndarray:
+    """x265_dither_image (x265.h:2209): error-diffusion bit-depth reduction
+    of one plane (reference pixel.cpp ditherPlane shape: 1D error feedback
+    along each row with a [1 0 0 7]/16-style kernel collapsed to running
+    error)."""
+    if bit_depth_in == bit_depth_out:
+        return plane16.astype(np.uint8 if bit_depth_out <= 8 else np.uint16)
+    shift = bit_depth_in - bit_depth_out
+    half = 1 << (shift - 1)
+    maxv = (1 << bit_depth_out) - 1
+    src = plane16.astype(np.int32)
+    out = np.zeros_like(src)
+    H, W = src.shape
+    for yy in range(H):
+        err = 0
+        row = src[yy]
+        orow = out[yy]
+        for xx in range(W):
+            v = row[xx] + err
+            q = min(max((v + half) >> shift, 0), maxv)
+            err = v - (q << shift)
+            orow[xx] = q
+    return out.astype(np.uint8 if bit_depth_out <= 8 else np.uint16)
