@@ -192,6 +192,13 @@ class Encoder:
             return 0
         return -1
 
+    # -- x265_encoder_intra_refresh --
+    def intra_refresh(self) -> int:
+        if hasattr(self._sess, "intra_refresh"):
+            self._sess.intra_refresh()
+            return 0
+        return 0      # all-intra session: every frame is already a refresh
+
     # -- x265_encoder_close --
     def close(self):
         self._closed = True
@@ -216,6 +223,10 @@ def encoder_get_stats(enc: Encoder) -> Stats:
 
 def encoder_reconfig(enc: Encoder, p: Param) -> int:
     return enc.reconfig(p)
+
+
+def encoder_intra_refresh(enc: Encoder) -> int:
+    return enc.intra_refresh()
 
 
 def encoder_close(enc: Encoder):

@@ -140,3 +140,95 @@ def pick_level(width: int, height: int, fps: float,
                 (bitrate_kbps == 0 or bitrate_kbps <= max_kbps):
             return idc
     return LEVELS[-1][0]
+
+
+# ---------------------------------------------------------------------------
+# HDR10+ dynamic metadata: SMPTE ST 2094-40 carried in a user_data_registered
+# ITU-T T.35 SEI per frame (reference: dynamicHDR10/hdr10plus.h -> T.35
+# payloads attached via --dhdr10-info). JSON schema follows the public
+# hdr10plus_tool format: per-frame records with LuminanceParameters
+# (MaxScl[3], AverageRGB, LuminanceDistributions) and BezierCurveData
+# (KneePointX/Y, Anchors).
+# ---------------------------------------------------------------------------
+
+SEI_USER_DATA_T35 = 4
+
+
+def user_data_t35(payload: bytes) -> bytes:
+    return sei_message(SEI_USER_DATA_T35, payload)
+
+
+def hdr10plus_t35_payload(rec: dict) -> bytes:
+    """Serialize one frame's HDR10+ record to an ST 2094-40 T.35 payload."""
+    bw = BitWriter()
+    bw.write_bits(0xB5, 8)            # itu_t_t35_country_code (US)
+    bw.write_bits(0x003C, 16)         # provider_code (Samsung)
+    bw.write_bits(0x0001, 16)         # provider_oriented_code
+    bw.write_bits(4, 8)               # application_identifier
+    bw.write_bits(1, 8)               # application_version
+    num_windows = int(rec.get("NumberOfWindows", 1))
+    bw.write_bits(num_windows, 2)
+    # (only the default full-frame window is supported: no window params)
+    tsl = int(rec.get("TargetedSystemDisplayMaximumLuminance", 0))
+    bw.write_bits(tsl, 27)
+    bw.write_bits(0, 1)               # targeted_system_display_actual_peak_luminance_flag
+    lum = rec.get("LuminanceParameters", {})
+    maxscl = lum.get("MaxScl", [0, 0, 0])
+    for w in range(num_windows):
+        for v in maxscl[:3]:
+            bw.write_bits(int(v), 17)
+        bw.write_bits(int(lum.get("AverageRGB", 0)), 17)
+        dists = lum.get("LuminanceDistributions", {})
+        perc = dists.get("DistributionIndex", [])
+        vals = dists.get("DistributionValues", [])
+        n = min(len(perc), len(vals), 15)
+        bw.write_bits(n, 4)
+        for i in range(n):
+            bw.write_bits(int(perc[i]), 7)
+            bw.write_bits(int(vals[i]), 17)
+        bw.write_bits(0, 10)          # fraction_bright_pixels
+    bw.write_bits(0, 1)               # mastering_display_actual_peak_luminance_flag
+    bez = rec.get("BezierCurveData")
+    for w in range(num_windows):
+        if bez:
+            bw.write_bits(1, 1)       # tone_mapping_flag
+            bw.write_bits(int(bez.get("KneePointX", 0)), 12)
+            bw.write_bits(int(bez.get("KneePointY", 0)), 12)
+            anchors = bez.get("Anchors", [])[:15]
+            bw.write_bits(len(anchors), 4)
+            for a in anchors:
+                bw.write_bits(int(a), 10)
+        else:
+            bw.write_bits(0, 1)
+        bw.write_bits(0, 1)           # color_saturation_mapping_flag
+    bw.write_align_zero()             # byte alignment
+    return bytes(bw.get_bytes())
+
+
+def load_hdr10plus_json(path: str):
+    """Parse a hdr10plus_tool-style JSON: returns the per-frame record
+    list (SceneInfo) or [] on malformed input."""
+    import json
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return []
+    if isinstance(doc, dict):
+        return doc.get("SceneInfo", doc.get("frames", []))
+    if isinstance(doc, list):
+        return doc
+    return []
+
+
+def hdr10plus_sei_for_frame(records, display_idx: int) -> bytes:
+    """Prefix-SEI NAL with this frame's HDR10+ metadata, or b'' when the
+    record list does not cover the frame."""
+    if not records:
+        return b""
+    rec = records[min(display_idx, len(records) - 1)]
+    try:
+        payload = hdr10plus_t35_payload(rec)
+    except (KeyError, TypeError, ValueError):
+        return b""
+    return wrap_sei([user_data_t35(payload)])

@@ -58,6 +58,8 @@ def main(argv=None):
     ap.add_argument("--master-display", default=None,
                     help="HDR10 mastering display: G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)")
     ap.add_argument("--max-cll", default=None, help="HDR10 MaxCLL,MaxFALL")
+    ap.add_argument("--dhdr10-info", default=None,
+                    help="HDR10+ dynamic metadata JSON (per-frame T.35 SEI)")
     ap.add_argument("--cutree", action=argparse.BooleanOptionalAction, default=None,
                     help="lookahead cost propagation -> per-CU QP offsets")
     ap.add_argument("--analysis-save", default=None,
@@ -232,11 +234,17 @@ def main(argv=None):
                                    master_display=args.master_display,
                                    max_cll=args.max_cll,
                                    max_depth=qt_depth, psy_rd=psy_rd)
+    if args.dhdr10_info:
+        from .bitstream import sei as SEI
+        recs = SEI.load_hdr10plus_json(args.dhdr10_info)
+        if recs:
+            sess.sei_provider = (
+                lambda idx: SEI.hdr10plus_sei_for_frame(recs, idx))
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None
 
-    csv_lines = ["pos, qp, bits, psnr_y"] if args.csv else None
+    csv_lines = ["Encode Order, Type, POC, QP, Bits, PSNR Y"] if args.csv else None
     n = 0
     total_bits = 0
     t0 = time.time()
@@ -264,7 +272,9 @@ def main(argv=None):
                 if recon_writer:
                     recon_writer.write_frame(*fr.recon)
                 if csv_lines is not None:
-                    csv_lines.append(f"{n}, {args.qp}, {fr.bits}, {fr.psnr_y:.4f}")
+                    csv_lines.append(
+                        f"{n}, {fr.frame_type or 'I'}, {fr.poc}, "
+                        f"{fr.qp or args.qp}, {fr.bits}, {fr.psnr_y:.4f}")
                 n += 1
 
     def flush_batch():
@@ -284,7 +294,9 @@ def main(argv=None):
             if recon_writer:
                 recon_writer.write_frame(*fr.recon)
             if csv_lines is not None:
-                csv_lines.append(f"{n}, {args.qp}, {fr.bits}, {fr.psnr_y:.4f}")
+                csv_lines.append(
+                    f"{n}, {fr.frame_type or 'I'}, {fr.poc}, "
+                    f"{fr.qp or args.qp}, {fr.bits}, {fr.psnr_y:.4f}")
             n += 1
         pending.clear()
         elapsed = time.time() - t0
@@ -311,6 +323,11 @@ def main(argv=None):
     if recon_writer:
         recon_writer.close()
     if args.csv:
+        # summary row (reference CSV encode-summary analog)
+        if n:
+            kbps = total_bits * (reader.info.fps_num
+                                 / max(reader.info.fps_denom, 1)) / n / 1000.0
+            csv_lines.append(f"Summary, frames={n}, kbps={kbps:.2f}")
         with open(args.csv, "w") as f:
             f.write("\n".join(csv_lines) + "\n")
     if getattr(sess, "stats_writer", None) is not None:

@@ -35,6 +35,8 @@ class FrameResult:
     bits: int
     psnr_y: float
     poc: int = 0           # display order within the GOP (B-frame pipeline)
+    frame_type: str = ""   # I / P / B / b (x265 CSV naming)
+    qp: int = 0
 
 
 class IntraEncoderSession:
@@ -112,6 +114,8 @@ class IntraEncoderSession:
             timing_info=(fps[1], fps[0]),
         )
         self.wpp = wpp and self.slices == 1
+        self.sei_provider = None      # callable(display_idx) -> prefix bytes
+        self._display_counter = 0
         self.pps = HDR.PPSInfo(init_qp=26,
                                deblocking_disabled=0 if self.deblock else 1,
                                transquant_bypass=1 if lossless else 0,
@@ -198,6 +202,9 @@ class IntraEncoderSession:
             sao_params = self._sao_decide(out, yp, up, vp)
         slice_nal = self._assemble_slice(out, sao_params=sao_params)
         nals = slice_nal
+        if self.sei_provider is not None:
+            nals = self.sei_provider(self._display_counter) + nals
+        self._display_counter += 1
         if self.hash_sei:
             nals += self._hash_sei(out)
         bits = len(nals) * 8
@@ -209,7 +216,8 @@ class IntraEncoderSession:
         recon = (out["recon_y"][:self.src_h, :self.src_w].astype(pdt),
                  out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(pdt),
                  out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(pdt))
-        return FrameResult(nals=nals, recon=recon, bits=bits, psnr_y=psnr)
+        return FrameResult(nals=nals, recon=recon, bits=bits, psnr_y=psnr,
+                           frame_type="I", qp=self.qp)
 
     # ------------------------------------------------------------------
     def _encode_frame_sliced(self, y, yp, up, vp):
@@ -734,6 +742,7 @@ class VideoEncoderSession:
                 qp=qp, search_range=search_range, bi=True, rdoq=rdoq,
                 sbh=self.sbh, max_depth=max_depth,
                 psy_rd=psy_rd if max_depth else 0.0))
+        self.sei_provider = None    # callable(display_idx) -> prefix bytes
         self.pending = []           # buffered display-order frames (y, u, v)
         self.pending_lowres = []    # matching lowres planes (b-adapt)
         self.anchor_lowres = None   # lowres of the last coded anchor
@@ -773,11 +782,19 @@ class VideoEncoderSession:
     def headers(self) -> bytes:
         return self.intra_sess.headers()
 
+    def intra_refresh(self):
+        """x265_encoder_intra_refresh (x265.h:2161): force the next frame to
+        be a recovery point (coded as IDR here — packet-loss recovery for
+        streaming)."""
+        self._force_idr = True
+
     def encode_frame(self, y, u, v) -> FrameResult:
         yp0 = G.pad_plane(y, self.coded_h, self.coded_w)
         icost, pcost, scenecut = self.lookahead.push(yp0)
         is_idr = (self.frame_idx % self.keyint == 0) or self.ref is None \
-            or (self.scenecut_enabled and scenecut)
+            or (self.scenecut_enabled and scenecut) \
+            or getattr(self, "_force_idr", False)
+        self._force_idr = False
         la_cost = icost if is_idr else pcost
         if self.two_pass is not None:
             qp = self.two_pass.frame_qp()
@@ -833,6 +850,8 @@ class VideoEncoderSession:
         else:
             self.poc += 1        # slice header reads self.poc in attempt()
         out, nals = attempt(qp)
+        if self.sei_provider is not None:
+            nals = self.sei_provider(self.display_idx - 1) + nals
         import math as _math
         for _ in range(2):
             over = self.rc.vbv_overshoot(len(nals) * 8)
@@ -864,7 +883,8 @@ class VideoEncoderSession:
                  out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8),
                  out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8))
         return FrameResult(nals=nals, recon=recon, bits=len(nals) * 8,
-                           psnr_y=psnr)
+                           psnr_y=psnr, frame_type="I" if is_idr else "P",
+                           qp=qp)
 
     # ------------------------------------------------------------------
     # cuTree (reference slicetype.cpp cuTree/estimateCUPropagate): lowres
@@ -1117,7 +1137,8 @@ class VideoEncoderSession:
                 G.pad_plane(u, self.coded_h // 2, self.coded_w // 2),
                 G.pad_plane(v, self.coded_h // 2, self.coded_w // 2))
 
-    def _result(self, out, nals, qp, poc, src_y=None) -> "FrameResult":
+    def _result(self, out, nals, qp, poc, src_y=None,
+                frame_type: str = "") -> "FrameResult":
         recon = tuple(
             out[k][:h, :w].astype(np.uint8)
             for k, h, w in (("recon_y", self.src_h, self.src_w),
@@ -1128,7 +1149,8 @@ class VideoEncoderSession:
             mse = float(np.mean((recon[0].astype(np.float64) - src_y) ** 2))
             psnr = 99.99 if mse == 0 else 10 * np.log10(255 * 255 / mse)
         return FrameResult(nals=nals, recon=recon, bits=len(nals) * 8,
-                           psnr_y=psnr, poc=poc)
+                           psnr_y=psnr, poc=poc, frame_type=frame_type,
+                           qp=qp)
 
     def _encode_anchor(self, y, u, v, idr: bool, poc: int = 0,
                        ref_delta: int = 1) -> "FrameResult":
@@ -1157,11 +1179,14 @@ class VideoEncoderSession:
                                           ref_delta=ref_delta,
                                           sao_params=sao_params,
                                           weights=weights)
+        if self.sei_provider is not None:
+            nals = self.sei_provider(self.gop_display_base + poc) + nals
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         self.anchor = ((out["recon_y"], out["recon_u"], out["recon_v"]), poc)
         self.rc.frame_done(qp, len(nals) * 8)
-        return self._result(out, nals, qp, poc, src_y=y)
+        return self._result(out, nals, qp, poc, src_y=y,
+                            frame_type="I" if idr else "P")
 
     def _encode_b(self, y, u, v, poc, ref0, poc0, ref1, poc1,
                   is_ref: bool = False, rps=None):
@@ -1179,11 +1204,14 @@ class VideoEncoderSession:
         nals = self._assemble_b_slice(out, qp, poc, poc0, poc1,
                                       sao_params=sao_params, is_ref=is_ref,
                                       rps=rps)
+        if self.sei_provider is not None:
+            nals = self.sei_provider(self.gop_display_base + poc) + nals
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         self.rc.frame_done(qp, len(nals) * 8)
         recon = (out["recon_y"], out["recon_u"], out["recon_v"])
-        return self._result(out, nals, qp, poc, src_y=y), recon
+        return self._result(out, nals, qp, poc, src_y=y,
+                            frame_type="B" if is_ref else "b"), recon
 
     def _assemble_b_slice(self, out: dict, qp: int, poc: int, poc0: int,
                           poc1: int, sao_params=None, is_ref: bool = False,
