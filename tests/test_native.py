@@ -199,3 +199,57 @@ def test_native_b_slice_golden():
                 enc.encode_bin_trm(1 if r * cols + c == last else 0)
         data, tail, tail_bits = enc.finish()
         assert res == (data, tail, tail_bits), f"trial {trial} mismatch"
+
+
+def test_native_qt2_matches_python_all_slice_types():
+    """Unified native quadtree writer (I/P/B, depth 1-2) must be
+    byte-identical to the Python reference writers."""
+    import numpy as np
+    from x265_yuuki_asuna_tpu.bitstream import native
+    from x265_yuuki_asuna_tpu.models.encoder_top import (
+        IntraEncoderSession, VideoEncoderSession)
+    lib = native.load()
+    if lib is None or not hasattr(lib, "asuna_encode_slice_qt2"):
+        import pytest
+        pytest.skip("native qt2 unavailable")
+    rng = np.random.default_rng(7)
+    frames = []
+    base = rng.integers(0, 256, (96 + 16, 160 + 16)).astype(np.uint8)
+    for i in range(4):
+        y = base[i:i + 96, 2 * i:2 * i + 160].copy()
+        u = rng.integers(0, 256, (48, 80)).astype(np.uint8) if i == 0 \
+            else frames[-1][1]
+        v = np.full((48, 80), 128, np.uint8)
+        frames.append((y, u, v))
+
+    def diff(run):
+        s_native = run()
+        orig = native.encode_slice_qt2
+        try:
+            native.encode_slice_qt2 = lambda *a, **k: None
+            s_python = run()
+        finally:
+            native.encode_slice_qt2 = orig
+        assert s_native == s_python
+
+    for md in (1, 2):
+        diff(lambda md=md: IntraEncoderSession(
+            160, 96, qp=30, max_depth=md, hash_sei=False, info_sei=False
+            ).encode_frame(*frames[0]).nals)
+
+        def run_p(md=md):
+            sess = VideoEncoderSession(160, 96, qp=31, keyint=25,
+                                       max_depth=md, hash_sei=False)
+            return b"".join(sess.encode_frame(*f).nals for f in frames[:3])
+        diff(run_p)
+
+        def run_b(md=md):
+            sess = VideoEncoderSession(160, 96, qp=31, keyint=25,
+                                       max_depth=md, bframes=2,
+                                       hash_sei=False)
+            res = []
+            for f in frames:
+                res += sess.push_frame(*f)
+            res += sess.flush()
+            return b"".join(fr.nals for fr in res)
+        diff(run_b)

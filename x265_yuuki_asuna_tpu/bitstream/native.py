@@ -79,6 +79,17 @@ def load():
         except AttributeError:
             pass    # stale .so without the qt entry point
         try:
+            lib.asuna_encode_slice_qt2.restype = ctypes.c_int
+            lib.asuna_encode_slice_qt2.argtypes = (
+                [ctypes.c_int, ctypes.c_int]
+                + [ctypes.c_void_p] * 26
+                + [ctypes.c_int] * 8
+                + [ctypes.c_void_p, ctypes.c_int,
+                   ctypes.POINTER(ctypes.c_uint32),
+                   ctypes.POINTER(ctypes.c_int)])
+        except AttributeError:
+            pass
+        try:
             lib.asuna_encode_p_slice_qt.restype = ctypes.c_int
             lib.asuna_encode_p_slice_qt.argtypes = (
                 [ctypes.c_void_p] * 12
@@ -277,3 +288,62 @@ def encode_p_slice_qt(split, use_intra32, modes32, mv32x, mv32y,
     if nbytes < 0:
         return None
     return bytes(out[:nbytes]), int(tail.value), int(tail_bits.value)
+
+
+def encode_slice_qt2(slice_type: int, max_depth: int, out: dict, qp: int,
+                     max_merge: int = 3, sign_hiding: bool = False,
+                     poc: int = 0, poc_l0: int = 0, poc_l1: int = 0):
+    """Unified native quadtree slice CABAC (I/P/B, depth 1-2). out: the
+    device decision dict. Returns (payload, tail, tail_bits) or None."""
+    lib = load()
+    if lib is None or not hasattr(lib, "asuna_encode_slice_qt2"):
+        return None
+    split = out["split"]
+    rows, cols = split.shape
+    keep = []     # keep ndarray refs alive until after the call
+
+    def ptr(a, dt):
+        if a is None:
+            return None
+        a = np.ascontiguousarray(a, dt)
+        keep.append(a)
+        return a.ctypes.data
+
+    sp = ptr(split, np.uint8)
+    sp16 = ptr(out.get("split16"), np.uint8) if max_depth >= 2 else None
+    ui32 = ptr(out.get("use_intra"), np.uint8)
+    m32 = ptr(out["modes"], np.int32)
+    pd32 = ptr(out.get("pdir"), np.int32)
+    x32, y32 = ptr(out.get("mvx"), np.int32), ptr(out.get("mvy"), np.int32)
+    x321 = ptr(out.get("mv1x"), np.int32)
+    y321 = ptr(out.get("mv1y"), np.int32)
+    ui4 = ptr(out.get("use_intra4"), np.uint8)
+    m4 = ptr(out["modes4"], np.int32)
+    pd4 = ptr(out.get("pdir4"), np.int32)
+    x4, y4 = ptr(out.get("mv4x"), np.int32), ptr(out.get("mv4y"), np.int32)
+    x41 = ptr(out.get("mv41x"), np.int32)
+    y41 = ptr(out.get("mv41y"), np.int32)
+    ui8 = ptr(out.get("use_intra8"), np.uint8) if max_depth >= 2 else None
+    m8 = ptr(out.get("modes8"), np.int32) if max_depth >= 2 else None
+    pd8 = ptr(out.get("pdir8"), np.int32) if max_depth >= 2 else None
+    x8 = ptr(out.get("mv8x"), np.int32) if max_depth >= 2 else None
+    y8 = ptr(out.get("mv8y"), np.int32) if max_depth >= 2 else None
+    x81 = ptr(out.get("mv81x"), np.int32) if max_depth >= 2 else None
+    y81 = ptr(out.get("mv81y"), np.int32) if max_depth >= 2 else None
+    ly = ptr(out["levels_y"], np.int32)
+    lcb = ptr(out["levels_cb"], np.int32)
+    lcr = ptr(out["levels_cr"], np.int32)
+    cap = int(rows * cols * (32 * 32 + 2 * 16 * 16) * 4 + 65536)
+    buf = np.empty(cap, np.uint8)
+    tail = ctypes.c_uint32()
+    tail_bits = ctypes.c_int()
+    nbytes = lib.asuna_encode_slice_qt2(
+        slice_type, max_depth, sp, sp16, ui32, m32, pd32, x32, y32,
+        x321, y321, ui4, m4, pd4, x4, y4, x41, y41,
+        ui8, m8, pd8, x8, y8, x81, y81,
+        ly, lcb, lcr, rows, cols, qp, max_merge,
+        1 if sign_hiding else 0, poc, poc_l0, poc_l1,
+        buf.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
+    if nbytes < 0:
+        return None
+    return bytes(buf[:nbytes]), int(tail.value), int(tail_bits.value)

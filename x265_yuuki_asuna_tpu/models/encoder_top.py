@@ -425,11 +425,9 @@ class IntraEncoderSession:
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
         qp_map = out.get("qp_map")
-        res = None if (sao_params is not None or qp_map is not None
-                       or self.max_depth != 1) \
-            else native.encode_intra_slice_qt(
-            split, mode32, modes4, out["levels_y"], out["levels_cb"],
-            out["levels_cr"], qp, self.sbh)
+        res = None if (sao_params is not None or qp_map is not None) \
+            else native.encode_slice_qt2(2, self.max_depth, out, qp,
+                                         sign_hiding=self.sbh)
         if res is not None:
             data, tail, tail_bits = res
         else:
@@ -1288,6 +1286,18 @@ class VideoEncoderSession:
                                     rps=rps,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
+        res = None if sao_params is not None \
+            else native.encode_slice_qt2(0, self.max_depth, out, qp,
+                                         self.max_merge,
+                                         sign_hiding=self.sbh,
+                                         poc=poc, poc_l0=poc0, poc_l1=poc1)
+        if res is not None:
+            data, tail, tail_bits = res
+            for b in data:
+                bw.write_byte(b)
+            bw.write_bits(tail, tail_bits)
+            bw.rbsp_trailing_bits()
+            return wrap_nal(nal_type, bw.get_bytes())
         enc = CabacEncoder()
         enc.init_contexts(0, qp)
         md = self.max_depth
@@ -1514,13 +1524,10 @@ class VideoEncoderSession:
                                     max_merge=self.max_merge,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
-        res = None if (sao_params is not None or qp_map is not None
-                       or self.max_depth != 1) \
-            else native.encode_p_slice_qt(
-            out["split"], out["use_intra"], out["modes"],
-            out["mvx"], out["mvy"], out["use_intra4"], out["modes4"],
-            out["mv4x"], out["mv4y"], out["levels_y"], out["levels_cb"],
-            out["levels_cr"], qp, self.max_merge, self.sbh)
+        res = None if (sao_params is not None or qp_map is not None) \
+            else native.encode_slice_qt2(1, self.max_depth, out, qp,
+                                         self.max_merge,
+                                         sign_hiding=self.sbh)
         if res is not None:
             data, tail, tail_bits = res
         else:

@@ -1481,3 +1481,532 @@ int asuna_encode_b_slice(
 }
 
 }  // extern "C"
+// ---------------------------------------------------------------------------
+// Generalized quadtree slice writers (depth 1 or 2; I, P and B slices).
+// Position-based candidate derivation on a cell grid whose cell size is
+// 32>>maxDepth pixels. Mirrors the Python reference writers in
+// encoder_top.py / inter_syntax.py (golden-tested byte-identical).
+// ---------------------------------------------------------------------------
+
+namespace qt2 {
+
+struct QCell {
+    uint8_t decoded = 0, isIntra = 0, skip = 0;
+    BMotionC motion;
+    int32_t intraMode = 1;
+};
+
+struct QGrid {
+    std::vector<QCell> v;
+    int gr, gc;
+    const QCell* at(int y, int x) const {
+        if (y < 0 || x < 0 || y >= gr || x >= gc) return nullptr;
+        const QCell* p = &v[(size_t)y * gc + x];
+        return p->decoded ? p : nullptr;
+    }
+    const BMotionC* inter(int y, int x) const {
+        const QCell* p = at(y, x);
+        return (p && !p->isIntra) ? &p->motion : nullptr;
+    }
+    void fill(int gy, int gx, int s, const QCell& cell) {
+        for (int yy = gy; yy < gy + s; yy++)
+            for (int xx = gx; xx < gx + s; xx++)
+                v[(size_t)yy * gc + xx] = cell;
+    }
+};
+
+// --- P-slice candidates (single L0 list, zero-MV fill) ---------------------
+
+static void mergeCandsP(const QGrid& g, int gy, int gx, int s, int maxCands,
+                        int32_t (*out)[2]) {
+    auto mv = [&](int y, int x, int32_t* o) -> bool {
+        const BMotionC* m = g.inter(y, x);
+        if (!m) return false;
+        o[0] = m->mv0x; o[1] = m->mv0y;
+        return true;
+    };
+    int32_t a1[2], b1[2], b0[2], a0[2], b2[2];
+    bool hA1 = mv(gy + s - 1, gx - 1, a1);
+    bool hB1 = mv(gy - 1, gx + s - 1, b1);
+    bool hB0 = mv(gy - 1, gx + s, b0);
+    bool hA0 = mv(gy + s, gx - 1, a0);
+    bool hB2 = mv(gy - 1, gx - 1, b2);
+    auto eq = [](const int32_t* a, const int32_t* b) {
+        return a[0] == b[0] && a[1] == b[1];
+    };
+    int n = 0;
+    if (hA1) { out[n][0] = a1[0]; out[n][1] = a1[1]; n++; }
+    if (hB1 && !(hA1 && eq(b1, a1))) { out[n][0] = b1[0]; out[n][1] = b1[1]; n++; }
+    if (hB0 && !(hB1 && eq(b0, b1))) { out[n][0] = b0[0]; out[n][1] = b0[1]; n++; }
+    if (hA0 && !(hA1 && eq(a0, a1))) { out[n][0] = a0[0]; out[n][1] = a0[1]; n++; }
+    if (n < 4 && hB2 && !(hA1 && eq(b2, a1)) && !(hB1 && eq(b2, b1))) {
+        out[n][0] = b2[0]; out[n][1] = b2[1]; n++;
+    }
+    while (n < maxCands) { out[n][0] = 0; out[n][1] = 0; n++; }
+}
+
+static void amvpCandsP(const QGrid& g, int gy, int gx, int s,
+                       int32_t (*out)[2]) {
+    auto mv = [&](int y, int x, int32_t* o) -> bool {
+        const BMotionC* m = g.inter(y, x);
+        if (!m) return false;
+        o[0] = m->mv0x; o[1] = m->mv0y;
+        return true;
+    };
+    int32_t a[2], b[2];
+    bool hA = mv(gy + s, gx - 1, a) || mv(gy + s - 1, gx - 1, a);
+    bool hB = mv(gy - 1, gx + s, b) || mv(gy - 1, gx + s - 1, b)
+              || mv(gy - 1, gx - 1, b);
+    int n = 0;
+    if (hA) { out[n][0] = a[0]; out[n][1] = a[1]; n++; }
+    if (hB && !(hA && b[0] == a[0] && b[1] == a[1])) {
+        out[n][0] = b[0]; out[n][1] = b[1]; n++;
+    }
+    while (n < 2) { out[n][0] = 0; out[n][1] = 0; n++; }
+}
+
+// --- B-slice candidates (two lists; combined-bi merge; POC-scaled AMVP) ----
+
+static void mergeCandsB(const QGrid& g, int gy, int gx, int s, int maxCands,
+                        BMotionC* out) {
+    const BMotionC* a1 = g.inter(gy + s - 1, gx - 1);
+    const BMotionC* b1 = g.inter(gy - 1, gx + s - 1);
+    const BMotionC* b0 = g.inter(gy - 1, gx + s);
+    const BMotionC* a0 = g.inter(gy + s, gx - 1);
+    const BMotionC* b2 = g.inter(gy - 1, gx - 1);
+    int n = 0;
+    if (a1) out[n++] = *a1;
+    if (b1 && !(a1 && b1->sameAs(*a1))) out[n++] = *b1;
+    if (b0 && !(b1 && b0->sameAs(*b1))) out[n++] = *b0;
+    if (a0 && !(a1 && a0->sameAs(*a1))) out[n++] = *a0;
+    if (n < 4 && b2 && !(a1 && b2->sameAs(*a1)) && !(b1 && b2->sameAs(*b1)))
+        out[n++] = *b2;
+    static const int PAIRS[12][2] = {{0,1},{1,0},{0,2},{2,0},{1,2},{2,1},
+                                     {0,3},{3,0},{1,3},{3,1},{2,3},{3,2}};
+    int nOrig = n;
+    int nPairs = nOrig * (nOrig - 1);
+    if (nPairs > 12) nPairs = 12;
+    for (int k = 0; k < nPairs && n < maxCands; k++) {
+        int i = PAIRS[k][0], j = PAIRS[k][1];
+        if ((out[i].dir & 1) && (out[j].dir & 2)) {
+            BMotionC m;
+            m.dir = 3;
+            m.mv0x = out[i].mv0x; m.mv0y = out[i].mv0y;
+            m.mv1x = out[j].mv1x; m.mv1y = out[j].mv1y;
+            out[n++] = m;
+        }
+    }
+    while (n < maxCands) {
+        BMotionC z; z.dir = 3;
+        z.mv0x = z.mv0y = z.mv1x = z.mv1y = 0;
+        out[n++] = z;
+    }
+}
+
+static void amvpCandsB(const QGrid& g, int gy, int gx, int s, int lx,
+                       int pocCur, int pocL0, int pocL1, int32_t (*out)[2]) {
+    int pocTarget = lx == 0 ? pocL0 : pocL1;
+    auto pocOf = [&](int which) { return which == 0 ? pocL0 : pocL1; };
+    auto mvOf = [&](const BMotionC& m, int which, int32_t* v) {
+        if (which == 0) { v[0] = m.mv0x; v[1] = m.mv0y; }
+        else { v[0] = m.mv1x; v[1] = m.mv1y; }
+    };
+    auto noscale = [&](const BMotionC& m, int32_t* v) -> bool {
+        if (m.dir & (1 << lx)) { mvOf(m, lx, v); return true; }
+        int oy = 1 - lx;
+        if ((m.dir & (1 << oy)) && pocOf(oy) == pocTarget) {
+            mvOf(m, oy, v);
+            return true;
+        }
+        return false;
+    };
+    auto scaled = [&](const BMotionC& m, int32_t* v) -> bool {
+        for (int k = 0; k < 2; k++) {
+            int which = k == 0 ? lx : 1 - lx;
+            if (m.dir & (1 << which)) {
+                int tb = pocCur - pocTarget;
+                int td = pocCur - pocOf(which);
+                if (td == 0) return false;
+                int32_t raw[2];
+                mvOf(m, which, raw);
+                if (tb == td) { v[0] = raw[0]; v[1] = raw[1]; }
+                else scaleMvB(raw[0], raw[1], tb, td, &v[0], &v[1]);
+                return true;
+            }
+        }
+        return false;
+    };
+    const int A_POS[2][2] = {{gy + s, gx - 1}, {gy + s - 1, gx - 1}};
+    const int B_POS[3][2] = {{gy - 1, gx + s}, {gy - 1, gx + s - 1},
+                             {gy - 1, gx - 1}};
+    int n = 0;
+    int32_t candA[2];
+    bool haveA = false, leftAvail = false;
+    for (int i = 0; i < 2 && !haveA; i++) {
+        const BMotionC* m = g.inter(A_POS[i][0], A_POS[i][1]);
+        if (m) {
+            leftAvail = true;
+            haveA = noscale(*m, candA);
+        }
+    }
+    if (leftAvail && !haveA) {
+        for (int i = 0; i < 2 && !haveA; i++) {
+            const BMotionC* m = g.inter(A_POS[i][0], A_POS[i][1]);
+            if (m) haveA = scaled(*m, candA);
+        }
+    }
+    if (haveA) { out[n][0] = candA[0]; out[n][1] = candA[1]; n++; }
+    for (int i = 0; i < 3; i++) {
+        const BMotionC* m = g.inter(B_POS[i][0], B_POS[i][1]);
+        if (m) {
+            int32_t v[2];
+            if (noscale(*m, v)) { out[n][0] = v[0]; out[n][1] = v[1]; n++; break; }
+        }
+    }
+    if (!leftAvail && n < 2) {
+        for (int i = 0; i < 3; i++) {
+            const BMotionC* m = g.inter(B_POS[i][0], B_POS[i][1]);
+            if (m) {
+                int32_t v[2];
+                if (scaled(*m, v)) { out[n][0] = v[0]; out[n][1] = v[1]; n++; break; }
+            }
+        }
+    }
+    if (n == 2 && out[0][0] == out[1][0] && out[0][1] == out[1][1]) n = 1;
+    while (n < 2) { out[n][0] = 0; out[n][1] = 0; n++; }
+}
+
+// --- unified CU coder --------------------------------------------------------
+
+struct SliceCtx {
+    Cabac* cb;
+    QGrid* grid;
+    const int32_t* lvY;       // CTU-local [32*32]
+    const int32_t* lvCb;      // [16*16]
+    const int32_t* lvCr;
+    int gy0, gx0;             // CTU origin in cells
+    int cellPx, minLog2;
+    int maxMerge, signHiding;
+    int sliceType;            // 0=B, 1=P, 2=I
+    int pocCur, pocL0, pocL1;
+};
+
+static void extractLv(const int32_t* src, int srcN, int oy, int ox, int px,
+                      int32_t* dst) {
+    for (int yy = 0; yy < px; yy++)
+        memcpy(dst + yy * px, src + (oy + yy) * srcN + ox,
+               px * sizeof(int32_t));
+}
+
+static void codeIntraPart(SliceCtx& S, int gy, int gx, int s, int mode,
+                          const int32_t* qly, const int32_t* qcb,
+                          const int32_t* qcr, int log2cu) {
+    Cabac& cb = *S.cb;
+    QGrid& g = *S.grid;
+    const QCell* l = g.at(gy, gx - 1);
+    int cl = (l && l->isIntra) ? l->intraMode : 1;
+    int ca = 1;
+    int ctbCells = 32 / S.cellPx;
+    if ((gy % ctbCells) != 0) {
+        const QCell* ab = g.at(gy - 1, gx);
+        ca = (ab && ab->isIntra) ? ab->intraMode : 1;
+    }
+    int mpm[3];
+    deriveMPM(cl, ca, mpm);
+    if (log2cu == S.minLog2) cb.encodeBin(1, CTX_PART_SIZE);
+    encodeIntraLumaMode(cb, mode, mpm);
+    cb.encodeBin(0, CTX_INTRA_CHROMA);
+    int nl = 1 << log2cu, ncr = nl >> 1;
+    int cbfY = anyNonzero(qly, nl * nl);
+    int cbfCb = anyNonzero(qcb, ncr * ncr);
+    int cbfCr = anyNonzero(qcr, ncr * ncr);
+    cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
+    cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
+    cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+    if (cbfY) encodeResidual(cb, qly, log2cu, true, mode, S.signHiding);
+    if (cbfCb) encodeResidual(cb, qcb, log2cu - 1, false, mode, S.signHiding);
+    if (cbfCr) encodeResidual(cb, qcr, log2cu - 1, false, mode, S.signHiding);
+    QCell cell;
+    cell.decoded = 1; cell.isIntra = 1; cell.skip = 0;
+    cell.intraMode = mode;
+    g.fill(gy, gx, s, cell);
+}
+
+static void codeCuQt2(SliceCtx& S, int gy, int gx, int s, int isIntra,
+                      int mode, const BMotionC& motion) {
+    Cabac& cb = *S.cb;
+    QGrid& g = *S.grid;
+    const int px = s * S.cellPx;
+    const int log2cu = 31 - __builtin_clz(px);
+    const int oy = (gy - S.gy0) * S.cellPx, ox = (gx - S.gx0) * S.cellPx;
+    int32_t qly[32 * 32], qcb[16 * 16], qcr[16 * 16];
+    extractLv(S.lvY, 32, oy, ox, px, qly);
+    extractLv(S.lvCb, 16, oy / 2, ox / 2, px / 2, qcb);
+    extractLv(S.lvCr, 16, oy / 2, ox / 2, px / 2, qcr);
+
+    if (S.sliceType == 2) {            // I slice: no skip/pred_mode syntax
+        codeIntraPart(S, gy, gx, s, mode, qly, qcb, qcr, log2cu);
+        return;
+    }
+
+    const int nl = px, ncr = px >> 1;
+    int cbfY = anyNonzero(qly, nl * nl);
+    int cbfCb = anyNonzero(qcb, ncr * ncr);
+    int cbfCr = anyNonzero(qcr, ncr * ncr);
+    bool hasResid = cbfY || cbfCb || cbfCr;
+    const QCell* l = g.at(gy, gx - 1);
+    const QCell* a = g.at(gy - 1, gx);
+    int sctx = (l && l->skip ? 1 : 0) + (a && a->skip ? 1 : 0);
+
+    if (!isIntra) {
+        int mergeIdx = -1;
+        if (S.sliceType == 1) {
+            int32_t cands[5][2];
+            mergeCandsP(g, gy, gx, s, S.maxMerge, cands);
+            for (int i = 0; i < S.maxMerge; i++)
+                if (cands[i][0] == motion.mv0x && cands[i][1] == motion.mv0y) {
+                    mergeIdx = i;
+                    break;
+                }
+        } else {
+            BMotionC cands[5];
+            mergeCandsB(g, gy, gx, s, S.maxMerge, cands);
+            for (int i = 0; i < S.maxMerge; i++)
+                if (cands[i].sameAs(motion) && cands[i].dir == motion.dir) {
+                    mergeIdx = i;
+                    break;
+                }
+        }
+        bool isSkip = mergeIdx >= 0 && !hasResid;
+        cb.encodeBin(isSkip ? 1 : 0, CTX_SKIP + sctx);
+        if (isSkip) {
+            encodeMergeIdx(cb, mergeIdx, S.maxMerge);
+            QCell cell;
+            cell.decoded = 1; cell.isIntra = 0; cell.skip = 1;
+            cell.motion = motion;
+            g.fill(gy, gx, s, cell);
+            return;
+        }
+        cb.encodeBin(S.sliceType == 0 ? 0 : 0, CTX_PRED_MODE);
+        cb.encodeBin(1, CTX_PART_SIZE);
+        int rqt;
+        if (mergeIdx >= 0) {
+            cb.encodeBin(1, CTX_MERGE_FLAG);
+            encodeMergeIdx(cb, mergeIdx, S.maxMerge);
+            rqt = 1;
+        } else {
+            cb.encodeBin(0, CTX_MERGE_FLAG);
+            if (S.sliceType == 0) {
+                int depthCtx = 5 - log2cu;
+                cb.encodeBin(motion.dir == 3 ? 1 : 0, CTX_INTER_DIR + depthCtx);
+                if (motion.dir != 3)
+                    cb.encodeBin(motion.dir == 1 ? 0 : 1, CTX_INTER_DIR + 4);
+                if (motion.dir & 1) {
+                    int32_t preds[2][2];
+                    amvpCandsB(g, gy, gx, s, 0, S.pocCur, S.pocL0, S.pocL1,
+                               preds);
+                    int c0 = abs(motion.mv0x - preds[0][0])
+                           + abs(motion.mv0y - preds[0][1]);
+                    int c1 = abs(motion.mv0x - preds[1][0])
+                           + abs(motion.mv0y - preds[1][1]);
+                    int flag = c0 <= c1 ? 0 : 1;
+                    encodeMvd(cb, motion.mv0x - preds[flag][0],
+                              motion.mv0y - preds[flag][1]);
+                    cb.encodeBin(flag, CTX_MVP_IDX);
+                }
+                if (motion.dir & 2) {
+                    int32_t preds[2][2];
+                    amvpCandsB(g, gy, gx, s, 1, S.pocCur, S.pocL0, S.pocL1,
+                               preds);
+                    int c0 = abs(motion.mv1x - preds[0][0])
+                           + abs(motion.mv1y - preds[0][1]);
+                    int c1 = abs(motion.mv1x - preds[1][0])
+                           + abs(motion.mv1y - preds[1][1]);
+                    int flag = c0 <= c1 ? 0 : 1;
+                    encodeMvd(cb, motion.mv1x - preds[flag][0],
+                              motion.mv1y - preds[flag][1]);
+                    cb.encodeBin(flag, CTX_MVP_IDX);
+                }
+            } else {
+                int32_t preds[2][2];
+                amvpCandsP(g, gy, gx, s, preds);
+                int c0 = abs(motion.mv0x - preds[0][0])
+                       + abs(motion.mv0y - preds[0][1]);
+                int c1 = abs(motion.mv0x - preds[1][0])
+                       + abs(motion.mv0y - preds[1][1]);
+                int flag = c0 <= c1 ? 0 : 1;
+                encodeMvd(cb, motion.mv0x - preds[flag][0],
+                          motion.mv0y - preds[flag][1]);
+                cb.encodeBin(flag, CTX_MVP_IDX);
+            }
+            rqt = hasResid ? 1 : 0;
+            cb.encodeBin(rqt, CTX_QT_ROOT_CBF);
+        }
+        if (rqt) {
+            cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
+            cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
+            if (cbfCb || cbfCr) cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+            if (cbfY) encodeResidual(cb, qly, log2cu, true, -1, S.signHiding);
+            if (cbfCb) encodeResidual(cb, qcb, log2cu - 1, false, -1,
+                                      S.signHiding);
+            if (cbfCr) encodeResidual(cb, qcr, log2cu - 1, false, -1,
+                                      S.signHiding);
+        }
+        QCell cell;
+        cell.decoded = 1; cell.isIntra = 0; cell.skip = 0;
+        cell.motion = motion;
+        g.fill(gy, gx, s, cell);
+    } else {
+        cb.encodeBin(0, CTX_SKIP + sctx);
+        cb.encodeBin(1, CTX_PRED_MODE);
+        codeIntraPart(S, gy, gx, s, mode, qly, qcb, qcr, log2cu);
+    }
+}
+
+struct CtuData {
+    // per-CTU decision pointers (null where a level is absent)
+    int sp0;
+    const uint8_t* split16;        // [4] or null
+    int ui32, m32;
+    BMotionC mo32;
+    const uint8_t* ui4;
+    const int32_t* m4;
+    BMotionC mo4[4];
+    const uint8_t* ui8;            // [4*4] or null
+    const int32_t* m8;
+    BMotionC mo8[16];
+};
+
+static void codeCtuQt2(SliceCtx& S, const CtuData& D, int r, int c,
+                       std::vector<uint8_t>& depth, int g) {
+    Cabac& cb = *S.cb;
+    int gc = S.grid->gc;
+    int gy = g * r, gx = g * c;
+    S.gy0 = gy; S.gx0 = gx;
+    auto splitFlag = [&](int cy, int cx, int d, int sp) {
+        int ctx = (cx > 0 && depth[(size_t)cy * gc + cx - 1] > d ? 1 : 0)
+                + (cy > 0 && depth[(size_t)(cy - 1) * gc + cx] > d ? 1 : 0);
+        cb.encodeBin(sp, CTX_SPLIT_CU + ctx);
+    };
+    auto setDepth = [&](int cy, int cx, int sc, uint8_t d) {
+        for (int yy = cy; yy < cy + sc; yy++)
+            for (int xx = cx; xx < cx + sc; xx++)
+                depth[(size_t)yy * gc + xx] = d;
+    };
+    static const int QOFF[4][2] = {{0,0},{0,1},{1,0},{1,1}};
+    splitFlag(gy, gx, 0, D.sp0);
+    if (!D.sp0) {
+        codeCuQt2(S, gy, gx, g, D.ui32, D.m32, D.mo32);
+        setDepth(gy, gx, g, 0);
+        return;
+    }
+    int half = g / 2;
+    for (int q = 0; q < 4; q++) {
+        int cy = gy + QOFF[q][0] * half, cx = gx + QOFF[q][1] * half;
+        int sub = (S.cellPx == 8) && D.split16 && D.split16[q];
+        if (S.cellPx == 8) splitFlag(cy, cx, 1, sub);
+        if (!sub) {
+            codeCuQt2(S, cy, cx, half, D.ui4[q], D.m4[q], D.mo4[q]);
+            setDepth(cy, cx, half, 1);
+        } else {
+            for (int sq = 0; sq < 4; sq++) {
+                int sy = cy + QOFF[sq][0], sx = cx + QOFF[sq][1];
+                codeCuQt2(S, sy, sx, 1, D.ui8[q * 4 + sq],
+                          D.m8[q * 4 + sq], D.mo8[q * 4 + sq]);
+                depth[(size_t)sy * gc + sx] = 2;
+            }
+        }
+    }
+}
+
+}  // namespace qt2
+
+extern "C" int asuna_encode_slice_qt2(
+    int sliceType,                 // 0=B, 1=P, 2=I
+    int maxDepth,                  // 1 or 2
+    const uint8_t* split, const uint8_t* split16,
+    const uint8_t* ui32, const int32_t* m32,
+    const int32_t* pdir32, const int32_t* mv32x, const int32_t* mv32y,
+    const int32_t* mv321x, const int32_t* mv321y,
+    const uint8_t* ui4, const int32_t* m4,
+    const int32_t* pdir4, const int32_t* mv4x, const int32_t* mv4y,
+    const int32_t* mv41x, const int32_t* mv41y,
+    const uint8_t* ui8, const int32_t* m8,
+    const int32_t* pdir8, const int32_t* mv8x, const int32_t* mv8y,
+    const int32_t* mv81x, const int32_t* mv81y,
+    const int32_t* levelsY, const int32_t* levelsCb, const int32_t* levelsCr,
+    int rows, int cols, int qp, int maxMerge, int signHiding,
+    int pocCur, int pocL0, int pocL1,
+    uint8_t* outBuf, int outCap, uint32_t* tailValue, int* tailBits)
+{
+    using namespace qt2;
+    Cabac cb;
+    cb.init(sliceType, qp);
+    const int ncu = rows * cols;
+    const int g = 1 << maxDepth;
+    QGrid grid;
+    grid.gr = g * rows; grid.gc = g * cols;
+    grid.v.resize((size_t)grid.gr * grid.gc);
+    std::vector<uint8_t> depth((size_t)grid.gr * grid.gc, 0);
+
+    SliceCtx S;
+    S.cb = &cb; S.grid = &grid;
+    S.cellPx = 32 / g; S.minLog2 = 5 - maxDepth;
+    S.maxMerge = maxMerge; S.signHiding = signHiding;
+    S.sliceType = sliceType;
+    S.pocCur = pocCur; S.pocL0 = pocL0; S.pocL1 = pocL1;
+
+    auto mot = [&](const int32_t* pd, const int32_t* x0, const int32_t* y0,
+                   const int32_t* x1, const int32_t* y1, size_t i) {
+        BMotionC m;
+        m.dir = pd ? pd[i] : 1;
+        m.mv0x = (m.dir & 1) && x0 ? x0[i] : 0;
+        m.mv0y = (m.dir & 1) && y0 ? y0[i] : 0;
+        m.mv1x = (m.dir & 2) && x1 ? x1[i] : 0;
+        m.mv1y = (m.dir & 2) && y1 ? y1[i] : 0;
+        return m;
+    };
+
+    for (int r = 0; r < rows; r++) {
+        for (int c = 0; c < cols; c++) {
+            size_t idx = (size_t)r * cols + c;
+            CtuData D;
+            D.sp0 = split[idx] ? 1 : 0;
+            D.split16 = split16 ? split16 + idx * 4 : nullptr;
+            D.ui32 = sliceType == 2 ? 1 : (ui32 ? ui32[idx] : 1);
+            D.m32 = m32[idx];
+            D.mo32 = mot(pdir32, mv32x, mv32y, mv321x, mv321y, idx);
+            D.ui4 = ui32 ? (ui4 ? ui4 + idx * 4 : nullptr) : nullptr;
+            static const uint8_t ONES4[4] = {1, 1, 1, 1};
+            static const uint8_t ONES16[16] = {1,1,1,1,1,1,1,1,
+                                               1,1,1,1,1,1,1,1};
+            if (sliceType == 2 || !D.ui4) D.ui4 = ONES4;
+            D.m4 = m4 + idx * 4;
+            for (int q = 0; q < 4; q++)
+                D.mo4[q] = mot(pdir4 ? pdir4 + idx * 4 : nullptr,
+                               mv4x ? mv4x + idx * 4 : nullptr,
+                               mv4y ? mv4y + idx * 4 : nullptr,
+                               mv41x ? mv41x + idx * 4 : nullptr,
+                               mv41y ? mv41y + idx * 4 : nullptr, q);
+            D.ui8 = ui8 ? ui8 + idx * 16 : nullptr;
+            if (sliceType == 2 && maxDepth >= 2) D.ui8 = ONES16;
+            D.m8 = m8 ? m8 + idx * 16 : nullptr;
+            if (maxDepth >= 2)
+                for (int k = 0; k < 16; k++)
+                    D.mo8[k] = mot(pdir8 ? pdir8 + idx * 16 : nullptr,
+                                   mv8x ? mv8x + idx * 16 : nullptr,
+                                   mv8y ? mv8y + idx * 16 : nullptr,
+                                   mv81x ? mv81x + idx * 16 : nullptr,
+                                   mv81y ? mv81y + idx * 16 : nullptr, k);
+            S.lvY = levelsY + idx * 32 * 32;
+            S.lvCb = levelsCb + idx * 16 * 16;
+            S.lvCr = levelsCr + idx * 16 * 16;
+            codeCtuQt2(S, D, r, c, depth, g);
+            cb.encodeBinTrm(idx == (size_t)ncu - 1 ? 1 : 0);
+        }
+    }
+    cb.finish(tailValue, tailBits);
+    if ((int)cb.out.size() > outCap) return -1;
+    memcpy(outBuf, cb.out.data(), cb.out.size());
+    return (int)cb.out.size();
+}
