@@ -192,6 +192,7 @@ def main(argv=None):
             ctu = args.ctu or 16
         sess = VideoEncoderSession(info.width, info.height, qp=qp,
                                    cu_size=ctu,
+                                   bit_depth=info.bit_depth,
                                    max_depth=qt_depth,
                                    fps=(info.fps_num, info.fps_denom),
                                    keyint=max(keyint, 2) if keyint > 1 else 250,
@@ -221,6 +222,7 @@ def main(argv=None):
             ctu = args.ctu or 16
         sess = IntraEncoderSession(info.width, info.height, qp=qp,
                                    cu_size=ctu,
+                                   bit_depth=info.bit_depth,
                                    fps=(info.fps_num, info.fps_denom),
                                    hash_sei=not args.no_hash,
                                    lossless=args.lossless,

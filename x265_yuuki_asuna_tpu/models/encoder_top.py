@@ -651,7 +651,8 @@ class VideoEncoderSession:
                  analysis_save: str = None, analysis_load: str = None,
                  aq_mode: int = 0, aq_strength: float = 1.0,
                  cutree: bool = False, b_pyramid: bool = True,
-                 max_depth: int = 0, psy_rd: float = 0.0):
+                 max_depth: int = 0, psy_rd: float = 0.0,
+                 bit_depth: int = 8):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         if max_depth:
@@ -672,7 +673,9 @@ class VideoEncoderSession:
                                               hash_sei=False, deblock=deblock,
                                               sao=sao, rdoq=rdoq, sbh=sbh,
                                               max_depth=max_depth,
-                                              psy_rd=psy_rd)
+                                              psy_rd=psy_rd,
+                                              bit_depth=bit_depth)
+        self.bit_depth = bit_depth
         self.sbh = self.intra_sess.sbh
         if per_cu_qp:
             self.intra_sess.pps.cu_qp_delta = 1
@@ -710,7 +713,7 @@ class VideoEncoderSession:
             width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp,
             search_range=search_range, rdoq=rdoq, weightp=weightp,
             sbh=self.sbh, analysis_load=self.analysis_data is not None,
-            max_depth=max_depth,
+            max_depth=max_depth, bit_depth=bit_depth,
             psy_rd=psy_rd if max_depth else 0.0))
         self.frame_idx = 0
         self.poc = 0
@@ -738,7 +741,7 @@ class VideoEncoderSession:
             self.bi_encoder = InterFrameEncoder(InterFrameConfig(
                 width=self.coded_w, height=self.coded_h, cu_size=cu_size,
                 qp=qp, search_range=search_range, bi=True, rdoq=rdoq,
-                sbh=self.sbh, max_depth=max_depth,
+                sbh=self.sbh, max_depth=max_depth, bit_depth=bit_depth,
                 psy_rd=psy_rd if max_depth else 0.0))
         self.sei_provider = None    # callable(display_idx) -> prefix bytes
         self.pending = []           # buffered display-order frames (y, u, v)
@@ -874,12 +877,14 @@ class VideoEncoderSession:
         if self.stats_writer is not None:
             self.stats_writer.add("I" if is_idr else "P", qp, len(nals) * 8,
                                   la_cost)
+        pk = (1 << getattr(self, "bit_depth", 8)) - 1
+        pdt = np.uint16 if getattr(self, "bit_depth", 8) > 8 else np.uint8
         mse = float(np.mean((out["recon_y"][:self.src_h, :self.src_w]
                              .astype(np.float64) - y) ** 2))
-        psnr = 99.99 if mse == 0 else 10 * np.log10(255 * 255 / mse)
-        recon = (out["recon_y"][:self.src_h, :self.src_w].astype(np.uint8),
-                 out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8),
-                 out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8))
+        psnr = 99.99 if mse == 0 else 10 * np.log10(pk * pk / mse)
+        recon = (out["recon_y"][:self.src_h, :self.src_w].astype(pdt),
+                 out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(pdt),
+                 out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(pdt))
         return FrameResult(nals=nals, recon=recon, bits=len(nals) * 8,
                            psnr_y=psnr, frame_type="I" if is_idr else "P",
                            qp=qp)
@@ -1002,7 +1007,8 @@ class VideoEncoderSession:
             bs_v, bs_h = DB.compute_bs_qt2(maps)
             dy, du, dv = DB.deblock_frame_qt2(
                 out["recon_y"], out["recon_u"], out["recon_v"],
-                qp, chroma_qp_from_luma(qp), bs_v, bs_h)
+                qp, chroma_qp_from_luma(qp), bs_v, bs_h,
+                bit_depth=getattr(self, "bit_depth", 8))
         elif self.max_depth:
             maps = DB.expand_qt_maps(out) if not is_idr else \
                 DB.expand_qt_maps({"split": out["split"],
@@ -1010,7 +1016,8 @@ class VideoEncoderSession:
             bs_v, bs_h = DB.compute_bs_qt(maps)
             dy, du, dv = DB.deblock_frame_inter(
                 out["recon_y"], out["recon_u"], out["recon_v"], 16,
-                qp, chroma_qp_from_luma(qp), bs_v, bs_h)
+                qp, chroma_qp_from_luma(qp), bs_v, bs_h,
+                bit_depth=getattr(self, "bit_depth", 8))
         elif is_idr:
             dy, du, dv = DB.deblock_frame_uniform(
                 out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
@@ -1137,15 +1144,17 @@ class VideoEncoderSession:
 
     def _result(self, out, nals, qp, poc, src_y=None,
                 frame_type: str = "") -> "FrameResult":
+        pdt = np.uint16 if getattr(self, "bit_depth", 8) > 8 else np.uint8
         recon = tuple(
-            out[k][:h, :w].astype(np.uint8)
+            out[k][:h, :w].astype(pdt)
             for k, h, w in (("recon_y", self.src_h, self.src_w),
                             ("recon_u", self.src_h // 2, self.src_w // 2),
                             ("recon_v", self.src_h // 2, self.src_w // 2)))
         psnr = 0.0
         if src_y is not None:
+            pk = (1 << getattr(self, "bit_depth", 8)) - 1
             mse = float(np.mean((recon[0].astype(np.float64) - src_y) ** 2))
-            psnr = 99.99 if mse == 0 else 10 * np.log10(255 * 255 / mse)
+            psnr = 99.99 if mse == 0 else 10 * np.log10(pk * pk / mse)
         return FrameResult(nals=nals, recon=recon, bits=len(nals) * 8,
                            psnr_y=psnr, poc=poc, frame_type=frame_type,
                            qp=qp)

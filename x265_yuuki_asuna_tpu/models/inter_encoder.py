@@ -79,7 +79,8 @@ class InterFrameEncoder:
         {'luma': (w, o)|None, 'cb': ..., 'cr': ...}, denom 6; None entries
         use the identity weight. Returns decision dict (numpy)."""
         qp = self.cfg.qp if qp is None else qp
-        a = lambda x: jnp.asarray(x, jnp.uint8)
+        pdt = jnp.uint16 if self.cfg.bit_depth > 8 else jnp.uint8
+        a = lambda x: jnp.asarray(x, pdt)
         if self.cfg.bi:
             buf = np.asarray(self._encode(
                 a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
@@ -446,11 +447,16 @@ class InterFrameEncoder:
             rec_u = collect(rec_u_s, (nc, nc))
             rec_v = collect(rec_v_s, (nc, nc))
 
-            recon8 = jnp.concatenate([
+            rec_cat = jnp.concatenate([
                 from_blocks(rec_y, n, H, W).reshape(-1),
                 from_blocks(rec_u, nc, H // 2, W // 2).reshape(-1),
                 from_blocks(rec_v, nc, H // 2, W // 2).reshape(-1),
-            ]).astype(jnp.uint8)
+            ])
+            if bd > 8:
+                recon8 = jax.lax.bitcast_convert_type(
+                    rec_cat.astype(jnp.int16), jnp.uint8).reshape(-1)
+            else:
+                recon8 = rec_cat.astype(jnp.uint8)
             head_parts = [use_intra, imode.astype(jnp.uint8)]
             if cfg.bi:
                 head_parts.append(pdir.astype(jnp.uint8))
@@ -930,11 +936,16 @@ class InterFrameEncoder:
 
             q16 = MAP16[:ncu]
             gq16 = lambda a: jnp.take(a, q16.reshape(-1), axis=0)
-            recon8 = jnp.concatenate([
+            rec_cat = jnp.concatenate([
                 from_blocks(rec_y, n, H, W).reshape(-1),
                 from_blocks(rec_u, nc, H // 2, W // 2).reshape(-1),
                 from_blocks(rec_v, nc, H // 2, W // 2).reshape(-1),
-            ]).astype(jnp.uint8)
+            ])
+            if bd > 8:
+                recon8 = jax.lax.bitcast_convert_type(
+                    rec_cat.astype(jnp.int16), jnp.uint8).reshape(-1)
+            else:
+                recon8 = rec_cat.astype(jnp.uint8)
             head_parts = [split, uiA, imA.astype(jnp.uint8),
                           ui16.reshape(-1), im16.astype(jnp.uint8).reshape(-1)]
             (pdirA, mvA0x, mvA0y, mvA1x, mvA1y, _, _, _) = dense[n]
@@ -977,10 +988,18 @@ class InterFrameEncoder:
         rows, cols, ncu = cfg.rows, cfg.cols, cfg.rows * cfg.cols
         W, H = cfg.width, cfg.height
         ny, nuv = H * W, (H // 2) * (W // 2)
+        bsz = 2 if cfg.bit_depth > 8 else 1
         o = 0
-        rec_y = buf[o:o + ny].reshape(H, W); o += ny
-        rec_u = buf[o:o + nuv].reshape(H // 2, W // 2); o += nuv
-        rec_v = buf[o:o + nuv].reshape(H // 2, W // 2); o += nuv
+        def plane(count, hh, ww):
+            nonlocal o
+            raw = buf[o:o + count * bsz]
+            o += count * bsz
+            if bsz == 2:
+                return raw.view(np.int16).reshape(hh, ww)
+            return raw.reshape(hh, ww)
+        rec_y = plane(ny, H, W)
+        rec_u = plane(nuv, H // 2, W // 2)
+        rec_v = plane(nuv, H // 2, W // 2)
         split = buf[o:o + ncu].astype(bool).reshape(rows, cols); o += ncu
         use_intra = buf[o:o + ncu].astype(bool).reshape(rows, cols); o += ncu
         modes = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
@@ -1055,10 +1074,18 @@ class InterFrameEncoder:
         rows, cols, ncu = cfg.rows, cfg.cols, cfg.rows * cfg.cols
         W, H = cfg.width, cfg.height
         ny, nuv = H * W, (H // 2) * (W // 2)
+        bsz = 2 if cfg.bit_depth > 8 else 1
         o = 0
-        rec_y = buf[o:o + ny].reshape(H, W); o += ny
-        rec_u = buf[o:o + nuv].reshape(H // 2, W // 2); o += nuv
-        rec_v = buf[o:o + nuv].reshape(H // 2, W // 2); o += nuv
+        def plane(count, hh, ww):
+            nonlocal o
+            raw = buf[o:o + count * bsz]
+            o += count * bsz
+            if bsz == 2:
+                return raw.view(np.int16).reshape(hh, ww)
+            return raw.reshape(hh, ww)
+        rec_y = plane(ny, H, W)
+        rec_u = plane(nuv, H // 2, W // 2)
+        rec_v = plane(nuv, H // 2, W // 2)
         use_intra = buf[o:o + ncu].reshape(rows, cols).astype(bool); o += ncu
         imode = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
         pdir = None
