@@ -229,3 +229,34 @@ def test_quadtree_depth2_filters_conformance():
         assert np.array_equal(dy[:h, :w], ry)
         assert np.array_equal(du[:h // 2, :w // 2], ru)
         assert np.array_equal(dv[:h // 2, :w // 2], rv)
+
+
+def test_hme_tracks_fast_pan():
+    # 24 px/frame pan exceeds the +-16 fine search; the half-res coarse
+    # search must recenter it (reference --hme)
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (120, 360)).astype(np.uint8)
+    frames = []
+    for i in range(3):
+        y = base[8:8 + 96, 24 * i:24 * i + 160].copy()
+        u = np.full((48, 80), 100, np.uint8)
+        v = np.full((48, 80), 140, np.uint8)
+        frames.append((y, u, v))
+    bits = {}
+    for label, kw in (("plain", {}), ("hme", dict(hme=True))):
+        sess = VideoEncoderSession(160, 96, qp=32, keyint=25, max_depth=1,
+                                   hash_sei=False, **kw)
+        stream = sess.headers()
+        recons = []
+        total = 0
+        for f in frames:
+            fr = sess.encode_frame(*f)
+            stream += fr.nals
+            total += fr.bits
+            recons.append(fr.recon)
+        dec = decode_hevc(stream, sess.coded_w, sess.coded_h)
+        assert len(dec) == 3
+        for d, r in zip(dec, recons):
+            assert np.array_equal(d[0][:96, :160], r[0])
+        bits[label] = total
+    assert bits["hme"] < 0.7 * bits["plain"], bits

@@ -190,13 +190,17 @@ def main(argv=None):
         if args.analysis_save or args.analysis_load:
             qt_depth, bframes, weightp = 0, 0, False
             ctu = args.ctu or 16
+        hme = args.merange > 16 and qt_depth > 0
         sess = VideoEncoderSession(info.width, info.height, qp=qp,
                                    cu_size=ctu,
                                    bit_depth=info.bit_depth,
                                    max_depth=qt_depth,
+                                   hme=hme,
+                                   hme_range=min(max(args.merange // 2, 16),
+                                                 32),
                                    fps=(info.fps_num, info.fps_denom),
                                    keyint=max(keyint, 2) if keyint > 1 else 250,
-                                   search_range=args.merange,
+                                   search_range=min(args.merange, 16),
                                    hash_sei=not args.no_hash,
                                    rc_mode=rc_mode,
                                    crf=args.crf if args.crf is not None else 28.0,

@@ -652,7 +652,7 @@ class VideoEncoderSession:
                  aq_mode: int = 0, aq_strength: float = 1.0,
                  cutree: bool = False, b_pyramid: bool = True,
                  max_depth: int = 0, psy_rd: float = 0.0,
-                 bit_depth: int = 8):
+                 bit_depth: int = 8, hme: bool = False, hme_range: int = 16):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         if max_depth:
@@ -714,7 +714,8 @@ class VideoEncoderSession:
             search_range=search_range, rdoq=rdoq, weightp=weightp,
             sbh=self.sbh, analysis_load=self.analysis_data is not None,
             max_depth=max_depth, bit_depth=bit_depth,
-            psy_rd=psy_rd if max_depth else 0.0))
+            psy_rd=psy_rd if max_depth else 0.0,
+            hme=hme and max_depth > 0, hme_range=hme_range))
         self.frame_idx = 0
         self.poc = 0
         self.ref = None   # (y, u, v) padded recon planes
@@ -742,7 +743,8 @@ class VideoEncoderSession:
                 width=self.coded_w, height=self.coded_h, cu_size=cu_size,
                 qp=qp, search_range=search_range, bi=True, rdoq=rdoq,
                 sbh=self.sbh, max_depth=max_depth, bit_depth=bit_depth,
-                psy_rd=psy_rd if max_depth else 0.0))
+                psy_rd=psy_rd if max_depth else 0.0,
+                hme=hme and max_depth > 0, hme_range=hme_range))
         self.sei_provider = None    # callable(display_idx) -> prefix bytes
         self.pending = []           # buffered display-order frames (y, u, v)
         self.pending_lowres = []    # matching lowres planes (b-adapt)

@@ -42,6 +42,9 @@ class InterFrameConfig:
     max_depth: int = 0            # 1: CTU32 may split into 4 16x16 CUs
                                   # (in-scan RD quadtree; P slices)
     psy_rd: float = 0.0           # psycho-visual RD strength (--psy-rd)
+    hme: bool = False             # hierarchical ME: half-res coarse search
+    hme_range: int = 16           # coarse range (half-res pels); effective
+                                  # full-res reach = 2*hme_range + search_range
 
     @property
     def rows(self):
@@ -538,9 +541,19 @@ class InterFrameEncoder:
         map8[ncu] = n8
         MAP8 = jnp.asarray(map8)
 
-        def search_size(yb, ref_y, px, py, nn):
+        def search_size(yb, ref_y, px, py, nn, low=None):
+            center = None
+            if low is not None:
+                # HME: coarse half-res search recenters the fine window
+                # (reference --hme quarter/half-res pre-search, lowres.h:43)
+                low_ref, low_blocks = low
+                cmx, cmy, _ = me.full_search_sad(
+                    low_ref, low_blocks, px // 2, py // 2, nn // 2,
+                    cfg.hme_range, lambda_bits=2, xp=jnp)
+                center = (cmx * 2, cmy * 2)
             mvx_i, mvy_i, _ = me.full_search_sad(
-                ref_y, yb, px, py, nn, R, lambda_bits=2, xp=jnp)
+                ref_y, yb, px, py, nn, R, lambda_bits=2, xp=jnp,
+                center=center)
             mvx = mvx_i * 4
             mvy = mvy_i * 4
 
@@ -601,16 +614,17 @@ class InterFrameEncoder:
                     interp.mc_chroma_qpel_ps(refs[2], px // 2, py // 2,
                                              mvx, mvy, nn // 2, bd, xp=jnp))
 
-        def decide_motion(yb, refs0, refs1, px, py, nn, qp_s):
+        def decide_motion(yb, refs0, refs1, px, py, nn, qp_s,
+                          low0=None, low1=None):
             """Per-block motion decision at one size (P: L0 only; B:
             SATD + lambda*bits over L0/L1/BI, search.cpp analog)."""
-            mv0x, mv0y, s0 = search_size(yb, refs0[0], px, py, nn)
+            mv0x, mv0y, s0 = search_size(yb, refs0[0], px, py, nn, low0)
             if refs1 is None:
                 pred = mc_all(refs0, mv0x, mv0y, px, py, nn)
                 bits = est_mv_bits_arr(mv0x, mv0y)
                 ones = jnp.ones_like(mv0x)
                 return (ones, mv0x, mv0y, mv0x * 0, mv0y * 0, pred, s0, bits)
-            mv1x, mv1y, s1 = search_size(yb, refs1[0], px, py, nn)
+            mv1x, mv1y, s1 = search_size(yb, refs1[0], px, py, nn, low1)
             p0 = mc_all(refs0, mv0x, mv0y, px, py, nn)
             p1 = mc_all(refs1, mv1x, mv1y, px, py, nn)
             ps0 = ps_all(refs0, mv0x, mv0y, px, py, nn)
@@ -879,10 +893,26 @@ class InterFrameEncoder:
             sizes = [(n, PX32, PY32), (h, PX16, PY16)]
             if depth2:
                 sizes.append((8, PX8, PY8))
+            low_y = low0_ref = low1_ref = None
+            if cfg.hme:
+                from .lookahead import downscale_half
+                low_y = downscale_half(y32, xp=jnp)
+                low0_ref = downscale_half(refs[0], xp=jnp)
+                if refs1 is not None:
+                    low1_ref = downscale_half(refs1[0], xp=jnp)
             dense = {}
             for nn, px, py in sizes:
                 yb = to_blocks(y32, nn)
-                dense[nn] = decide_motion(yb, refs, refs1, px, py, nn, qp_max)
+                l0 = l1 = None
+                if cfg.hme:
+                    lb = (low_y.reshape(H // 2 // (nn // 2), nn // 2,
+                                        W // 2 // (nn // 2), nn // 2)
+                          .transpose(0, 2, 1, 3).reshape(-1, nn // 2, nn // 2))
+                    l0 = (low0_ref, lb)
+                    if low1_ref is not None:
+                        l1 = (low1_ref, lb)
+                dense[nn] = decide_motion(yb, refs, refs1, px, py, nn, qp_max,
+                                          l0, l1)
 
             def padded(a, shape):
                 return jnp.concatenate([a, jnp.zeros((1,) + shape, a.dtype)], 0)

@@ -13,21 +13,28 @@ import numpy as np
 
 
 def full_search_sad(ref_plane, src_blocks, px, py, n: int, srange: int,
-                    lambda_bits: int = 1, xp=np):
+                    lambda_bits: int = 1, xp=np, center=None):
     """Integer full search: for each block b at (px, py) with source
     src_blocks[b], evaluate all (2R+1)^2 integer MVs in [-R, R]^2 on
     ref_plane (border-clamped) and return (mv_x, mv_y, sad) [B].
 
     Cost = SAD + lambda_bits * (|mvx| + |mvy|) — a cheap rate bias that
     prefers short MVs on ties (encoder-side choice only).
+
+    center: optional ([B] cx, [B] cy) integer-pel window centers (HME:
+    the coarse-level MV recenters the fine search — reference --hme,
+    lowres.h:43); returned MVs include the center offset.
     """
     H, W = ref_plane.shape
     B = src_blocks.shape[0]
     R = srange
     ext = n + 2 * R
 
-    rows = py[:, None] + (xp.arange(ext) - R)[None, :]
-    cols = px[:, None] + (xp.arange(ext) - R)[None, :]
+    cx = cy = 0
+    if center is not None:
+        cx, cy = center[0][:, None], center[1][:, None]
+    rows = py[:, None] + cy + (xp.arange(ext) - R)[None, :]
+    cols = px[:, None] + cx + (xp.arange(ext) - R)[None, :]
     rows = xp.clip(rows, 0, H - 1)
     cols = xp.clip(cols, 0, W - 1)
     flat = ref_plane.reshape(-1)
@@ -55,5 +62,8 @@ def full_search_sad(ref_plane, src_blocks, px, py, n: int, srange: int,
     best = xp.argmin(flat_cost, axis=1)
     mvy = (best // ncand).astype(xp.int32) - R
     mvx = (best % ncand).astype(xp.int32) - R
+    if center is not None:
+        mvx = mvx + center[0]
+        mvy = mvy + center[1]
     bsad = xp.take_along_axis(sad.reshape(B, -1), best[:, None], axis=1)[:, 0]
     return mvx, mvy, bsad
