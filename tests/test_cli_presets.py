@@ -44,3 +44,23 @@ def test_cli_preset_roundtrip(tmp_path, extra):
     assert len(data) > 0
     dec = decode_hevc(data, 96, 64)
     assert len(dec) == 4
+
+
+def test_cli_qpfile_and_chunk(tmp_path):
+    src = str(tmp_path / "in.y4m")
+    dst = str(tmp_path / "out.hevc")
+    csv = str(tmp_path / "log.csv")
+    qpf = str(tmp_path / "qp.txt")
+    _write_clip(src, n=8)
+    open(qpf, "w").write("3 I 25\n5 P 40\n")
+    rc = cli.main([src, "-o", dst, "--qp", "32", "--keyint", "100",
+                   "--bframes", "0", "--qpfile", qpf, "--csv", csv,
+                   "--chunk-start", "1", "--chunk-end", "6", "--no-hash"])
+    assert rc in (0, None)
+    dec = decode_hevc(open(dst, "rb").read(), 96, 64)
+    assert len(dec) == 6          # source frames 1..6
+    rows = [l.split(",") for l in open(csv).read().splitlines()[1:-1]]
+    types = [r[1].strip() for r in rows]
+    qps = [int(r[3]) for r in rows]
+    assert types[2] == "I" and qps[2] == 25     # qpfile forced src frame 3
+    assert qps[4] == 40                          # src frame 5 QP override

@@ -91,6 +91,12 @@ def main(argv=None):
     ap.add_argument("--pass", dest="rc_pass", type=int, default=0, choices=[0, 1, 2])
     ap.add_argument("--stats", default="x265_2pass.log")
     ap.add_argument("--csv", default=None)
+    ap.add_argument("--qpfile", default=None,
+                    help="per-frame QP/type overrides: '<frame> <type> <qp>'")
+    ap.add_argument("--chunk-start", type=int, default=0,
+                    help="first source frame to encode (job splitting)")
+    ap.add_argument("--chunk-end", type=int, default=0,
+                    help="last source frame to encode (0 = end of input)")
     args, extra = ap.parse_known_args(argv)
 
     # full param surface (extra "--name=value" pairs go through param_parse)
@@ -246,6 +252,21 @@ def main(argv=None):
         if recs:
             sess.sei_provider = (
                 lambda idx: SEI.hdr10plus_sei_for_frame(recs, idx))
+    qpfile = {}
+    if args.qpfile:
+        # reference --qpfile format: "<frameNumber> <frameType> <QP>"
+        try:
+            with open(args.qpfile) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        fno = int(parts[0])
+                        ftype = parts[1].upper()
+                        fqp = int(parts[2]) if len(parts) > 2 else -1
+                        qpfile[fno] = (ftype, fqp)
+        except (OSError, ValueError) as e:
+            print(f"x265-tpu: bad qpfile: {e}", file=sys.stderr)
+            return 1
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None
@@ -311,7 +332,22 @@ def main(argv=None):
               end="", file=sys.stderr)
 
     seen = 0
+    src_idx = -1
     for y, u, v in IO.PrefetchReader(reader):
+        src_idx += 1
+        if src_idx < args.chunk_start:
+            continue              # reference --chunk-start lead-in skip
+        if args.chunk_end and src_idx > args.chunk_end:
+            break
+        if qpfile:
+            ov = qpfile.get(src_idx)
+            if ov is not None:
+                ftype, fqp = ov
+                if ftype in ("I", "K") and hasattr(sess, "intra_refresh"):
+                    sess.intra_refresh()
+                if fqp >= 0 and hasattr(sess, "rc"):
+                    sess.rc.cfg.qp = fqp
+                    sess.qp = fqp
         pending.append((y, u, v))
         seen += 1
         if len(pending) >= max(args.frame_batch, 1):
