@@ -260,3 +260,29 @@ def test_hme_tracks_fast_pan():
             assert np.array_equal(d[0][:96, :160], r[0])
         bits[label] = total
     assert bits["hme"] < 0.7 * bits["plain"], bits
+
+
+def test_weightp_quadtree_conformance():
+    # explicit weighted prediction with quadtree P slices on a fade
+    rng = np.random.default_rng(0)
+    base = rng.integers(40, 200, (96, 160)).astype(np.int32)
+    frames = []
+    for i in range(3):
+        y = np.clip(base * (1.0 - 0.2 * i), 0, 255).astype(np.uint8)
+        u = np.full((48, 80), 110, np.uint8)
+        v = np.full((48, 80), 130, np.uint8)
+        frames.append((y, u, v))
+    sess = VideoEncoderSession(160, 96, qp=30, keyint=25, max_depth=1,
+                               weightp=True, hash_sei=False)
+    stream = sess.headers()
+    recons = []
+    for f in frames:
+        fr = sess.encode_frame(*f)
+        stream += fr.nals
+        recons.append(fr.recon)
+    dec = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(dec) == 3
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d[0][:96, :160], r[0])
+        assert np.array_equal(d[1][:48, :80], r[1])
+        assert np.array_equal(d[2][:48, :80], r[2])

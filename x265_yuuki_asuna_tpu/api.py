@@ -103,8 +103,6 @@ class Encoder:
             if min_cu < ctu else 0
         bframes = p.bframes
         weightp = bool(p.b_enable_weighted_pred)
-        if weightp and qt_depth:
-            weightp = False            # quadtree session takes priority
         rc_mode = {RC_CQP: "cqp", RC_CRF: "crf", RC_ABR: "abr"}[
             p.rc.rate_control_mode]
         all_intra = p.keyframe_max <= 1 and rc_mode == "cqp" and not bframes

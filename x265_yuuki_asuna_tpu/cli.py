@@ -180,14 +180,6 @@ def main(argv=None):
     qt_depth = 0
     if min_cu and ctu and min_cu < ctu:
         qt_depth = ctu.bit_length() - min_cu.bit_length()
-    # implementation limits this round: quadtree excludes weightp
-    if weightp and qt_depth:
-        if args.weightp is None:
-            weightp = False       # preset default loses to the quadtree
-        else:
-            qt_depth = 0          # explicit --weightp wins
-            if args.ctu is None:
-                ctu = 16
     args.qp = qp
     if args.keyint is None:
         args.keyint = keyint

@@ -657,8 +657,8 @@ class VideoEncoderSession:
         from .ratecontrol import RateControl, RCConfig
         if max_depth:
             cu_size = 32
-            assert not weightp and not analysis_load and not analysis_save, \
-                "inter quadtree: no weightp/analysis reuse (v1)"
+            assert not analysis_load and not analysis_save, \
+                "inter quadtree: no analysis reuse (v1)"
         self.max_depth = max_depth
         # per-CU QP (AQ/cuTree) and deblocking are mutually exclusive this
         # round: the in-loop filter still derives thresholds from the frame
@@ -1469,7 +1469,7 @@ class VideoEncoderSession:
         qp = self.qp if qp is None else qp
         if self.max_depth:
             return self._assemble_p_slice_qt(out, qp, poc, ref_delta,
-                                             sao_params, qp_map)
+                                             sao_params, qp_map, weights)
         sess = self.intra_sess
         log2cu = self.cu.bit_length() - 1
         bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=1,
@@ -1520,7 +1520,7 @@ class VideoEncoderSession:
 
     def _assemble_p_slice_qt(self, out: dict, qp: int, poc=None,
                              ref_delta: int = 1, sao_params=None,
-                             qp_map=None) -> bytes:
+                             qp_map=None, weights=None) -> bytes:
         """Quadtree P slice (depth 1 or 2): coding_quadtree per CTU with
         position-based merge/AMVP derivation on the cell grid."""
         from ..bitstream import inter_syntax as IS
@@ -1534,7 +1534,8 @@ class VideoEncoderSession:
                                     ref_poc_delta=ref_delta,
                                     max_merge=self.max_merge,
                                     sao_luma=1 if sao_params else 0,
-                                    sao_chroma=1 if sao_params else 0)
+                                    sao_chroma=1 if sao_params else 0,
+                                    weights=weights)
         res = None if (sao_params is not None or qp_map is not None) \
             else native.encode_slice_qt2(1, self.max_depth, out, qp,
                                          self.max_merge,

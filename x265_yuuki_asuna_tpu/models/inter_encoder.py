@@ -63,9 +63,9 @@ class InterFrameEncoder:
     def __init__(self, cfg: InterFrameConfig):
         self.cfg = cfg
         if cfg.max_depth:
-            assert cfg.cu_size == 32 and not cfg.weightp \
-                and not cfg.analysis_load, \
-                "inter quadtree: CTU32; no weightp/analysis reuse (v1)"
+            assert cfg.cu_size == 32 and not cfg.analysis_load, \
+                "inter quadtree: CTU32; no analysis reuse (v1)"
+            assert not (cfg.weightp and cfg.bi), "weightp is P-only"
         nd, ns, rc, valid = wavefront_schedule(cfg.rows, cfg.cols, slope=2)
         self.num_diags = nd
         self.num_slots = ns
@@ -615,9 +615,36 @@ class InterFrameEncoder:
                                              mvx, mvy, nn // 2, bd, xp=jnp))
 
         def decide_motion(yb, refs0, refs1, px, py, nn, qp_s,
-                          low0=None, low1=None):
+                          low0=None, low1=None, wts=None):
             """Per-block motion decision at one size (P: L0 only; B:
-            SATD + lambda*bits over L0/L1/BI, search.cpp analog)."""
+            SATD + lambda*bits over L0/L1/BI, search.cpp analog). wts:
+            explicit weighted uni-prediction (P) — search over the
+            weight-transformed reference, predict through the normative
+            MC->weight pipeline."""
+            if wts is not None:
+                (wy, oy), (wcb, ocb), (wcr, ocr) = wts
+                ref_w = jnp.clip(jnp.right_shift(refs0[0] * wy + 32, 6) + oy,
+                                 0, maxv)
+                mv0x, mv0y, s0 = search_size(yb, ref_w, px, py, nn, low0)
+                pred = (interp.weight_uni(
+                            interp.mc_luma_qpel_ps(refs0[0], px, py,
+                                                   mv0x, mv0y, nn, bd,
+                                                   xp=jnp),
+                            wy, oy, 6, bd, xp=jnp),
+                        interp.weight_uni(
+                            interp.mc_chroma_qpel_ps(refs0[1], px // 2,
+                                                     py // 2, mv0x, mv0y,
+                                                     nn // 2, bd, xp=jnp),
+                            wcb, ocb, 6, bd, xp=jnp),
+                        interp.weight_uni(
+                            interp.mc_chroma_qpel_ps(refs0[2], px // 2,
+                                                     py // 2, mv0x, mv0y,
+                                                     nn // 2, bd, xp=jnp),
+                            wcr, ocr, 6, bd, xp=jnp))
+                s0 = pixel.satd(yb, pred[0], xp=jnp)
+                bits = est_mv_bits_arr(mv0x, mv0y)
+                ones = jnp.ones_like(mv0x)
+                return (ones, mv0x, mv0y, mv0x * 0, mv0y * 0, pred, s0, bits)
             mv0x, mv0y, s0 = search_size(yb, refs0[0], px, py, nn, low0)
             if refs1 is None:
                 pred = mc_all(refs0, mv0x, mv0y, px, py, nn)
@@ -867,8 +894,12 @@ class InterFrameEncoder:
             return step
 
         def encode(y, u, v, ref_y, ref_u, ref_v, *rest):
+            wts = None
             if cfg.bi:
                 ref1_y, ref1_u, ref1_v, qp = rest
+            elif cfg.weightp:
+                qp, wy, oy, wcb, ocb, wcr, ocr = rest
+                wts = ((wy, oy), (wcb, ocb), (wcr, ocr))
             else:
                 (qp,) = rest
             qp_sig = qp.astype(jnp.int32)
@@ -912,7 +943,7 @@ class InterFrameEncoder:
                     if low1_ref is not None:
                         l1 = (low1_ref, lb)
                 dense[nn] = decide_motion(yb, refs, refs1, px, py, nn, qp_max,
-                                          l0, l1)
+                                          l0, l1, wts)
 
             def padded(a, shape):
                 return jnp.concatenate([a, jnp.zeros((1,) + shape, a.dtype)], 0)
