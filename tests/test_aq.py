@@ -17,6 +17,36 @@ def test_aq_offsets_track_variance():
     assert offs[:, :2].mean() < offs[:, 2:].mean()   # flat CUs get lower QP
 
 
+def test_aq_modes_shapes_and_direction():
+    """All four reference AQ modes produce per-CU maps that raise QP on
+    complex blocks relative to flat ones (slicetype.cpp:444 semantics)."""
+    rng = np.random.default_rng(1)
+    y = np.zeros((64, 96), np.uint8)
+    y[:, 48:] = rng.integers(0, 256, (64, 48))
+    u = np.full((32, 48), 128, np.uint8)
+    v = np.full((32, 48), 128, np.uint8)
+    for mode in (1, 2, 3, 4):
+        offs = compute_aq_offsets(y, 16, 1.0, mode=mode, u_plane=u, v_plane=v)
+        assert offs.shape == (4, 6)
+        assert offs[:, :3].mean() < offs[:, 3:].mean(), f"mode {mode}"
+    # CTU32 aggregation
+    offs32 = compute_aq_offsets(y, 32, 1.0, mode=2)
+    assert offs32.shape == (2, 3)
+
+
+def test_aq_mode1_scale_matches_reference_formula():
+    """Mode 1 on a uniform-variance frame: offset = 1.0397*s*(log2 E - 14.427)
+    to within rounding (all blocks equal => no relative spread)."""
+    rng = np.random.default_rng(2)
+    y = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    offs = compute_aq_offsets(y, 16, 1.0, mode=1)
+    e = y.reshape(4, 16, 4, 16).astype(np.int64)
+    s = e.sum(axis=(1, 3)); ssd = (e * e).sum(axis=(1, 3))
+    energy = ssd - ((s * s) >> 8)
+    expect = 1.0397 * (np.log2(np.maximum(energy, 1)) - 14.427)
+    assert np.all(np.abs(offs - np.clip(np.round(expect), -6, 6)) <= 0)
+
+
 def test_aq_stream_conformance():
     rng = np.random.default_rng(5)
     W, H = 64, 48

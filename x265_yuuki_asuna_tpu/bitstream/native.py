@@ -99,6 +99,12 @@ def load():
                    ctypes.POINTER(ctypes.c_int)])
         except AttributeError:
             pass
+        try:
+            lib.asuna_crc16.restype = ctypes.c_uint32
+            lib.asuna_crc16.argtypes = [ctypes.c_void_p, ctypes.c_longlong,
+                                        ctypes.c_uint32]
+        except AttributeError:
+            pass
         lib.asuna_encode_residual_test.restype = ctypes.c_int
         lib.asuna_encode_residual_test.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -347,3 +353,37 @@ def encode_slice_qt2(slice_type: int, max_depth: int, out: dict, qp: int,
     if nbytes < 0:
         return None
     return bytes(buf[:nbytes]), int(tail.value), int(tail_bits.value)
+
+
+def crc16(data: bytes, init: int = 0xffff) -> int:
+    """CRC-16 (poly 0x1021, MSB-first) over raw bytes + 16 zero-bit finish —
+    the reference's decoded-picture-hash CRC (picyuv.cpp:507,542). Uses the
+    native lib when available, else a table-driven Python fallback."""
+    lib = load()
+    if lib is not None and hasattr(lib, "asuna_crc16"):
+        arr = np.frombuffer(data, np.uint8)
+        crc = lib.asuna_crc16(arr.ctypes.data, len(arr), init)
+        # crcFinish: clock through 16 zero bits
+        for _ in range(16):
+            msb = (crc >> 15) & 1
+            crc = ((crc << 1) & 0xffff) ^ (msb * 0x1021)
+        return crc
+    # augmented table form: data bits enter at the LSB (like the reference's
+    # bitwise loop), one byte per step
+    global _CRC_TABLE
+    if "_CRC_TABLE" not in globals():
+        tb = []
+        for b in range(256):
+            c = b << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x1021) & 0xffff if c & 0x8000 \
+                    else (c << 1) & 0xffff
+            tb.append(c)
+        _CRC_TABLE = tb
+    crc = init
+    for b in data:
+        crc = (((crc << 8) | b) & 0xffff) ^ _CRC_TABLE[(crc >> 8) & 0xff]
+    for _ in range(16):
+        msb = (crc >> 15) & 1
+        crc = ((crc << 1) & 0xffff) ^ (msb * 0x1021)
+    return crc

@@ -38,6 +38,10 @@ def main(argv=None):
                     help="psnr|ssim|grain|fastdecode|zerolatency")
     ap.add_argument("--recon", default=None, help="write recon yuv")
     ap.add_argument("--no-hash", action="store_true", help="skip hash SEI")
+    ap.add_argument("--nr-intra", type=int, default=0,
+                    help="intra noise reduction strength 0..2000")
+    ap.add_argument("--hash", type=int, default=1, choices=[1, 2, 3],
+                    help="decoded picture hash: 1=MD5 2=CRC 3=checksum")
     ap.add_argument("--frame-batch", type=int, default=4,
                     help="frames encoded per device batch (frame-parallelism)")
     ap.add_argument("--keyint", type=int, default=None,
@@ -200,6 +204,7 @@ def main(argv=None):
                                    keyint=max(keyint, 2) if keyint > 1 else 250,
                                    search_range=min(args.merange, 16),
                                    hash_sei=not args.no_hash,
+                                   hash_type=args.hash - 1,
                                    rc_mode=rc_mode,
                                    crf=args.crf if args.crf is not None else 28.0,
                                    bitrate_kbps=args.bitrate or 0,
@@ -214,7 +219,7 @@ def main(argv=None):
                                    zones=args.zones,
                                    analysis_save=args.analysis_save,
                                    analysis_load=args.analysis_load,
-                                   aq_mode=2 if aq_mode else 0,
+                                   aq_mode=aq_mode,
                                    aq_strength=args.aq_strength,
                                    cutree=cutree, psy_rd=psy_rd)
         args.frame_batch = 1     # P frames are sequentially dependent
@@ -227,10 +232,12 @@ def main(argv=None):
                                    bit_depth=info.bit_depth,
                                    fps=(info.fps_num, info.fps_denom),
                                    hash_sei=not args.no_hash,
+                                   hash_type=args.hash - 1,
+                                   nr_intra=args.nr_intra,
                                    lossless=args.lossless,
                                    sao=sao,
                                    deblock=deblock,
-                                   aq_mode=2 if aq_mode else 0,
+                                   aq_mode=aq_mode,
                                    aq_strength=args.aq_strength,
                                    slices=args.slices,
                                    rdoq=rdoq_level > 0, wpp=args.wpp,

@@ -50,7 +50,11 @@ class IntraEncoderSession:
                  slices: int = 1, rdoq: bool = False, wpp: bool = False,
                  sbh: bool = False, info_sei: bool = True,
                  master_display: str = None, max_cll: str = None,
-                 max_depth: int = 0, psy_rd: float = 0.0):
+                 max_depth: int = 0, psy_rd: float = 0.0,
+                 hash_type: int = 0, nr_intra: int = 0):
+        self.hash_type = hash_type
+        # noise reduction (reference --nr-intra): uniform grid, lossy only
+        self.nr_intra = 0 if (lossless or max_depth or slices > 1 or wpp)             else min(max(nr_intra, 0), 2000)
         if max_depth:
             cu_size = 32
             assert not lossless, "quadtree + lossless unsupported (v1)"
@@ -89,7 +93,12 @@ class IntraEncoderSession:
             cu_size=cu_size, qp=qp,
             bit_depth=bit_depth, lossless=lossless,
             rdoq=rdoq and not lossless, sbh=self.sbh,
-            max_depth=max_depth, psy_rd=psy_rd if max_depth else 0.0))
+            max_depth=max_depth, psy_rd=psy_rd if max_depth else 0.0,
+            nr=bool(self.nr_intra)))
+        if self.nr_intra:
+            n2, c2 = cu_size * cu_size, (cu_size // 2) ** 2
+            self._nr = {"sum_y": np.zeros(n2, np.int64), "cnt_y": 0,
+                        "sum_c": np.zeros(c2, np.int64), "cnt_c": 0}
 
         from ..bitstream import sei as SEI
         ptl = HDR.ProfileTierLevel(
@@ -189,10 +198,16 @@ class IntraEncoderSession:
         qp_map = None
         if self.aq_mode:
             from .ratecontrol import compute_aq_offsets
-            offs = compute_aq_offsets(yp, self.cu, self.aq_strength)
+            offs = compute_aq_offsets(yp, self.cu, self.aq_strength,
+                                      mode=self.aq_mode, u_plane=up,
+                                      v_plane=vp, bit_depth=self.bit_depth)
             qp_map = np.clip(self.qp + offs, 0, 51).astype(np.int32)
+        nr_off = self._nr_offsets() if self.nr_intra else None
         out = self.frame_encoder.encode_frame(
-            yp, up, vp, qp=qp_map.reshape(-1) if qp_map is not None else None)
+            yp, up, vp, qp=qp_map.reshape(-1) if qp_map is not None else None,
+            nr_off=nr_off)
+        if self.nr_intra:
+            self._nr_accumulate(out)
         if qp_map is not None:
             out["qp_map"] = qp_map
         if self.deblock:
@@ -618,14 +633,56 @@ class IntraEncoderSession:
         return params
 
     # ------------------------------------------------------------------
+    def _nr_offsets(self):
+        """Denoise offsets for the next frame from running |coef| sums
+        (reference noiseReductionUpdate, frameencoder.cpp:2100)."""
+        from ..ops.quant import nr_update_offsets
+        st = self._nr
+        log2 = self.cu.bit_length() - 1
+        offy, st["sum_y"], st["cnt_y"] = nr_update_offsets(
+            st["sum_y"], st["cnt_y"], self.nr_intra,
+            1 << (18 - 2 * (log2 - 2)))
+        offc, st["sum_c"], st["cnt_c"] = nr_update_offsets(
+            st["sum_c"], st["cnt_c"], self.nr_intra,
+            1 << (18 - 2 * (log2 - 3)))
+        nc = self.cu // 2
+        return offy.reshape(self.cu, self.cu), offc.reshape(nc, nc)
+
+    def _nr_accumulate(self, out: dict):
+        st = self._nr
+        st["sum_y"] = st["sum_y"] + out["nr_sum_y"]
+        st["cnt_y"] += self.rows * self.cols
+        st["sum_c"] = st["sum_c"] + out["nr_sum_c"]
+        st["cnt_c"] += 2 * self.rows * self.cols
+
+    # ------------------------------------------------------------------
     def _hash_sei(self, out: dict) -> bytes:
+        """Decoded-picture-hash SEI. hash_type: 0=MD5, 1=CRC, 2=checksum
+        (reference --hash 1/2/3, frameencoder.cpp:1169)."""
         bw = BitWriter()
         bw.write_bits(132, 8)          # payload type: decoded_picture_hash
-        payload = bytearray([0])       # hash_type = 0 (MD5)
+        ht = getattr(self, "hash_type", 0)
+        payload = bytearray([ht])
         pdt = np.uint16 if self.bit_depth > 8 else np.uint8
         for plane in ("recon_y", "recon_u", "recon_v"):
-            payload += hashlib.md5(
-                out[plane].astype(pdt).tobytes()).digest()
+            pix = out[plane].astype(pdt)
+            if ht == 1:                # CRC (picyuv.cpp:507)
+                crc = native.crc16(pix.tobytes())
+                payload += bytes([(crc >> 8) & 0xff, crc & 0xff])
+            elif ht == 2:              # checksum (picyuv.cpp:556)
+                h, w = pix.shape
+                xs = np.arange(w, dtype=np.uint32)
+                ys = np.arange(h, dtype=np.uint32)[:, None]
+                xor = ((xs & 0xff) ^ (ys & 0xff) ^ (xs >> 8) ^ (ys >> 8))
+                p32 = pix.astype(np.uint32)
+                cks = int(((p32 & 0xff) ^ xor).sum(dtype=np.uint64)
+                          & 0xffffffff)
+                if self.bit_depth > 8:
+                    cks = (cks + int(((p32 >> 8) ^ xor).sum(dtype=np.uint64))) \
+                        & 0xffffffff
+                payload += cks.to_bytes(4, "big")
+            else:                      # MD5
+                payload += hashlib.md5(pix.tobytes()).digest()
         bw.write_bits(len(payload), 8)
         for b in payload:
             bw.write_byte(b)
@@ -652,7 +709,8 @@ class VideoEncoderSession:
                  aq_mode: int = 0, aq_strength: float = 1.0,
                  cutree: bool = False, b_pyramid: bool = True,
                  max_depth: int = 0, psy_rd: float = 0.0,
-                 bit_depth: int = 8, hme: bool = False, hme_range: int = 16):
+                 bit_depth: int = 8, hme: bool = False, hme_range: int = 16,
+                 hash_type: int = 0):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         if max_depth:
@@ -674,7 +732,8 @@ class VideoEncoderSession:
                                               sao=sao, rdoq=rdoq, sbh=sbh,
                                               max_depth=max_depth,
                                               psy_rd=psy_rd,
-                                              bit_depth=bit_depth)
+                                              bit_depth=bit_depth,
+                                              hash_type=hash_type)
         self.bit_depth = bit_depth
         self.sbh = self.intra_sess.sbh
         if per_cu_qp:
@@ -955,7 +1014,9 @@ class VideoEncoderSession:
         off = np.zeros((self.rows, self.cols), np.int32)
         if self.aq_mode:
             from .ratecontrol import compute_aq_offsets
-            off = off + compute_aq_offsets(yp, self.cu, self.aq_strength)
+            off = off + compute_aq_offsets(yp, self.cu, self.aq_strength,
+                                           mode=self.aq_mode,
+                                           bit_depth=self.bit_depth)
         if self.cutree:
             off = off + self._cutree_offsets()
         return np.clip(qp + off, 0, 51).astype(np.int32)

@@ -64,6 +64,9 @@ class IntraFrameConfig:
     max_depth: int = 0              # 1: CTU32 may split into 4 16x16 CUs
                                     # (in-scan RD quadtree decision)
     psy_rd: float = 0.0             # psycho-visual RD strength (--psy-rd)
+    nr: bool = False                # noise reduction (denoise DCT): encode
+                                    # takes per-coef offset inputs and emits
+                                    # |coef| sums (uniform grid only)
 
     @property
     def rows(self) -> int:
@@ -86,6 +89,9 @@ class IntraFrameEncoder:
         if cfg.max_depth:
             assert cfg.cu_size == 32 and not cfg.lossless, \
                 "quadtree: CTU32, lossy only"
+            assert not cfg.nr, "noise reduction: uniform grid only (v1)"
+        if cfg.nr:
+            assert not cfg.lossless, "noise reduction is lossy-path only"
         nd, ns, rc, valid = wavefront_schedule(cfg.rows, cfg.cols, slope=2)
         self.num_diags = nd
         self.num_slots = ns
@@ -94,11 +100,13 @@ class IntraFrameEncoder:
         build = self._build_qt if cfg.max_depth else self._build
         self._encode = jax.jit(build())
         # frame-batched variant (frame-parallelism, the reference's
-        # frame-threads analog)
-        self._encode_batch = jax.jit(jax.vmap(build()))
+        # frame-threads analog); NR offsets are shared across the batch
+        vax = (0, 0, 0, 0, None, None) if cfg.nr else None
+        vm = (lambda f: jax.vmap(f, in_axes=vax)) if cfg.nr else jax.vmap
+        self._encode_batch = jax.jit(vm(build()))
         # light variant: decisions only (no recon download) — for pipelines
         # that don't need recon on the host (no hash SEI / recon output)
-        self._encode_batch_light = jax.jit(jax.vmap(build(with_recon=False)))
+        self._encode_batch_light = jax.jit(vm(build(with_recon=False)))
 
     @property
     def _pix_dtype(self):
@@ -106,23 +114,30 @@ class IntraFrameEncoder:
 
     # ------------------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                     qp: int = None):
+                     qp: int = None, nr_off=None):
         """y: [H, W] pixels padded to coded size; u, v: [H/2, W/2].
-        Returns dict of decision tensors + recon planes (numpy)."""
+        nr_off: (off_y [n,n], off_c [nc,nc]) int32 denoise offsets when
+        cfg.nr. Returns dict of decision tensors + recon planes (numpy)."""
         cfg = self.cfg
         assert y.shape == (cfg.height, cfg.width), y.shape
         qp = cfg.qp if qp is None else qp
         qp_map = np.broadcast_to(np.asarray(qp, np.int32),
                                  (cfg.rows * cfg.cols,))
         dt = self._pix_dtype
-        buf = np.asarray(self._encode(jnp.asarray(y, dt),
-                                      jnp.asarray(u, dt),
-                                      jnp.asarray(v, dt),
-                                      jnp.asarray(qp_map)))
+        args = [jnp.asarray(y, dt), jnp.asarray(u, dt), jnp.asarray(v, dt),
+                jnp.asarray(qp_map)]
+        if cfg.nr:
+            if nr_off is None:
+                nr_off = (np.zeros((cfg.cu_size, cfg.cu_size), np.int32),
+                          np.zeros((cfg.cu_size // 2,) * 2, np.int32))
+            args += [jnp.asarray(nr_off[0], jnp.int32),
+                     jnp.asarray(nr_off[1], jnp.int32)]
+        buf = np.asarray(self._encode(*args))
         return self._unpack(buf)
 
     # ------------------------------------------------------------------
-    def submit_frames(self, y, u, v, with_recon: bool = True, qp=None):
+    def submit_frames(self, y, u, v, with_recon: bool = True, qp=None,
+                      nr_off=None):
         """Async submit: returns the device buffer future (does not block).
         Pair with collect_frames() to overlap device compute with host work."""
         fn = self._encode_batch if with_recon else self._encode_batch_light
@@ -135,8 +150,15 @@ class IntraFrameEncoder:
                                      (y.shape[0], ncu)).copy() if qp_arr.ndim == 0 else \
                 np.broadcast_to(qp_arr[:, None], (y.shape[0], ncu)).copy()
         dt = self._pix_dtype
-        return fn(jnp.asarray(y, dt), jnp.asarray(u, dt), jnp.asarray(v, dt),
-                  jnp.asarray(qp_arr))
+        args = [jnp.asarray(y, dt), jnp.asarray(u, dt), jnp.asarray(v, dt),
+                jnp.asarray(qp_arr)]
+        if self.cfg.nr:
+            if nr_off is None:
+                nr_off = (np.zeros((self.cfg.cu_size,) * 2, np.int32),
+                          np.zeros((self.cfg.cu_size // 2,) * 2, np.int32))
+            args += [jnp.asarray(nr_off[0], jnp.int32),
+                     jnp.asarray(nr_off[1], jnp.int32)]
+        return fn(*args)
 
     def collect_frames(self, fut, with_recon: bool = True):
         buf = np.asarray(fut)
@@ -144,24 +166,11 @@ class IntraFrameEncoder:
 
     # ------------------------------------------------------------------
     def encode_frames(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                      with_recon: bool = True, qp=None):
+                      with_recon: bool = True, qp=None, nr_off=None):
         """Batched encode: y [F, H, W]; independent frames in parallel.
         qp: per-batch scalar or per-frame array. Returns per-frame dicts."""
-        fn = self._encode_batch if with_recon else self._encode_batch_light
-        if qp is None:
-            qp = self.cfg.qp
-        ncu = self.cfg.rows * self.cfg.cols
-        qp_arr = np.asarray(qp, np.int32)
-        if qp_arr.ndim == 0:
-            qp_arr = np.broadcast_to(qp_arr, (y.shape[0], ncu))
-        elif qp_arr.ndim == 1:
-            qp_arr = np.broadcast_to(qp_arr[:, None], (y.shape[0], ncu))
-        dt = self._pix_dtype
-        buf = np.asarray(fn(jnp.asarray(y, dt),
-                            jnp.asarray(u, dt),
-                            jnp.asarray(v, dt),
-                            jnp.asarray(qp_arr)))
-        return [self._unpack(buf[i], with_recon) for i in range(buf.shape[0])]
+        fut = self.submit_frames(y, u, v, with_recon, qp, nr_off)
+        return self.collect_frames(fut, with_recon)
 
     # ------------------------------------------------------------------
     def _build(self, with_recon: bool = True):
@@ -207,7 +216,7 @@ class IntraFrameEncoder:
             return v, av
 
         def process_plane(botrow, rightcol, src_blocks, cu, r, c, nn, log2nn,
-                          qp, luma, modes, avail):
+                          qp, luma, modes, avail, nr_off=None, valid=None):
             # qp may be a traced scalar
             v_raw, av = build_v(botrow, rightcol, cu, r, c, nn, avail)
             v = intra.substitute_references(v_raw, av, bd, xp=jnp)
@@ -221,8 +230,12 @@ class IntraFrameEncoder:
                 preds, modes[:, None, None, None].astype(jnp.int32), axis=1)[:, 0]
             resid = src_blocks.astype(jnp.int32) - pred
             if cfg.lossless:      # transquant bypass: residual coded directly
-                return modes, resid, src_blocks.astype(jnp.int32)
+                return modes, resid, src_blocks.astype(jnp.int32), None
             coef = transforms.forward_transform(resid, bd, xp=jnp)
+            nr_sum = None
+            if nr_off is not None:
+                coef, a = quant.denoise_dct(coef, nr_off, xp=jnp)
+                nr_sum = jnp.sum(a * valid[:, None, None], axis=0)  # [nn, nn]
             if cfg.rdoq:
                 levels = quant.quant_rdoq(coef, qp, log2nn, bd, xp=jnp)
             else:
@@ -232,9 +245,10 @@ class IntraFrameEncoder:
             dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
             rr = transforms.inverse_transform(dq, bd, xp=jnp)
             recon = jnp.clip(pred + rr, 0, maxv)
-            return modes, levels, recon
+            return modes, levels, recon, nr_sum
 
-        def make_step(src_y_blocks, src_u_blocks, src_v_blocks, qp_y_map, qp_c_map):
+        def make_step(src_y_blocks, src_u_blocks, src_v_blocks, qp_y_map,
+                      qp_c_map, nr_y=None, nr_c=None):
             # src_*_blocks: [ncu, nn, nn] block-layout source
             def step(carry, xs):
                 (bry, rcy, bru, rcu_, brv, rcv) = carry
@@ -246,6 +260,7 @@ class IntraFrameEncoder:
                 avail = ((c > 0) & valid, (r > 0) & valid,
                          ((r > 0) & (c < cols - 1)) & valid,
                          ((r > 0) & (c > 0)) & valid)
+                vmask = valid.astype(jnp.int32)
 
                 src_y = jnp.take(src_y_blocks, cu_s, axis=0)
                 src_u = jnp.take(src_u_blocks, cu_s, axis=0)
@@ -253,14 +268,15 @@ class IntraFrameEncoder:
                 qp_y = jnp.take(qp_y_map, cu_s, axis=0)    # [S] per-CU QP
                 qp_c = jnp.take(qp_c_map, cu_s, axis=0)
 
-                modes, lv_y, rec_y = process_plane(
-                    bry, rcy, src_y, cu, r, c, n, log2n, qp_y, True, None, avail)
-                _, lv_cb, rec_u = process_plane(
+                modes, lv_y, rec_y, nsy = process_plane(
+                    bry, rcy, src_y, cu, r, c, n, log2n, qp_y, True, None,
+                    avail, nr_y, vmask)
+                _, lv_cb, rec_u, nsu = process_plane(
                     bru, rcu_, src_u, cu, r, c, nc, log2n - 1, qp_c, False,
-                    modes, avail)
-                _, lv_cr, rec_v = process_plane(
+                    modes, avail, nr_c, vmask)
+                _, lv_cr, rec_v, nsv = process_plane(
                     brv, rcv, src_v, cu, r, c, nc, log2n - 1, qp_c, False,
-                    modes, avail)
+                    modes, avail, nr_c, vmask)
 
                 bry = bry.at[cu_s].set(rec_y[:, n - 1, :], mode="drop")
                 rcy = rcy.at[cu_s].set(rec_y[:, :, n - 1], mode="drop")
@@ -270,6 +286,8 @@ class IntraFrameEncoder:
                 rcv = rcv.at[cu_s].set(rec_v[:, :, nc - 1], mode="drop")
 
                 ys = (cu_s, modes, lv_y, lv_cb, lv_cr, rec_y, rec_u, rec_v)
+                if nr_y is not None:
+                    ys = ys + (nsy, nsu + nsv)
                 return (bry, rcy, bru, rcu_, brv, rcv), ys
             return step
 
@@ -282,7 +300,7 @@ class IntraFrameEncoder:
             return (blocks.reshape(hh // nn, ww // nn, nn, nn)
                     .transpose(0, 2, 1, 3).reshape(hh, ww))
 
-        def encode(y, u, v, qp):
+        def encode(y, u, v, qp, nr_y=None, nr_c=None):
             # qp: per-CU map [ncu]; internal quant QP includes the bit-depth
             # offset (Qp' = Qp + 6*(bd-8))
             qp_sig = qp.astype(jnp.int32)
@@ -294,7 +312,7 @@ class IntraFrameEncoder:
             yb = to_blocks(y.astype(jnp.int32), n)
             ub = to_blocks(u.astype(jnp.int32), nc)
             vb = to_blocks(v.astype(jnp.int32), nc)
-            step = make_step(yb, ub, vb, qp_y_map, qp_c_map)
+            step = make_step(yb, ub, vb, qp_y_map, qp_c_map, nr_y, nr_c)
             z0 = y.reshape(-1)[0] * 0   # ties carry varying-ness to inputs
             init = (
                 jnp.full((ncu + 1, n), fill, jnp.int32) + z0,
@@ -305,8 +323,16 @@ class IntraFrameEncoder:
                 jnp.full((ncu + 1, nc), fill, jnp.int32) + z0,
             )
             _, ys = jax.lax.scan(step, init, (rc_all, valid_all))
-            (cu_s, modes_s, lv_y_s, lv_cb_s, lv_cr_s,
-             rec_y_s, rec_u_s, rec_v_s) = ys
+            nr_tail8 = None
+            if nr_y is not None:
+                (cu_s, modes_s, lv_y_s, lv_cb_s, lv_cr_s,
+                 rec_y_s, rec_u_s, rec_v_s, nsy_s, nsc_s) = ys
+                nr_tail8 = jax.lax.bitcast_convert_type(jnp.concatenate([
+                    nsy_s.sum(axis=0).reshape(-1),
+                    nsc_s.sum(axis=0).reshape(-1)]), jnp.uint8).reshape(-1)
+            else:
+                (cu_s, modes_s, lv_y_s, lv_cb_s, lv_cr_s,
+                 rec_y_s, rec_u_s, rec_v_s) = ys
             # reassemble per-CU arrays from stacked step outputs
             flat_cu = cu_s.reshape(-1)
             def collect(x, shape):
@@ -328,8 +354,9 @@ class IntraFrameEncoder:
                 lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)
             ]).astype(jnp.int16)
             levels8 = jax.lax.bitcast_convert_type(levels16, jnp.uint8).reshape(-1)
+            tail = [] if nr_tail8 is None else [nr_tail8]
             if not with_recon:
-                return jnp.concatenate([modes8, levels8])
+                return jnp.concatenate([modes8, levels8] + tail)
             rec_cat = jnp.concatenate([
                 from_blocks(rec_y, n, H, W).reshape(-1),
                 from_blocks(rec_u, nc, H // 2, W // 2).reshape(-1),
@@ -340,7 +367,7 @@ class IntraFrameEncoder:
                     rec_cat.astype(jnp.int16), jnp.uint8).reshape(-1)
             else:
                 recon8 = rec_cat.astype(jnp.uint8)
-            return jnp.concatenate([recon8, modes8, levels8])
+            return jnp.concatenate([recon8, modes8, levels8] + tail)
 
         return encode
 
@@ -673,10 +700,11 @@ class IntraFrameEncoder:
             rec_u = plane(nuv, H // 2, W // 2)
             rec_v = plane(nuv, H // 2, W // 2)
         modes = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
-        lv = buf[o:].view(np.int16)
         sy = ncu * n * n
         sc = ncu * nc * nc
-        return {
+        lv = buf[o:o + 2 * (sy + 2 * sc)].view(np.int16)
+        o += 2 * (sy + 2 * sc)
+        out = {
             "modes": modes,
             "levels_y": lv[:sy].astype(np.int32).reshape(rows, cols, n, n),
             "levels_cb": lv[sy:sy + sc].astype(np.int32).reshape(rows, cols, nc, nc),
@@ -685,6 +713,11 @@ class IntraFrameEncoder:
             "recon_u": None if rec_u is None else rec_u.astype(np.int32),
             "recon_v": None if rec_v is None else rec_v.astype(np.int32),
         }
+        if cfg.nr:
+            tail = buf[o:o + 4 * (n * n + nc * nc)].view(np.int32)
+            out["nr_sum_y"] = tail[:n * n].astype(np.int64)
+            out["nr_sum_c"] = tail[n * n:].astype(np.int64)
+        return out
 
     # ------------------------------------------------------------------
     def _unpack_qt(self, buf: np.ndarray, with_recon: bool = True) -> dict:

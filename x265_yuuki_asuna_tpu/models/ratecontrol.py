@@ -167,21 +167,118 @@ class RateControl:
             self.rate_factor = 0.9 * self.rate_factor + 0.1 * want_rf
 
 
+def _block_ac_energy(plane, bsz):
+    """Per-block AC energy: ssd - sum^2 >> shift (the reference's
+    acEnergyVar, slicetype.cpp:49 — integer semantics)."""
+    import numpy as np
+    H, W = plane.shape
+    rows, cols = H // bsz, W // bsz
+    blocks = (plane[:rows * bsz, :cols * bsz]
+              .reshape(rows, bsz, cols, bsz).astype(np.int64))
+    s = blocks.sum(axis=(1, 3))
+    ssd = (blocks * blocks).sum(axis=(1, 3))
+    shift = (2 * (bsz.bit_length() - 1))
+    return (ssd - ((s * s) >> shift)).astype(np.float64)
+
+
+def _ac_energy_cu(y, u, v):
+    """AC energy of each 16x16 luma block incl. the co-sited 8x8 chroma
+    blocks (reference acEnergyCu, slicetype.cpp:256)."""
+    e = _block_ac_energy(y, 16)
+    if u is not None:
+        e = e + _block_ac_energy(u, 8) + _block_ac_energy(v, 8)
+    return e
+
+
+def _edge_maps(y):
+    """Gaussian blur + Sobel-style gradient (reference edgeFilter /
+    computeEdge, slicetype.cpp:151,100): returns (edge bitmap scaled like
+    the reference's whitePixel, per-pixel angle in degrees 0..180)."""
+    import numpy as np
+    src = y.astype(np.float64)
+    H, W = src.shape
+    # 5x5 Gaussian, 1/159 kernel (slicetype.cpp:183-209)
+    k = np.array([[2, 4, 5, 4, 2], [4, 9, 12, 9, 4], [5, 12, 15, 12, 5],
+                  [4, 9, 12, 9, 4], [2, 4, 5, 4, 2]], np.float64)
+    pad = np.pad(src, 2, mode="edge")
+    sm = np.zeros_like(src)
+    for dy in range(5):
+        for dx in range(5):
+            sm += k[dy, dx] * pad[dy:dy + H, dx:dx + W]
+    ref = np.floor(sm / 159.0)
+    # interior copies the source at borders like the reference
+    ref[:2, :] = src[:2, :]; ref[-2:, :] = src[-2:, :]
+    ref[:, :2] = src[:, :2]; ref[:, -2:] = src[:, -2:]
+    # Scharr-like gradient (slicetype.cpp:119-133)
+    p = np.pad(ref, 1, mode="edge")
+    gh = (-3 * p[:-2, :-2] + 3 * p[:-2, 2:]
+          - 10 * p[1:-1, :-2] + 10 * p[1:-1, 2:]
+          - 3 * p[2:, :-2] + 3 * p[2:, 2:])
+    gv = (-3 * p[:-2, :-2] - 10 * p[:-2, 1:-1] - 3 * p[:-2, 2:]
+          + 3 * p[2:, :-2] + 10 * p[2:, 1:-1] + 3 * p[2:, 2:])
+    mag = np.sqrt(gh * gh + gv * gv)
+    theta = np.degrees(np.arctan2(gv, gh))
+    theta = np.where(theta < 0, 180.0 + theta, theta)
+    edge = np.where(mag >= 255.0, 255.0, 0.0)
+    edge[:1, :] = 0; edge[-1:, :] = 0; edge[:, :1] = 0; edge[:, -1:] = 0
+    return edge, theta
+
+
 def compute_aq_offsets(y_plane, cu_size: int, strength: float = 1.0,
-                       qp_range: int = 6):
-    """Variance-based adaptive quantization (reference aq-mode 2 shape:
-    auto-variance, normalized to the frame mean — slicetype.cpp:444).
+                       qp_range: int = 6, mode: int = 2,
+                       u_plane=None, v_plane=None, bit_depth: int = 8):
+    """Adaptive quantization per-16x16 offsets aggregated to the CU grid.
+
+    Modes follow the reference calcAdaptiveQuantFrame (slicetype.cpp:444):
+      1 variance:       strength*1.0397 * (log2 max(energy,1) - 14.427)
+      2 auto-variance:  e=(energy*bdc+1)^0.1; s=strength*mean(e);
+                        adj = s*(e - (mean - .5*(mean_sq - 11)/mean))
+      3 auto-var-biased: mode2 + strength*(1 - 11/e^2) dark bias
+      4 edge:           edge-density energy with 45-degree inclination bias
     Returns per-CU integer QP offsets [rows, cols]."""
     import numpy as np
     H, W = y_plane.shape
-    rows, cols = H // cu_size, W // cu_size
-    blocks = (y_plane[:rows * cu_size, :cols * cu_size]
-              .reshape(rows, cu_size, cols, cu_size)
-              .astype(np.float64))
-    var = blocks.var(axis=(1, 3))
-    energy = np.log2(var + 1.0)
-    offsets = strength * (energy - energy.mean())
-    return np.clip(np.round(offsets), -qp_range, qp_range).astype(np.int32)
+    rows16, cols16 = H // 16, W // 16
+    if rows16 == 0 or cols16 == 0:
+        return np.zeros((max(H // cu_size, 1), max(W // cu_size, 1)), np.int32)
+    energy = _ac_energy_cu(y_plane, u_plane, v_plane)[:rows16, :cols16]
+    bdc = 1.0 / (1 << (2 * (bit_depth - 8)))
+    if mode in (2, 3, 4):
+        if mode == 4:
+            edge, theta = _edge_maps(y_plane)
+            edens = _block_ac_energy(edge, 16)[:rows16, :cols16]
+            # per-16x16 average angle (findAvgAngle, slicetype.cpp:221)
+            ang = (theta[:rows16 * 16, :cols16 * 16]
+                   .reshape(rows16, 16, cols16, 16).mean(axis=(1, 3)))
+            inclined = (((ang >= 30) & (ang <= 60))
+                        | ((ang >= 120) & (ang <= 150)))
+            qa = np.where(edens > 0, np.power(edens * bdc + 1.0, 0.1),
+                          np.power(energy * bdc + 1.0, 0.1))
+            inclined = inclined & (edens > 0)
+        else:
+            qa = np.power(energy * bdc + 1.0, 0.1)
+            inclined = None
+        avg = qa.mean()
+        avg_pow2 = (qa * qa).mean()
+        s = strength * avg
+        avg_adj = avg - 0.5 * (avg_pow2 - 11.0) / max(avg, 1e-9)
+        adj = s * (qa - avg_adj)
+        if mode == 3:
+            adj = adj + strength * (1.0 - 11.0 / np.maximum(qa * qa, 1e-9))
+        if mode == 4:
+            adj = np.where(inclined & (qa - avg_adj > 0),
+                           (s + 0.5) * (qa - avg_adj), adj)
+    else:   # mode 1: plain variance
+        s = strength * 1.0397
+        adj = s * (np.log2(np.maximum(energy, 1.0))
+                   - (14.427 + 2.0 * (bit_depth - 8)))
+    # aggregate the 16x16 grid to the CU grid (mean, like invQscaleFactor
+    # averaging for qgSize 8 — slicetype.cpp:648)
+    f = cu_size // 16
+    if f > 1:
+        rcu, ccu = rows16 // f, cols16 // f
+        adj = adj[:rcu * f, :ccu * f].reshape(rcu, f, ccu, f).mean(axis=(1, 3))
+    return np.clip(np.round(adj), -qp_range, qp_range).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------

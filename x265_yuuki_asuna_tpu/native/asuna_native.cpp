@@ -723,6 +723,21 @@ int asuna_encode_residual_test(const int32_t* levels, int log2, int isLuma,
     return (int)cb.out.size();
 }
 
+// CRC-16 for the decoded-picture-hash SEI (reference common/picyuv.cpp:507
+// updateCRC: poly 0x1021 MSB-first over the plane bytes). Returns the
+// running CRC; the caller finishes with 16 zero bits (crcFinish :542).
+uint32_t asuna_crc16(const uint8_t* data, long long n, uint32_t crc)
+{
+    for (long long i = 0; i < n; i++) {
+        uint32_t b = data[i];
+        for (int k = 7; k >= 0; k--) {
+            uint32_t msb = (crc >> 15) & 1;
+            crc = (((crc << 1) + ((b >> k) & 1)) & 0xffff) ^ (msb * 0x1021);
+        }
+    }
+    return crc;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

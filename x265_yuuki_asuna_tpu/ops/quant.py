@@ -87,6 +87,39 @@ def dequant(levels, qp, log2_tr_size: int, bit_depth: int = 8, xp=np):
 SBH_THRESHOLD = 4
 
 
+# ---------------------------------------------------------------------------
+# Noise reduction (K8 denoiseDct). The reference subtracts a per-coefficient
+# offset from |dctCoef| before quant (dct.cpp:744 denoiseDct_c) and adapts
+# the offsets from running |coef| averages per TU category
+# (frameencoder.cpp:2100 noiseReductionUpdate).
+# ---------------------------------------------------------------------------
+
+
+def denoise_dct(coef, offset, xp=np):
+    """Subtract `offset` (>=0, [N,N] or broadcastable) from |coef|, clamp at
+    0, restore sign. Returns (denoised coef int32, |coef| pre-denoise)."""
+    c = coef.astype(xp.int32)
+    sign = xp.sign(c)
+    a = xp.abs(c)
+    return xp.maximum(a - offset, 0) * sign, a
+
+
+def nr_update_offsets(res_sum: np.ndarray, count: int, strength: int,
+                      max_blocks: int):
+    """Host-side offset adaptation. res_sum: int64 [ncoef] running |coef|
+    sums; count: blocks accumulated. Returns (offsets int32 [ncoef],
+    new res_sum, new count) — with the reference's halving once count
+    exceeds max_blocks and a zero DC offset."""
+    if count > max_blocks:
+        res_sum = res_sum >> 1
+        count >>= 1
+    scaled = int(strength) * int(count)
+    off = (scaled + res_sum // 2) // (res_sum + 1)
+    off = off.astype(np.int32)
+    off[0] = 0          # never denoise DC
+    return off, res_sum, count
+
+
 def sign_bit_hiding_np(levels: np.ndarray, delta_u: np.ndarray,
                        scan: np.ndarray) -> np.ndarray:
     """Numpy reference SBH for one block. levels [N,N] signed, scan is the
