@@ -44,6 +44,7 @@ class SPSInfo:
     max_transform_hierarchy_depth_intra: int = 0
     amp_enabled: int = 0
     sao_enabled: int = 0
+    scaling_list: object = None     # ScalingListData or None (flat lists)
     temporal_mvp: int = 0
     strong_intra_smoothing: int = 1
     max_dec_pic_buffering: int = 1
@@ -153,7 +154,17 @@ def write_sps(sps: SPSInfo) -> bytes:
     bw.write_ue(sps.log2_diff_max_min_tb)
     bw.write_ue(sps.max_transform_hierarchy_depth_inter)
     bw.write_ue(sps.max_transform_hierarchy_depth_intra)
-    bw.write_flag(0)             # scaling_list_enabled_flag
+    if sps.scaling_list is None:
+        bw.write_flag(0)         # scaling_list_enabled_flag
+    else:
+        from .scaling import write_scaling_list_data, ScalingListData
+        bw.write_flag(1)         # scaling_list_enabled_flag
+        sld = sps.scaling_list
+        if all(sld.is_default(sz, l) for sz in range(4) for l in range(6)):
+            bw.write_flag(0)     # sps_scaling_list_data_present -> defaults
+        else:
+            bw.write_flag(1)
+            write_scaling_list_data(bw, sld)
     bw.write_flag(sps.amp_enabled)
     bw.write_flag(sps.sao_enabled)
     bw.write_flag(0)             # pcm_enabled_flag

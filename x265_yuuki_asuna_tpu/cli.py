@@ -11,10 +11,20 @@ the full param parser so the CLI surface matches the reference's names.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+import jax
+
+# persistent XLA compilation cache: the jitted wavefront programs are large
+# (minutes to compile on a TPU backend cold); cache across CLI invocations
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("ASUNA_JAX_CACHE",
+                                 os.path.expanduser("~/.cache/asuna_jax")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .models.encoder_top import IntraEncoderSession
 from .utils import io as IO
@@ -38,6 +48,8 @@ def main(argv=None):
                     help="psnr|ssim|grain|fastdecode|zerolatency")
     ap.add_argument("--recon", default=None, help="write recon yuv")
     ap.add_argument("--no-hash", action="store_true", help="skip hash SEI")
+    ap.add_argument("--scaling-lists", default=None,
+                    help="'default' (spec matrices) or scaling list file")
     ap.add_argument("--nr-intra", type=int, default=0,
                     help="intra noise reduction strength 0..2000")
     ap.add_argument("--hash", type=int, default=1, choices=[1, 2, 3],
@@ -234,6 +246,7 @@ def main(argv=None):
                                    hash_sei=not args.no_hash,
                                    hash_type=args.hash - 1,
                                    nr_intra=args.nr_intra,
+                                   scaling_lists=args.scaling_lists,
                                    lossless=args.lossless,
                                    sao=sao,
                                    deblock=deblock,

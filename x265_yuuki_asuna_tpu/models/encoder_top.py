@@ -51,8 +51,16 @@ class IntraEncoderSession:
                  sbh: bool = False, info_sei: bool = True,
                  master_display: str = None, max_cll: str = None,
                  max_depth: int = 0, psy_rd: float = 0.0,
-                 hash_type: int = 0, nr_intra: int = 0):
+                 hash_type: int = 0, nr_intra: int = 0,
+                 scaling_lists: str = None):
         self.hash_type = hash_type
+        # quant matrices (--scaling-lists): "default" or a file path
+        self.scaling = None
+        if scaling_lists and not (lossless or rdoq or max_depth):
+            from ..bitstream.scaling import ScalingListData
+            self.scaling = (ScalingListData.default()
+                            if scaling_lists == "default"
+                            else ScalingListData.from_file(scaling_lists))
         # noise reduction (reference --nr-intra): uniform grid, lossy only
         self.nr_intra = 0 if (lossless or max_depth or slices > 1 or wpp)             else min(max(nr_intra, 0), 2000)
         if max_depth:
@@ -94,7 +102,7 @@ class IntraEncoderSession:
             bit_depth=bit_depth, lossless=lossless,
             rdoq=rdoq and not lossless, sbh=self.sbh,
             max_depth=max_depth, psy_rd=psy_rd if max_depth else 0.0,
-            nr=bool(self.nr_intra)))
+            nr=bool(self.nr_intra)), scaling=self.scaling)
         if self.nr_intra:
             n2, c2 = cu_size * cu_size, (cu_size // 2) ** 2
             self._nr = {"sum_y": np.zeros(n2, np.int64), "cnt_y": 0,
@@ -119,6 +127,7 @@ class IntraEncoderSession:
             max_transform_hierarchy_depth_inter=0,
             max_transform_hierarchy_depth_intra=0,
             sao_enabled=1 if (sao and not lossless) else 0,
+            scaling_list=self.scaling,
             temporal_mvp=0, strong_intra_smoothing=0,
             timing_info=(fps[1], fps[0]),
         )

@@ -82,10 +82,22 @@ class IntraFrameConfig:
 
 
 class IntraFrameEncoder:
-    """Builds and caches the jitted wavefront encode for one geometry."""
+    """Builds and caches the jitted wavefront encode for one geometry.
 
-    def __init__(self, cfg: IntraFrameConfig):
+    scaling: optional ScalingListData — quant-matrix tables are baked into
+    the traced function as constants (lists are static per session)."""
+
+    def __init__(self, cfg: IntraFrameConfig, scaling=None):
         self.cfg = cfg
+        self._sl = None
+        if scaling is not None:
+            assert not cfg.lossless and not cfg.rdoq and not cfg.max_depth, \
+                "scaling lists: plain quant path only (v1)"
+            log2n = cfg.cu_size.bit_length() - 1
+            qy, dqy = scaling.quant_tables(log2n, 0)        # intra luma
+            qcb, dqcb = scaling.quant_tables(log2n - 1, 1)  # intra Cb
+            qcr, dqcr = scaling.quant_tables(log2n - 1, 2)  # intra Cr
+            self._sl = {"y": (qy, dqy), "cb": (qcb, dqcb), "cr": (qcr, dqcr)}
         if cfg.max_depth:
             assert cfg.cu_size == 32 and not cfg.lossless, \
                 "quadtree: CTU32, lossy only"
@@ -175,6 +187,7 @@ class IntraFrameEncoder:
     # ------------------------------------------------------------------
     def _build(self, with_recon: bool = True):
         cfg = self.cfg
+        sl = self._sl
         n = cfg.cu_size
         nc = n // 2
         log2n = cfg.log2_cu
@@ -216,7 +229,8 @@ class IntraFrameEncoder:
             return v, av
 
         def process_plane(botrow, rightcol, src_blocks, cu, r, c, nn, log2nn,
-                          qp, luma, modes, avail, nr_off=None, valid=None):
+                          qp, luma, modes, avail, nr_off=None, valid=None,
+                          comp="y"):
             # qp may be a traced scalar
             v_raw, av = build_v(botrow, rightcol, cu, r, c, nn, avail)
             v = intra.substitute_references(v_raw, av, bd, xp=jnp)
@@ -236,13 +250,22 @@ class IntraFrameEncoder:
             if nr_off is not None:
                 coef, a = quant.denoise_dct(coef, nr_off, xp=jnp)
                 nr_sum = jnp.sum(a * valid[:, None, None], axis=0)  # [nn, nn]
-            if cfg.rdoq:
+            if sl is not None:
+                qtab, dqtab = sl[comp]
+                levels, du = quant.quant_matrix(coef, qp, log2nn, qtab, bd,
+                                                True, xp=jnp)
+                if cfg.sbh:
+                    levels = quant.sign_bit_hiding(levels, du, log2nn, xp=jnp)
+                dq = quant.dequant_matrix(levels, qp, log2nn, dqtab, bd,
+                                          xp=jnp)
+            elif cfg.rdoq:
                 levels = quant.quant_rdoq(coef, qp, log2nn, bd, xp=jnp)
+                dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
             else:
                 levels, du = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
                 if cfg.sbh:
                     levels = quant.sign_bit_hiding(levels, du, log2nn, xp=jnp)
-            dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
+                dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
             rr = transforms.inverse_transform(dq, bd, xp=jnp)
             recon = jnp.clip(pred + rr, 0, maxv)
             return modes, levels, recon, nr_sum
@@ -270,13 +293,13 @@ class IntraFrameEncoder:
 
                 modes, lv_y, rec_y, nsy = process_plane(
                     bry, rcy, src_y, cu, r, c, n, log2n, qp_y, True, None,
-                    avail, nr_y, vmask)
+                    avail, nr_y, vmask, "y")
                 _, lv_cb, rec_u, nsu = process_plane(
                     bru, rcu_, src_u, cu, r, c, nc, log2n - 1, qp_c, False,
-                    modes, avail, nr_c, vmask)
+                    modes, avail, nr_c, vmask, "cb")
                 _, lv_cr, rec_v, nsv = process_plane(
                     brv, rcv, src_v, cu, r, c, nc, log2n - 1, qp_c, False,
-                    modes, avail, nr_c, vmask)
+                    modes, avail, nr_c, vmask, "cr")
 
                 bry = bry.at[cu_s].set(rec_y[:, n - 1, :], mode="drop")
                 rcy = rcy.at[cu_s].set(rec_y[:, :, n - 1], mode="drop")

@@ -78,6 +78,70 @@ def dequant(levels, qp, log2_tr_size: int, bit_depth: int = 8, xp=np):
 
 
 # ---------------------------------------------------------------------------
+# Scaling-list (quant matrix) variants. qtab/dqtab are [6, N, N] per-rem
+# per-coefficient tables from ScalingListData.quant_tables — the reference's
+# m_quantCoef/m_dequantCoef (scalinglist.cpp:342 setupQuantMatrices).
+# ---------------------------------------------------------------------------
+
+
+def quant_matrix(coef, qp, log2_tr_size: int, qtab, bit_depth: int = 8,
+                 is_intra_slice: bool = True, xp=np):
+    """Forward quant with a quant matrix. Returns (levels, delta_u)."""
+    tshift = transform_shift(log2_tr_size, bit_depth)
+    if isinstance(qp, (int, np.integer)):
+        per, rem = qp // 6, qp % 6
+        scale = xp.asarray(qtab)[rem]
+        qbits = 14 + per + tshift
+        add = (171 if is_intra_slice else 85) << (qbits - 9)
+    else:
+        qp = qp.astype(xp.int32)
+        if qp.ndim == 1:
+            qp = qp[:, None, None]
+        per, rem = qp // 6, qp % 6
+        scale = xp.asarray(qtab)[rem[..., 0, 0] if rem.ndim else rem]
+        qbits = 14 + per + tshift
+        add = xp.left_shift((171 if is_intra_slice else 85) + 0 * per,
+                            qbits - 9)
+    c = coef.astype(xp.int32)
+    sign = xp.sign(c)
+    tmp = xp.abs(c) * scale
+    level = xp.right_shift(tmp + add, qbits)
+    delta_u = xp.right_shift(tmp - xp.left_shift(level, qbits), qbits - 8)
+    return xp.clip(level * sign, -32768, 32767), delta_u
+
+
+def dequant_matrix(levels, qp, log2_tr_size: int, dqtab, bit_depth: int = 8,
+                   xp=np):
+    """Scaling-list dequant (dequant_scaling_c, dct.cpp): normative."""
+    shift = 20 - 14 - transform_shift(log2_tr_size, bit_depth) + 4
+    if isinstance(qp, (int, np.integer)):
+        per, rem = qp // 6, qp % 6
+        dq = xp.asarray(dqtab)[rem]
+    else:
+        qp = qp.astype(xp.int32)
+        if qp.ndim == 1:
+            qp = qp[:, None, None]
+        per, rem = qp // 6, qp % 6
+        dq = xp.asarray(dqtab)[rem[..., 0, 0] if rem.ndim else rem]
+    lv = levels.astype(xp.int32)
+    # shift > per branch (dct.cpp): coef = (lv*dq + 1<<(shift-per-1)) >>
+    # (shift-per); else coef = clip(lv*dq) << (per-shift)
+    sp = shift - per
+    if isinstance(sp, (int, np.integer)):
+        if sp > 0:
+            out = (lv * dq + (1 << (sp - 1))) >> sp
+        else:
+            out = xp.clip(lv * dq, -32768, 32767) << (-sp)
+    else:
+        sp_pos = xp.maximum(sp, 1)
+        hi = xp.right_shift(lv * dq + xp.left_shift(1, sp_pos - 1), sp_pos)
+        lo = xp.left_shift(xp.clip(lv * dq, -32768, 32767),
+                           xp.maximum(-sp, 0))
+        out = xp.where(sp > 0, hi, lo)
+    return xp.clip(out, -32768, 32767)
+
+
+# ---------------------------------------------------------------------------
 # Sign-bit hiding (SBH). The reference hides the sign of the first nonzero
 # coefficient of each 4x4 coefficient group when the scan distance between
 # first and last nonzero in the group is >= 4 (SBH_THRESHOLD), adjusting the
