@@ -38,7 +38,7 @@ def main(argv=None):
     ap.add_argument("--input-res", default=None, help="WxH (raw yuv input)")
     ap.add_argument("--fps", default="25")
     ap.add_argument("--qp", type=int, default=None)
-    ap.add_argument("--ctu", type=int, default=None, choices=[16, 32])
+    ap.add_argument("--ctu", type=int, default=None, choices=[16, 32, 64])
     ap.add_argument("--min-cu-size", type=int, default=None, choices=[0, 8, 16, 32],
                     help="min CU size; < --ctu enables quadtree RDO "
                          "(all-intra, CTU32)")
@@ -204,6 +204,8 @@ def main(argv=None):
         if args.analysis_save or args.analysis_load:
             qt_depth, bframes, weightp = 0, 0, False
             ctu = args.ctu or 16
+        if ctu == 64:            # inter quadtree is CTU32 (CTU64 = intra)
+            ctu, qt_depth = 32, min(qt_depth, 2)
         hme = args.merange > 16 and qt_depth > 0
         sess = VideoEncoderSession(info.width, info.height, qp=qp,
                                    cu_size=ctu,
@@ -238,7 +240,9 @@ def main(argv=None):
     else:
         if args.lossless or args.slices > 1 or args.wpp:
             qt_depth = 0
-            ctu = args.ctu or 16
+            ctu = min(args.ctu or 16, 32)
+        if ctu == 64:
+            qt_depth = max(2, min(qt_depth, 3))
         sess = IntraEncoderSession(info.width, info.height, qp=qp,
                                    cu_size=ctu,
                                    bit_depth=info.bit_depth,

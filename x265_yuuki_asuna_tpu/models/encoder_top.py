@@ -64,7 +64,8 @@ class IntraEncoderSession:
         # noise reduction (reference --nr-intra): uniform grid, lossy only
         self.nr_intra = 0 if (lossless or max_depth or slices > 1 or wpp)             else min(max(nr_intra, 0), 2000)
         if max_depth:
-            cu_size = 32
+            if cu_size != 64:
+                cu_size = 32
             assert not lossless, "quadtree + lossless unsupported (v1)"
             assert slices == 1 and not wpp, \
                 "quadtree + slices/wpp unsupported (v1)"
@@ -123,7 +124,7 @@ class IntraEncoderSession:
             ptl=ptl,
             chroma_format_idc=1, bit_depth=bit_depth,
             log2_min_cb=log2cu - max_depth, log2_diff_max_min_cb=max_depth,
-            log2_min_tb=2, log2_diff_max_min_tb=log2cu - 2,
+            log2_min_tb=2, log2_diff_max_min_tb=min(log2cu, 5) - 2,
             max_transform_hierarchy_depth_inter=0,
             max_transform_hierarchy_depth_intra=0,
             sao_enabled=1 if (sao and not lossless) else 0,
@@ -370,6 +371,8 @@ class IntraEncoderSession:
     # ------------------------------------------------------------------
     def _assemble_slice(self, out: dict, qp: int = None,
                         sao_params=None) -> bytes:
+        if self.max_depth and self.cu == 64:
+            return self._assemble_slice_qt64(out, qp, sao_params)
         if self.max_depth:
             return self._assemble_slice_qt(out, qp, sao_params)
         if self.wpp:
@@ -476,6 +479,114 @@ class IntraEncoderSession:
                                        ctu_qp, qp_state)
                     enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
             data, tail, tail_bits = enc.finish()
+        for b in data:
+            bw.write_byte(b)
+        bw.write_bits(tail, tail_bits)
+        bw.rbsp_trailing_bits()
+        return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
+
+    # ------------------------------------------------------------------
+    def _assemble_slice_qt64(self, out: dict, qp: int = None,
+                             sao_params=None) -> bytes:
+        """CTU64 I-slice: depth-0 always split (encoder choice), recursive
+        coding_quadtree over the device's 32/16/8 decisions with split_cu
+        contexts from an 8px-cell depth map."""
+        from .qt_common import QOFF
+        qp = self.qp if qp is None else qp
+        bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
+                                    slice_qp=qp,
+                                    sao_luma=1 if sao_params else 0,
+                                    sao_chroma=1 if sao_params else 0)
+        qp_map = out.get("qp_map")
+        enc = CabacEncoder()
+        enc.init_contexts(2, qp)
+        md = self.max_depth            # 2 or 3 (from CTU64)
+        g = 8                          # 8px cells per CTU side: 64/8
+        cell = 8
+        gr, gc = g * self.rows, g * self.cols
+        mode_map = np.full((gr, gc), DC_MODE, np.int32)
+        depth_map = np.zeros((gr, gc), np.int32)
+        last = self.rows * self.cols - 1
+        qp_state = [qp]
+        from ..bitstream.tables import CTX_OFFSET as CTX
+
+        for r in range(self.rows):
+            for c in range(self.cols):
+                if sao_params is not None:
+                    CS.encode_sao_ctu(
+                        enc, sao_params[r][c],
+                        sao_params[r][c - 1] if c > 0 else None,
+                        sao_params[r - 1][c] if r > 0 else None,
+                        True, True, self.bit_depth)
+                ctu_qp = None if qp_map is None else int(qp_map[r, c])
+                gy, gx = g * r, g * c
+                lv_y = out["levels_y"][r, c]
+                lv_cb = out["levels_cb"][r, c]
+                lv_cr = out["levels_cr"][r, c]
+                state = {"pending": ctu_qp is not None}
+
+                def split_flag(cy, cx, d, sp):
+                    ctx = ((1 if cx > 0 and depth_map[cy, cx - 1] > d else 0)
+                           + (1 if cy > 0 and depth_map[cy - 1, cx] > d
+                              else 0))
+                    enc.encode_bin(1 if sp else 0, CTX["split_cu"] + ctx)
+
+                def code_cu(cy, cx, sc, mode, depth):
+                    px = sc * cell
+                    log2 = px.bit_length() - 1
+                    oy, ox = (cy - gy) * cell, (cx - gx) * cell
+                    d = CS.CTUDecisions(
+                        luma_mode=mode,
+                        luma_levels=lv_y[oy:oy + px, ox:ox + px],
+                        cb_levels=lv_cb[oy // 2:oy // 2 + px // 2,
+                                        ox // 2:ox // 2 + px // 2],
+                        cr_levels=lv_cr[oy // 2:oy // 2 + px // 2,
+                                        ox // 2:ox // 2 + px // 2])
+                    cand_left = int(mode_map[cy, cx - 1]) if cx > 0 \
+                        else DC_MODE
+                    cand_above = int(mode_map[cy - 1, cx]) if (cy % g) != 0 \
+                        else DC_MODE
+                    delta = None
+                    if state["pending"] and (np.any(d.luma_levels)
+                                             or np.any(d.cb_levels)
+                                             or np.any(d.cr_levels)):
+                        delta = ctu_qp - qp_state[0]
+                        qp_state[0] = ctu_qp
+                        state["pending"] = False
+                    CS.encode_intra_ctu_full(
+                        enc, d, log2, cand_left, cand_above,
+                        part_mode_coded=(log2 == 6 - md),
+                        sign_hiding=self.sbh, cu_qp_delta=delta)
+                    mode_map[cy:cy + sc, cx:cx + sc] = mode
+                    depth_map[cy:cy + sc, cx:cx + sc] = depth
+
+                split_flag(gy, gx, 0, True)     # depth-0: always split
+                for q, (qy, qx) in enumerate(QOFF):
+                    cy32, cx32 = gy + 4 * qy, gx + 4 * qx
+                    sp32 = bool(out["split32"][r, c, q])
+                    split_flag(cy32, cx32, 1, sp32)
+                    if not sp32:
+                        code_cu(cy32, cx32, 4,
+                                int(out["modes32"][r, c, q]), 1)
+                        continue
+                    for sq, (sy_, sx_) in enumerate(QOFF):
+                        cy16, cx16 = cy32 + 2 * sy_, cx32 + 2 * sx_
+                        if md == 2:
+                            code_cu(cy16, cx16, 2,
+                                    int(out["modes16"][r, c, q, sq]), 2)
+                            continue
+                        sp16 = bool(out["split16"][r, c, q, sq])
+                        split_flag(cy16, cx16, 2, sp16)
+                        if not sp16:
+                            code_cu(cy16, cx16, 2,
+                                    int(out["modes16"][r, c, q, sq]), 2)
+                        else:
+                            for uq, (uy, ux) in enumerate(QOFF):
+                                code_cu(cy16 + uy, cx16 + ux, 1,
+                                        int(out["modes8"][r, c, q, sq, uq]),
+                                        3)
+                enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
+        data, tail, tail_bits = enc.finish()
         for b in data:
             bw.write_byte(b)
         bw.write_bits(tail, tail_bits)
@@ -719,7 +830,7 @@ class VideoEncoderSession:
                  cutree: bool = False, b_pyramid: bool = True,
                  max_depth: int = 0, psy_rd: float = 0.0,
                  bit_depth: int = 8, hme: bool = False, hme_range: int = 16,
-                 hash_type: int = 0):
+                 hash_type: int = 0, b_adapt: int = 2):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         if max_depth:
@@ -819,7 +930,10 @@ class VideoEncoderSession:
         self.anchor_lowres = None   # lowres of the last coded anchor
         self.display_idx = 0
         self.anchor = None          # (recon planes, poc) of last I/P anchor
-        self.b_adapt = True         # adaptive mini-GOP closing (b-adapt)
+        # b-adapt level (reference --b-adapt): 0 = fixed mini-GOPs,
+        # 1 = fast early-close heuristic, 2 = path search (default, like
+        # the reference's medium-and-up presets)
+        self.b_adapt = b_adapt
         # cuTree accumulator on the lowres 8x8 grid (causal EWMA of the
         # propagate-in amounts; see _cutree_update)
         self.cutree_acc = np.zeros((self.lookahead.lh // 8,
@@ -1137,36 +1251,64 @@ class VideoEncoderSession:
         else:
             self.pending.append((y, u, v))
             self.pending_lowres.append(cur_lowres)
-            # b-adapt (reference slicetype b-adapt shape): close the mini-GOP
-            # early when this frame predicts poorly. Two tests:
-            #  - distance-1 cost vs intra (fast-motion cut, as before);
-            #  - distance-aware cost against the mini-GOP anchor — B frames
-            #    and the closing P both reference across the full mini-GOP
-            #    span, so degradation at that distance means the B structure
-            #    will not pay off (slicetype.cpp slicetypeAnalyse analog).
-            poorly_predicted = (self.b_adapt and pcost > 0.45 * max(icost, 1))
-            if (self.b_adapt and not poorly_predicted
-                    and self.anchor_lowres is not None
-                    and len(self.pending) > 1):
-                far = self.lookahead.pair_cost(self.anchor_lowres, cur_lowres)
-                poorly_predicted = far > 0.65 * max(icost, 1)
-            if len(self.pending) == self.bframes + 1 or poorly_predicted:
-                results += self.flush()
+            if self.b_adapt >= 2:
+                # full b-adapt (reference slicetypePath trellis,
+                # slicetype.cpp:2378): once the window is full, score every
+                # P placement k over the pending frames — cost(anchor->P at
+                # distance k+1) plus the (p0, p1, b) bidir cost of each B in
+                # between, normalized per frame — and close the mini-GOP at
+                # the argmin. Remaining frames stay pending for the next
+                # path decision.
+                if (len(self.pending) == self.bframes + 1
+                        and self.anchor_lowres is not None):
+                    lows = self.pending_lowres
+                    best_k, best_cost = len(lows) - 1, None
+                    for k in range(len(lows) - 1, -1, -1):
+                        cost = self.lookahead.pair_cost(self.anchor_lowres,
+                                                        lows[k])
+                        for i in range(k):
+                            cost += self.lookahead.bidir_cost(
+                                self.anchor_lowres, lows[k], lows[i])
+                        cost /= (k + 1)
+                        # strict <: ties keep the longest mini-GOP (B frames
+                        # are cheaper at equal predicted cost)
+                        if best_cost is None or cost < best_cost:
+                            best_k, best_cost = k, cost
+                    results += self.flush(best_k + 1)
+                elif len(self.pending) == self.bframes + 1:
+                    results += self.flush()
+            else:
+                # fast b-adapt: close the mini-GOP early when this frame
+                # predicts poorly — distance-1 cost vs intra, then a
+                # distance-aware check against the mini-GOP anchor.
+                poorly_predicted = (self.b_adapt
+                                    and pcost > 0.45 * max(icost, 1))
+                if (self.b_adapt and not poorly_predicted
+                        and self.anchor_lowres is not None
+                        and len(self.pending) > 1):
+                    far = self.lookahead.pair_cost(self.anchor_lowres,
+                                                   cur_lowres)
+                    poorly_predicted = far > 0.65 * max(icost, 1)
+                if len(self.pending) == self.bframes + 1 or poorly_predicted:
+                    results += self.flush()
         self.display_idx += 1
         return results
 
-    def flush(self) -> List["FrameResult"]:
-        """Close the open mini-GOP: last pending frame becomes the P anchor,
-        earlier pending frames encode as B against (prev anchor, new anchor).
-        With b_pyramid and >= 2 B positions, the middle frame becomes a
-        REFERENCED B (TRAIL_R) and the outer Bs predict from it."""
+    def flush(self, count: int = None) -> List["FrameResult"]:
+        """Close the open mini-GOP: last pending frame (or pending[count-1]
+        when count is given) becomes the P anchor, earlier pending frames
+        encode as B against (prev anchor, new anchor). With b_pyramid and
+        >= 2 B positions, the middle frame becomes a REFERENCED B (TRAIL_R)
+        and the outer Bs predict from it."""
         if not self.pending:
             return []
-        frames = self.pending
-        self.pending = []
+        if count is None or count >= len(self.pending):
+            count = len(self.pending)
+        frames = self.pending[:count]
+        self.pending = self.pending[count:]
         if self.pending_lowres:
-            self.anchor_lowres = self.pending_lowres[-1]
-            self.pending_lowres = []
+            self.anchor_lowres = self.pending_lowres[count - 1]
+            self.pending_lowres = self.pending_lowres[count:]
         prev_anchor, prev_poc = self.anchor
         out: List[FrameResult] = []
         anchor_poc = prev_poc + len(frames)

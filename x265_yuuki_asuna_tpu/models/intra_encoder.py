@@ -99,8 +99,10 @@ class IntraFrameEncoder:
             qcr, dqcr = scaling.quant_tables(log2n - 1, 2)  # intra Cr
             self._sl = {"y": (qy, dqy), "cb": (qcb, dqcb), "cr": (qcr, dqcr)}
         if cfg.max_depth:
-            assert cfg.cu_size == 32 and not cfg.lossless, \
-                "quadtree: CTU32, lossy only"
+            assert cfg.cu_size in (32, 64) and not cfg.lossless, \
+                "quadtree: CTU32/64, lossy only"
+            assert cfg.cu_size == 32 or cfg.max_depth >= 2, \
+                "CTU64: depth-0 always splits, so max_depth >= 2"
             assert not cfg.nr, "noise reduction: uniform grid only (v1)"
         if cfg.nr:
             assert not cfg.lossless, "noise reduction is lossy-path only"
@@ -109,7 +111,12 @@ class IntraFrameEncoder:
         self.num_slots = ns
         self._rc = jnp.asarray(rc)          # [nd, ns, 2]
         self._valid = jnp.asarray(valid)    # [nd, ns]
-        build = self._build_qt if cfg.max_depth else self._build
+        if cfg.max_depth and cfg.cu_size == 64:
+            build = self._build_qt64
+        elif cfg.max_depth:
+            build = self._build_qt
+        else:
+            build = self._build
         self._encode = jax.jit(build())
         # frame-batched variant (frame-parallelism, the reference's
         # frame-threads analog); NR offsets are shared across the batch
@@ -700,7 +707,361 @@ class IntraFrameEncoder:
 
         return encode
     # ------------------------------------------------------------------
+    def _build_qt64(self, with_recon: bool = True):
+        """CTU64 wavefront (the reference's default CTU size) with an
+        in-scan quadtree over 32/16(/8) CUs. The 64x64 depth-0 CU is always
+        split (an encoder-side choice: intra 64 CUs need 4-TB prediction and
+        are rarely chosen by the reference either); the four 32 subtrees are
+        coded in z-order with exact intra reference propagation through the
+        64-tile (qt_common.block_v derives spec availability from z-order).
+        max_depth 2 => min CU 16, 3 => min CU 8."""
+        from .qt_common import block_v, QOFF
+        cfg = self.cfg
+        n = cfg.cu_size            # 64
+        nc = n // 2                # 32 chroma tile
+        rows, cols = cfg.rows, cfg.cols
+        W, H = cfg.width, cfg.height
+        bd = cfg.bit_depth
+        maxv = (1 << bd) - 1
+        ncu = rows * cols
+        rc_all = self._rc
+        valid_all = self._valid
+        S = self.num_slots
+        fill = 1 << (bd - 1)
+        MODE_BITS = 7.0
+        depth3 = cfg.max_depth >= 3
+
+        def to_blocks(plane, nn):
+            hh, ww = plane.shape
+            return (plane.reshape(hh // nn, nn, ww // nn, nn)
+                    .transpose(0, 2, 1, 3).reshape(ncu, nn, nn))
+
+        def from_blocks(blocks, nn, hh, ww):
+            return (blocks.reshape(hh // nn, ww // nn, nn, nn)
+                    .transpose(0, 2, 1, 3).reshape(hh, ww))
+
+        def encode_block(v_raw, av, src, qp, log2nn, luma, modes=None):
+            v = intra.substitute_references(v_raw, av, bd, xp=jnp)
+            nn = 1 << log2nn
+            preds = intra.predict_all_modes_matmul(v, nn, bd, luma=luma,
+                                                   strong_smoothing=False,
+                                                   xp=jnp)
+            if modes is None:
+                costs = pixel.satd(src[:, None], preds, xp=jnp)
+                modes = jnp.argmin(costs, axis=1).astype(jnp.int32)
+            pred = jnp.take_along_axis(
+                preds, modes[:, None, None, None].astype(jnp.int32),
+                axis=1)[:, 0]
+            resid = src.astype(jnp.int32) - pred
+            coef = transforms.forward_transform(resid, bd, xp=jnp)
+            if cfg.rdoq:
+                levels = quant.quant_rdoq(coef, qp, log2nn, bd, xp=jnp)
+            else:
+                levels, du = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
+                if cfg.sbh:
+                    levels = quant.sign_bit_hiding(levels, du, log2nn, xp=jnp)
+            dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
+            rr = transforms.inverse_transform(dq, bd, xp=jnp)
+            recon = jnp.clip(pred + rr, 0, maxv)
+            return modes, levels, recon
+
+        def ssd(a, b):
+            d = (a - b).astype(jnp.float32)
+            return jnp.sum(d * d, axis=(-2, -1))
+
+        def make_step(src_y_blocks, src_u_blocks, src_v_blocks,
+                      qp_y_map, qp_c_map, qp_sig_map):
+            def step(carry, xs):
+                (bry, rcy, bru, rcu_, brv, rcv) = carry
+                rc, valid = xs
+                r = rc[:, 0]
+                c = rc[:, 1]
+                cu = r * cols + c
+                cu_s = jnp.where(valid, cu, ncu)
+                al = (c > 0) & valid
+                at = (r > 0) & valid
+                atr = ((r > 0) & (c < cols - 1)) & valid
+                atl = ((r > 0) & (c > 0)) & valid
+                pad = ncu
+                gl = jnp.where(al, cu - 1, pad)
+                gt = jnp.where(at, cu - cols, pad)
+                gtr = jnp.where(atr, cu - cols + 1, pad)
+                gtl = jnp.where(atl, cu - cols - 1, pad)
+
+                src_y = jnp.take(src_y_blocks, cu_s, axis=0)
+                src_u = jnp.take(src_u_blocks, cu_s, axis=0)
+                src_v = jnp.take(src_v_blocks, cu_s, axis=0)
+                qp_y = jnp.take(qp_y_map, cu_s, axis=0)
+                qp_c = jnp.take(qp_c_map, cu_s, axis=0)
+                qp_sig = jnp.take(qp_sig_map, cu_s, axis=0)
+                lam2 = 0.85 * jnp.exp2((qp_sig.astype(jnp.float32) - 12.0)
+                                       / 3.0)
+
+                nb_y = (jnp.take(rcy, gl, axis=0), jnp.take(bry, gt, axis=0),
+                        jnp.take(bry, gtr, axis=0), jnp.take(bry, gtl, axis=0))
+                nb_u = (jnp.take(rcu_, gl, axis=0), jnp.take(bru, gt, axis=0),
+                        jnp.take(bru, gtr, axis=0), jnp.take(bru, gtl, axis=0))
+                nb_v = (jnp.take(rcv, gl, axis=0), jnp.take(brv, gt, axis=0),
+                        jnp.take(brv, gtr, axis=0), jnp.take(brv, gtl, axis=0))
+                flags = (al, at, atr, atl)
+
+                def code_at(tiles, y0, x0, nn, modes=None):
+                    ty, tu, tv = tiles
+                    vy, ay = block_v(ty, *nb_y, *flags, y0, x0, nn)
+                    sy = src_y[:, y0:y0 + nn, x0:x0 + nn]
+                    m, lv_y, rec_y = encode_block(vy, ay, sy, qp_y,
+                                                  nn.bit_length() - 1, True,
+                                                  modes)
+                    hc2 = nn // 2
+                    yc, xc = y0 // 2, x0 // 2
+                    vu, au = block_v(tu, *nb_u, *flags, yc, xc, hc2)
+                    su = src_u[:, yc:yc + hc2, xc:xc + hc2]
+                    _, lv_cb, rec_u = encode_block(vu, au, su, qp_c,
+                                                   hc2.bit_length() - 1,
+                                                   False, m)
+                    vv, av_ = block_v(tv, *nb_v, *flags, yc, xc, hc2)
+                    sv = src_v[:, yc:yc + hc2, xc:xc + hc2]
+                    _, lv_cr, rec_v = encode_block(vv, av_, sv, qp_c,
+                                                   hc2.bit_length() - 1,
+                                                   False, m)
+                    dist = ssd(sy, rec_y) + ssd(su, rec_u) + ssd(sv, rec_v)
+                    if cfg.psy_rd > 0:
+                        dist = dist + cfg.psy_rd * jnp.abs(
+                            pixel.psy_energy(sy, xp=jnp)
+                            - pixel.psy_energy(rec_y, xp=jnp)
+                        ).astype(jnp.float32)
+                    bits = (quant.est_tu_bits(lv_y, xp=jnp)
+                            + quant.est_tu_bits(lv_cb, xp=jnp)
+                            + quant.est_tu_bits(lv_cr, xp=jnp) + MODE_BITS)
+                    return m, lv_y, rec_y, lv_cb, rec_u, lv_cr, rec_v, \
+                        dist, bits
+
+                def put(tiles, lvs, y0, x0, nn, rec3, lv3):
+                    ty, tu, tv = tiles
+                    ly, lcb, lcr = lvs
+                    yc, xc = y0 // 2, x0 // 2
+                    hc2 = nn // 2
+                    return ((ty.at[:, y0:y0 + nn, x0:x0 + nn].set(rec3[0]),
+                             tu.at[:, yc:yc + hc2, xc:xc + hc2].set(rec3[1]),
+                             tv.at[:, yc:yc + hc2, xc:xc + hc2].set(rec3[2])),
+                            (ly.at[:, y0:y0 + nn, x0:x0 + nn].set(lv3[0]),
+                             lcb.at[:, yc:yc + hc2, xc:xc + hc2].set(lv3[1]),
+                             lcr.at[:, yc:yc + hc2, xc:xc + hc2].set(lv3[2])))
+
+                def take3(tiles, y0, x0, nn):
+                    yc, xc, hc2 = y0 // 2, x0 // 2, nn // 2
+                    return (tiles[0][:, y0:y0 + nn, x0:x0 + nn],
+                            tiles[1][:, yc:yc + hc2, xc:xc + hc2],
+                            tiles[2][:, yc:yc + hc2, xc:xc + hc2])
+
+                def code_16_tree(tiles, lvs, y0, x0):
+                    """One 16-block: either a 16 CU or (depth3) 4x8 CUs.
+                    Writes the chosen recon/levels into tiles/lvs and
+                    returns (tiles, lvs, dist, bits, sp16, m16, m8[4])."""
+                    (m16, l16y, r16y, l16cb, r16u, l16cr, r16v,
+                     d16, b16) = code_at(tiles, y0, x0, 16)
+                    if not depth3:
+                        tiles, lvs = put(tiles, lvs, y0, x0, 16,
+                                         (r16y, r16u, r16v),
+                                         (l16y, l16cb, l16cr))
+                        z = jnp.zeros((S,), jnp.int32)
+                        return (tiles, lvs, d16, b16 + 1.0,
+                                jnp.zeros((S,), bool), m16,
+                                jnp.stack([z, z, z, z], axis=1))
+                    t8, lv8 = tiles, lvs
+                    m8q = []
+                    d8 = jnp.zeros((S,), jnp.float32)
+                    b8 = jnp.zeros((S,), jnp.float32)
+                    for sy_, sx_ in QOFF:
+                        yy, xx = y0 + 8 * sy_, x0 + 8 * sx_
+                        (m8, l8y, r8y, l8cb, r8u, l8cr, r8v,
+                         dd, bb) = code_at(t8, yy, xx, 8)
+                        t8, lv8 = put(t8, lv8, yy, xx, 8,
+                                      (r8y, r8u, r8v), (l8y, l8cb, l8cr))
+                        m8q.append(m8)
+                        d8 = d8 + dd
+                        b8 = b8 + bb
+                    sp16 = (d8 + lam2 * (b8 + 1.0)) < (d16 + lam2 * (b16 + 1.0))
+                    sel = sp16[:, None, None]
+                    rec_sel = tuple(jnp.where(sel, a, b) for a, b in zip(
+                        take3(t8, y0, x0, 16), (r16y, r16u, r16v)))
+                    lv_sel = tuple(jnp.where(sel, a, b) for a, b in zip(
+                        take3(lv8, y0, x0, 16), (l16y, l16cb, l16cr)))
+                    tiles, lvs = put(tiles, lvs, y0, x0, 16, rec_sel, lv_sel)
+                    dist = jnp.where(sp16, d8, d16)
+                    bits = jnp.where(sp16, b8 + 1.0, b16 + 1.0)
+                    return (tiles, lvs, dist, bits, sp16, m16,
+                            jnp.stack(m8q, axis=1))
+
+                def code_32_tree(tiles, lvs, y0, x0):
+                    """One 32-block: a 32 CU vs four 16-trees. Returns
+                    (tiles, lvs, sp32, m32, sp16[4], m16[4], m8[4,4])."""
+                    (m32, l32y, r32y, l32cb, r32u, l32cr, r32v,
+                     d32, b32) = code_at(tiles, y0, x0, 32)
+                    t16, lv16 = tiles, lvs
+                    dq = jnp.zeros((S,), jnp.float32)
+                    bq = jnp.zeros((S,), jnp.float32)
+                    sp16s, m16s, m8s = [], [], []
+                    for qy, qx in QOFF:
+                        yy, xx = y0 + 16 * qy, x0 + 16 * qx
+                        (t16, lv16, dd, bb, sp16, m16,
+                         m8) = code_16_tree(t16, lv16, yy, xx)
+                        dq = dq + dd
+                        bq = bq + bb
+                        sp16s.append(sp16)
+                        m16s.append(m16)
+                        m8s.append(m8)
+                    sp32 = (dq + lam2 * (bq + 1.0)) < (d32 + lam2 * (b32 + 1.0))
+                    sel = sp32[:, None, None]
+                    rec_sel = tuple(jnp.where(sel, a, b) for a, b in zip(
+                        take3(t16, y0, x0, 32), (r32y, r32u, r32v)))
+                    lv_sel = tuple(jnp.where(sel, a, b) for a, b in zip(
+                        take3(lv16, y0, x0, 32), (l32y, l32cb, l32cr)))
+                    tiles, lvs = put(tiles, lvs, y0, x0, 32, rec_sel, lv_sel)
+                    return (tiles, lvs, sp32, m32, jnp.stack(sp16s, axis=1),
+                            jnp.stack(m16s, axis=1), jnp.stack(m8s, axis=1))
+
+                zt = (jnp.zeros((S, n, n), jnp.int32),
+                      jnp.zeros((S, nc, nc), jnp.int32),
+                      jnp.zeros((S, nc, nc), jnp.int32))
+                tiles, lvs = zt, zt
+                sp32s, m32s, sp16s, m16s, m8s = [], [], [], [], []
+                for qy, qx in QOFF:          # 32-subtrees in z-order
+                    (tiles, lvs, sp32, m32, sp16, m16,
+                     m8) = code_32_tree(tiles, lvs, 32 * qy, 32 * qx)
+                    sp32s.append(sp32)
+                    m32s.append(m32)
+                    sp16s.append(sp16)
+                    m16s.append(m16)
+                    m8s.append(m8)
+
+                rec_y, rec_u, rec_v = tiles
+                lv_y, lv_cb, lv_cr = lvs
+                bry = bry.at[cu_s].set(rec_y[:, n - 1, :], mode="drop")
+                rcy = rcy.at[cu_s].set(rec_y[:, :, n - 1], mode="drop")
+                bru = bru.at[cu_s].set(rec_u[:, nc - 1, :], mode="drop")
+                rcu_ = rcu_.at[cu_s].set(rec_u[:, :, nc - 1], mode="drop")
+                brv = brv.at[cu_s].set(rec_v[:, nc - 1, :], mode="drop")
+                rcv = rcv.at[cu_s].set(rec_v[:, :, nc - 1], mode="drop")
+
+                ys = (cu_s, jnp.stack(sp32s, axis=1),
+                      jnp.stack(m32s, axis=1), jnp.stack(sp16s, axis=1),
+                      jnp.stack(m16s, axis=1), jnp.stack(m8s, axis=1),
+                      lv_y, lv_cb, lv_cr, rec_y, rec_u, rec_v)
+                return (bry, rcy, bru, rcu_, brv, rcv), ys
+            return step
+
+        def encode(y, u, v, qp):
+            qp_sig = qp.astype(jnp.int32)
+            qp_sig_map = jnp.concatenate([qp_sig, jnp.zeros((1,), jnp.int32)])
+            qp_y_map = jnp.concatenate([qp_sig + 6 * (bd - 8),
+                                        jnp.zeros((1,), jnp.int32)])
+            qp_c_map = jnp.concatenate([
+                jnp.take(jnp.asarray(CHROMA_QP_TABLE), jnp.clip(qp_sig, 0, 57))
+                + 6 * (bd - 8), jnp.zeros((1,), jnp.int32)])
+            yb = to_blocks(y.astype(jnp.int32), n)
+            ub = to_blocks(u.astype(jnp.int32), nc)
+            vb = to_blocks(v.astype(jnp.int32), nc)
+            step = make_step(yb, ub, vb, qp_y_map, qp_c_map, qp_sig_map)
+            z0 = y.reshape(-1)[0].astype(jnp.int32) * 0
+            init = tuple(jnp.full((ncu + 1, k), fill, jnp.int32) + z0
+                         for k in (n, n, nc, nc, nc, nc))
+            _, ys = jax.lax.scan(step, init, (rc_all, valid_all))
+            (cu_s, sp32_s, m32_s, sp16_s, m16_s, m8_s,
+             lv_y_s, lv_cb_s, lv_cr_s, rec_y_s, rec_u_s, rec_v_s) = ys
+            flat_cu = cu_s.reshape(-1)
+
+            def collect(x, shape, dtype=None):
+                acc = jnp.zeros((ncu + 1,) + shape,
+                                x.dtype if dtype is None else dtype)
+                acc = acc.at[flat_cu].set(
+                    x.reshape((-1,) + shape).astype(acc.dtype), mode="drop")
+                return acc[:ncu]
+
+            head_parts = [
+                collect(sp32_s, (4,), jnp.uint8).reshape(-1),
+                collect(m32_s, (4,), jnp.uint8).reshape(-1),
+                collect(sp16_s, (4, 4), jnp.uint8).reshape(-1),
+                collect(m16_s, (4, 4), jnp.uint8).reshape(-1),
+                collect(m8_s, (4, 4, 4), jnp.uint8).reshape(-1),
+            ]
+            lv_y = collect(lv_y_s, (n, n))
+            lv_cb = collect(lv_cb_s, (nc, nc))
+            lv_cr = collect(lv_cr_s, (nc, nc))
+            rec_y = collect(rec_y_s, (n, n))
+            rec_u = collect(rec_u_s, (nc, nc))
+            rec_v = collect(rec_v_s, (nc, nc))
+            head8 = jnp.concatenate(head_parts)
+            levels16 = jnp.concatenate([
+                lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)
+            ]).astype(jnp.int16)
+            levels8 = jax.lax.bitcast_convert_type(levels16, jnp.uint8).reshape(-1)
+            if not with_recon:
+                return jnp.concatenate([head8, levels8])
+            rec_cat = jnp.concatenate([
+                from_blocks(rec_y, n, H, W).reshape(-1),
+                from_blocks(rec_u, nc, H // 2, W // 2).reshape(-1),
+                from_blocks(rec_v, nc, H // 2, W // 2).reshape(-1),
+            ])
+            if bd > 8:
+                recon8 = jax.lax.bitcast_convert_type(
+                    rec_cat.astype(jnp.int16), jnp.uint8).reshape(-1)
+            else:
+                recon8 = rec_cat.astype(jnp.uint8)
+            return jnp.concatenate([recon8, head8, levels8])
+
+        return encode
+
+    # ------------------------------------------------------------------
+    def _unpack_qt64(self, buf: np.ndarray, with_recon: bool = True) -> dict:
+        cfg = self.cfg
+        n, nc = cfg.cu_size, cfg.cu_size // 2
+        rows, cols, ncu = cfg.rows, cfg.cols, cfg.rows * cfg.cols
+        W, H = cfg.width, cfg.height
+        ny, nuv = H * W, (H // 2) * (W // 2)
+        bsz = 2 if cfg.bit_depth > 8 else 1
+        o = 0
+        rec_y = rec_u = rec_v = None
+        if with_recon:
+            def plane(count, hh, ww):
+                nonlocal o
+                raw = buf[o:o + count * bsz]
+                o += count * bsz
+                if bsz == 2:
+                    return raw.view(np.int16).reshape(hh, ww)
+                return raw.reshape(hh, ww)
+            rec_y = plane(ny, H, W)
+            rec_u = plane(nuv, H // 2, W // 2)
+            rec_v = plane(nuv, H // 2, W // 2)
+
+        def head(count, shape, dtype=np.int32):
+            nonlocal o
+            a = buf[o:o + count].astype(dtype).reshape((rows, cols) + shape)
+            o += count
+            return a
+        split32 = head(4 * ncu, (4,), bool)
+        modes32 = head(4 * ncu, (4,))
+        split16 = head(16 * ncu, (4, 4), bool)
+        modes16 = head(16 * ncu, (4, 4))
+        modes8 = head(64 * ncu, (4, 4, 4))
+        lv = buf[o:].view(np.int16)
+        sy = ncu * n * n
+        sc = ncu * nc * nc
+        return {
+            "split32": split32, "modes32": modes32,
+            "split16": split16, "modes16": modes16, "modes8": modes8,
+            "levels_y": lv[:sy].astype(np.int32).reshape(rows, cols, n, n),
+            "levels_cb": lv[sy:sy + sc].astype(np.int32).reshape(rows, cols, nc, nc),
+            "levels_cr": lv[sy + sc:sy + 2 * sc].astype(np.int32).reshape(rows, cols, nc, nc),
+            "recon_y": None if rec_y is None else rec_y.astype(np.int32),
+            "recon_u": None if rec_u is None else rec_u.astype(np.int32),
+            "recon_v": None if rec_v is None else rec_v.astype(np.int32),
+        }
+
+    # ------------------------------------------------------------------
     def _unpack(self, buf: np.ndarray, with_recon: bool = True) -> dict:
+        if self.cfg.max_depth and self.cfg.cu_size == 64:
+            return self._unpack_qt64(buf, with_recon)
         if self.cfg.max_depth:
             return self._unpack_qt(buf, with_recon)
         cfg = self.cfg
