@@ -98,6 +98,39 @@ class Lookahead:
             self._fn_pair = jax.jit(self._build_pair())
         return float(self._fn_pair(jnp.asarray(cur_low), jnp.asarray(ref_low)))
 
+    def _build_bidir(self):
+        lw, lh = self.lw, self.lh
+        nb_x, nb_y = lw // 8, lh // 8
+        nblocks = nb_x * nb_y
+
+        def run(cur_low, ref0_low, ref1_low):
+            blocks = (cur_low.reshape(nb_y, 8, nb_x, 8)
+                      .transpose(0, 2, 1, 3).reshape(nblocks, 8, 8))
+            dc = jnp.mean(blocks.reshape(nblocks, 64), axis=1,
+                          keepdims=True).astype(jnp.int32)
+            icost = pixel.satd(blocks, dc[:, :, None] *
+                               jnp.ones((1, 8, 8), jnp.int32), xp=jnp)
+            px = (jnp.arange(nblocks, dtype=jnp.int32) % nb_x) * 8
+            py = (jnp.arange(nblocks, dtype=jnp.int32) // nb_x) * 8
+            _, _, fwd = me.full_search_sad(ref0_low, blocks, px, py,
+                                           8, 16, lambda_bits=1, xp=jnp)
+            _, _, bwd = me.full_search_sad(ref1_low, blocks, px, py,
+                                           8, 16, lambda_bits=1, xp=jnp)
+            return jnp.sum(jnp.minimum(jnp.minimum(fwd, bwd), icost))
+
+        return run
+
+    def bidir_cost(self, ref0_low, ref1_low, cur_low) -> float:
+        """Estimated cost of coding cur as a B between ref0 (past) and ref1
+        (future): per-block min(fwd ME, bwd ME, intra) — the (p0, p1, b)
+        estimateFrameCost of the reference's b-adapt path search
+        (slicetype.cpp:2378 slicetypePath)."""
+        if not hasattr(self, "_fn_bidir"):
+            self._fn_bidir = jax.jit(self._build_bidir())
+        return float(self._fn_bidir(jnp.asarray(cur_low),
+                                    jnp.asarray(ref0_low),
+                                    jnp.asarray(ref1_low)))
+
     def push(self, y: np.ndarray):
         """Returns (intra_cost, inter_cost, scenecut) for this frame."""
         prev = self.prev_lowres if self.prev_lowres is not None else \
