@@ -1,0 +1,75 @@
+"""AQ (per-CU QP) composed with the in-loop filters: the loop filter must
+derive thresholds from per-edge AVERAGED QPs (spec 8.7.2.5.3), matching the
+decoder bit-exactly."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("cv2")
+
+from x265_yuuki_asuna_tpu.models.encoder_top import (IntraEncoderSession,
+                                                     VideoEncoderSession)
+from x265_yuuki_asuna_tpu.utils.av_decode import decode_hevc
+
+
+def _frames(n, W, H, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (H, W))
+    out = []
+    for i in range(n):
+        y = np.zeros((H, W), np.uint8)
+        y[:, :W // 2] = 100                          # flat: low AQ QP
+        y[:, W // 2:] = np.roll(base, i, 1)[:, W // 2:]  # noisy: high AQ QP
+        u = np.full((H // 2, W // 2), 90 + i, np.uint8)
+        v = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+def _check(sess, frames, W, H):
+    stream = sess.headers()
+    recons = []
+    if hasattr(sess, "push_frame") and getattr(sess, "bframes", 0):
+        results = []
+        for y, u, v in frames:
+            results += sess.push_frame(y, u, v)
+        results += sess.flush()
+    else:
+        results = [sess.encode_frame(*f) for f in frames]
+    for fr in results:
+        stream += fr.nals
+        recons.append(fr.recon)
+    dec = decode_hevc(stream, W, H)
+    assert len(dec) == len(frames)
+    # compare in coding order against results order only for all-intra;
+    # for video sessions just require full decode + match by search
+    if len(recons) and not getattr(sess, "bframes", 0):
+        order = dec if not hasattr(sess, "push_frame") else dec
+        for d, r in zip(order, recons):
+            for p in range(3):
+                assert np.array_equal(d[p].astype(np.uint8), r[p])
+
+
+def test_intra_uniform_aq_deblock():
+    W, H = 64, 48
+    sess = IntraEncoderSession(W, H, qp=32, cu_size=16, hash_sei=False,
+                               aq_mode=2, aq_strength=2.0, deblock=True)
+    assert sess.deblock and sess.aq_mode
+    _check(sess, _frames(2, W, H), W, H)
+
+
+def test_intra_qt_aq_deblock():
+    W, H = 64, 64
+    sess = IntraEncoderSession(W, H, qp=32, cu_size=32, max_depth=2,
+                               hash_sei=False, aq_mode=1, aq_strength=2.0,
+                               deblock=True)
+    _check(sess, _frames(2, W, H, seed=5), W, H)
+
+
+def test_video_ippp_aq_deblock_sao():
+    W, H = 64, 48
+    sess = VideoEncoderSession(W, H, qp=32, cu_size=16, keyint=8,
+                               hash_sei=False, aq_mode=2, aq_strength=2.0,
+                               deblock=True, sao=True)
+    assert sess.deblock and sess.sao and sess.aq_mode
+    _check(sess, _frames(5, W, H, seed=7), W, H)

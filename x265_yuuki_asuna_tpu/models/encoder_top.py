@@ -171,6 +171,10 @@ class IntraEncoderSession:
         """In-loop deblocking on the session recon (QT-aware: edges on the
         16-pel CU-boundary grid with interior edges of unsplit CTUs off)."""
         qp = self.qp if qp is None else qp
+        # per-CU QP (AQ): the decoder derives thresholds from per-edge
+        # averaged QPs, so the encoder must too (spec 8.7.2.5.3)
+        qmap = out.get("qp_map")
+        qarg = qmap if qmap is not None else qp
         if self.max_depth >= 2:
             maps = DB.expand_qt_maps8({"split": out["split"],
                                        "split16": out["split16"],
@@ -178,20 +182,22 @@ class IntraEncoderSession:
             bs_v, bs_h = DB.compute_bs_qt2(maps)
             dy, du, dv = DB.deblock_frame_qt2(
                 out["recon_y"], out["recon_u"], out["recon_v"],
-                qp, chroma_qp_from_luma(qp), bs_v, bs_h,
+                qarg, chroma_qp_from_luma(qp), bs_v, bs_h,
                 bit_depth=self.bit_depth)
         elif self.max_depth:
             maps = DB.expand_qt_maps({"split": out["split"],
                                       "levels_y": out["levels_y"]})
             bs_v, bs_h = DB.compute_bs_qt(maps)
+            q16 = qarg if qmap is None else \
+                np.repeat(np.repeat(qmap, 2, 0), 2, 1)  # CTU map -> 16px grid
             dy, du, dv = DB.deblock_frame_inter(
                 out["recon_y"], out["recon_u"], out["recon_v"], 16,
-                qp, chroma_qp_from_luma(qp), bs_v, bs_h,
+                q16, chroma_qp_from_luma(qp), bs_v, bs_h,
                 bit_depth=self.bit_depth)
         else:
             dy, du, dv = DB.deblock_frame_uniform(
                 out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
-                qp, chroma_qp_from_luma(qp), bit_depth=self.bit_depth)
+                qarg, chroma_qp_from_luma(qp), bit_depth=self.bit_depth)
         out["recon_y"], out["recon_u"], out["recon_v"] = (
             np.asarray(dy), np.asarray(du), np.asarray(dv))
 
@@ -838,15 +844,9 @@ class VideoEncoderSession:
             assert not analysis_load and not analysis_save, \
                 "inter quadtree: no analysis reuse (v1)"
         self.max_depth = max_depth
-        # per-CU QP (AQ/cuTree) and deblocking are mutually exclusive this
-        # round: the in-loop filter still derives thresholds from the frame
-        # QP (per-edge QP averaging is the r2 item)
         self.aq_mode = aq_mode
         self.aq_strength = aq_strength
         self.cutree = cutree
-        per_cu_qp = bool(aq_mode or cutree)
-        deblock = deblock and not per_cu_qp
-        sao = sao and not per_cu_qp
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
                                               hash_sei=False, deblock=deblock,
                                               sao=sao, rdoq=rdoq, sbh=sbh,
@@ -856,7 +856,7 @@ class VideoEncoderSession:
                                               hash_type=hash_type)
         self.bit_depth = bit_depth
         self.sbh = self.intra_sess.sbh
-        if per_cu_qp:
+        if aq_mode or cutree:
             self.intra_sess.pps.cu_qp_delta = 1
         self.deblock = deblock
         self.sao = sao
@@ -1022,6 +1022,8 @@ class VideoEncoderSession:
                     yp, up, vp, self.ref[0], self.ref[1], self.ref[2],
                     qp=qp_map.reshape(-1) if qp_map is not None else qp,
                     weights=weights, hint_mvx=hx, hint_mvy=hy)
+                if qp_map is not None:
+                    out["qp_map"] = qp_map
                 self._deblock_frame(out, qp, is_idr=False)
                 sao_params = self._sao_frame(out, yp, up, vp)
                 nals = self._assemble_p_slice(out, qp,
@@ -1185,6 +1187,8 @@ class VideoEncoderSession:
         reference for subsequent frames)."""
         if not self.deblock:
             return
+        qmap = out.get("qp_map")
+        qarg = qmap if qmap is not None else qp
         if self.max_depth >= 2:
             src = out if not is_idr else {"split": out["split"],
                                           "split16": out["split16"],
@@ -1193,21 +1197,23 @@ class VideoEncoderSession:
             bs_v, bs_h = DB.compute_bs_qt2(maps)
             dy, du, dv = DB.deblock_frame_qt2(
                 out["recon_y"], out["recon_u"], out["recon_v"],
-                qp, chroma_qp_from_luma(qp), bs_v, bs_h,
+                qarg, chroma_qp_from_luma(qp), bs_v, bs_h,
                 bit_depth=getattr(self, "bit_depth", 8))
         elif self.max_depth:
             maps = DB.expand_qt_maps(out) if not is_idr else \
                 DB.expand_qt_maps({"split": out["split"],
                                    "levels_y": out["levels_y"]})
             bs_v, bs_h = DB.compute_bs_qt(maps)
+            q16 = qarg if qmap is None else \
+                np.repeat(np.repeat(qmap, 2, 0), 2, 1)
             dy, du, dv = DB.deblock_frame_inter(
                 out["recon_y"], out["recon_u"], out["recon_v"], 16,
-                qp, chroma_qp_from_luma(qp), bs_v, bs_h,
+                q16, chroma_qp_from_luma(qp), bs_v, bs_h,
                 bit_depth=getattr(self, "bit_depth", 8))
         elif is_idr:
             dy, du, dv = DB.deblock_frame_uniform(
                 out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
-                qp, chroma_qp_from_luma(qp))
+                qarg, chroma_qp_from_luma(qp))
         else:
             cbf = out["levels_y"].any(axis=(2, 3))
             pdir = out.get("pdir")
@@ -1224,7 +1230,7 @@ class VideoEncoderSession:
                 out["use_intra"], cbf, pdir, mvx, mvy, mv1x, mv1y)
             dy, du, dv = DB.deblock_frame_inter(
                 out["recon_y"], out["recon_u"], out["recon_v"], self.cu,
-                qp, chroma_qp_from_luma(qp), bs_v, bs_h)
+                qarg, chroma_qp_from_luma(qp), bs_v, bs_h)
         out["recon_y"], out["recon_u"], out["recon_v"] = (
             np.asarray(dy), np.asarray(du), np.asarray(dv))
 

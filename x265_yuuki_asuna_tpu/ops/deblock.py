@@ -198,8 +198,27 @@ def deblock_frame_uniform(recon_y, recon_u, recon_v, cu_size: int, qp_y: int,
     """
     H, W = recon_y.shape
     maxv = (1 << bit_depth) - 1
-    beta, tc = luma_thresholds(qp_y, beta_offset, tc_offset, 2, bit_depth)
-    _, tc_c = luma_thresholds(qp_c, beta_offset, tc_offset, 2, bit_depth)
+    shift = bit_depth - 8
+    n = cu_size
+    if np.ndim(qp_y) == 2:
+        # per-CU QP (AQ/cuTree): per-edge averaged thresholds
+        e = _edge_qps(qp_y, beta_offset, tc_offset, shift)
+        beta_v = np.repeat(e["beta_v"], n // 4, axis=0)
+        beta_h = np.repeat(e["beta_h"].T, n // 4, axis=0)
+        idx_v = np.clip(e["qv"] + DEFAULT_INTRA_TC_OFFSET + tc_offset, 0, 53)
+        idx_h = np.clip(e["qh"] + DEFAULT_INTRA_TC_OFFSET + tc_offset, 0, 53)
+        tc_v = np.repeat((TC_TABLE[idx_v] << shift).astype(np.int32),
+                         n // 4, axis=0)
+        tc_h = np.repeat((TC_TABLE[idx_h] << shift).astype(np.int32).T,
+                         n // 4, axis=0)
+        tc_c_v = np.repeat(e["tc_c_v"], n // 2, axis=0)
+        tc_c_h = np.repeat(e["tc_c_h"].T, n // 2, axis=0)
+    else:
+        beta_v, tc_v = luma_thresholds(qp_y, beta_offset, tc_offset, 2,
+                                       bit_depth)
+        beta_h, tc_h = beta_v, tc_v
+        _, tc_c = luma_thresholds(qp_c, beta_offset, tc_offset, 2, bit_depth)
+        tc_c_v = tc_c_h = tc_c
 
     y = recon_y.astype(xp.int32)
     u = recon_u.astype(xp.int32)
@@ -212,16 +231,19 @@ def deblock_frame_uniform(recon_y, recon_u, recon_v, cu_size: int, qp_y: int,
     vcols_c = [x for x in range(c_step, W // 2, c_step)]
     hrows_c = [yv for yv in range(c_step, H // 2, c_step)]
 
-    y = _filter_vertical_edges(y, vcols, beta, tc, maxv, xp)
+    y = _filter_vertical_edges(y, vcols, beta_v, tc_v, maxv, xp)
     y = xp.swapaxes(
-        _filter_vertical_edges(xp.swapaxes(y, 0, 1), hrows, beta, tc, maxv, xp), 0, 1)
+        _filter_vertical_edges(xp.swapaxes(y, 0, 1), hrows, beta_h, tc_h,
+                               maxv, xp), 0, 1)
 
-    u = _filter_vertical_edges_chroma(u, vcols_c, tc_c, maxv, xp)
+    u = _filter_vertical_edges_chroma(u, vcols_c, tc_c_v, maxv, xp)
     u = xp.swapaxes(
-        _filter_vertical_edges_chroma(xp.swapaxes(u, 0, 1), hrows_c, tc_c, maxv, xp), 0, 1)
-    v = _filter_vertical_edges_chroma(v, vcols_c, tc_c, maxv, xp)
+        _filter_vertical_edges_chroma(xp.swapaxes(u, 0, 1), hrows_c, tc_c_h,
+                                      maxv, xp), 0, 1)
+    v = _filter_vertical_edges_chroma(v, vcols_c, tc_c_v, maxv, xp)
     v = xp.swapaxes(
-        _filter_vertical_edges_chroma(xp.swapaxes(v, 0, 1), hrows_c, tc_c, maxv, xp), 0, 1)
+        _filter_vertical_edges_chroma(xp.swapaxes(v, 0, 1), hrows_c, tc_c_h,
+                                      maxv, xp), 0, 1)
     return y, u, v
 
 
@@ -271,9 +293,37 @@ def compute_bs_uniform(is_intra, cbf, pdir, mv0x, mv0y, mv1x=None, mv1y=None):
 
 
 def _tc_seg_from_bs(bs_seg, qp, tc_offset, shift):
-    """Per-segment tc from BS (0 disables the segment)."""
+    """Per-segment tc from BS (0 disables the segment). qp may be a scalar
+    or an array shaped like bs_seg (per-edge averaged QP)."""
     idx = np.clip(qp + DEFAULT_INTRA_TC_OFFSET * (bs_seg - 1) + tc_offset, 0, 53)
     return np.where(bs_seg > 0, TC_TABLE[idx] << shift, 0).astype(np.int32)
+
+
+# spec table 8-10 (4:2:0) — also in models/intra_encoder.py; the loop filter
+# maps the per-edge AVERAGED luma QP through it (8.7.2.5.5)
+_CHROMA_QP = np.array(
+    list(range(30)) + [29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37,
+                       37] + list(range(38, 52)), np.int32)
+
+
+def _edge_qps(qp_map, beta_offset, tc_offset, shift):
+    """Per-edge averaged QPs from a per-CU map (spec 8.7.2.5.3: qPL =
+    (QpQ + QpP + 1) >> 1). qp_map: [rows, cols] luma signaling QP.
+    Returns dict with per-edge luma QP and beta arrays at the CU-pair
+    granularity: v [rows, cols-1], h [rows-1, cols]."""
+    q = np.asarray(qp_map, np.int32)
+    qv = (q[:, :-1] + q[:, 1:] + 1) >> 1
+    qh = (q[:-1, :] + q[1:, :] + 1) >> 1
+    bv = (BETA_TABLE[np.clip(qv + beta_offset, 0, 51)] << shift).astype(np.int32)
+    bh = (BETA_TABLE[np.clip(qh + beta_offset, 0, 51)] << shift).astype(np.int32)
+    cv = _CHROMA_QP[np.clip(qv, 0, 51)]
+    ch = _CHROMA_QP[np.clip(qh, 0, 51)]
+    tcv = (TC_TABLE[np.clip(cv + DEFAULT_INTRA_TC_OFFSET + tc_offset, 0, 53)]
+           << shift).astype(np.int32)
+    tch = (TC_TABLE[np.clip(ch + DEFAULT_INTRA_TC_OFFSET + tc_offset, 0, 53)]
+           << shift).astype(np.int32)
+    return {"qv": qv, "qh": qh, "beta_v": bv, "beta_h": bh,
+            "tc_c_v": tcv, "tc_c_h": tch}
 
 
 def deblock_frame_inter(recon_y, recon_u, recon_v, cu_size: int, qp_y: int,
@@ -288,7 +338,20 @@ def deblock_frame_inter(recon_y, recon_u, recon_v, cu_size: int, qp_y: int,
     nc = n // 2
     maxv = (1 << bit_depth) - 1
     shift = bit_depth - 8
-    beta = int(BETA_TABLE[int(np.clip(qp_y + beta_offset, 0, 51))]) << shift
+    per_cu = np.ndim(qp_y) == 2
+    if per_cu:
+        e = _edge_qps(qp_y, beta_offset, tc_offset, shift)
+        beta_v = np.repeat(e["beta_v"], n // 4, axis=0)      # [H/4, cols-1]
+        beta_h = np.repeat(e["beta_h"].T, n // 4, axis=0)    # [W/4, rows-1]
+        qp_v, qp_h = e["qv"], e["qh"]
+        tc_c_v = np.repeat(e["tc_c_v"], nc, axis=0)          # [Hc, cols-1]
+        tc_c_h = np.repeat(e["tc_c_h"].T, nc, axis=0)        # [Wc, rows-1]
+    else:
+        beta_v = beta_h = \
+            int(BETA_TABLE[int(np.clip(qp_y + beta_offset, 0, 51))]) << shift
+        qp_v = qp_h = qp_y
+        tc_c_v = tc_c_h = int(TC_TABLE[int(np.clip(
+            qp_c + DEFAULT_INTRA_TC_OFFSET + tc_offset, 0, 53))]) << shift
 
     y = recon_y.astype(xp.int32)
     u = recon_u.astype(xp.int32)
@@ -300,29 +363,28 @@ def deblock_frame_inter(recon_y, recon_u, recon_v, cu_size: int, qp_y: int,
     hrows_c = list(range(nc, H // 2, nc))
 
     # vertical edges: per-segment tc [H/4, cols-1]
-    tc_v = np.repeat(_tc_seg_from_bs(bs_v, qp_y, tc_offset, shift),
+    tc_v = np.repeat(_tc_seg_from_bs(bs_v, qp_v, tc_offset, shift),
                      n // 4, axis=0)
-    tc_h = np.repeat(_tc_seg_from_bs(bs_h, qp_y, tc_offset, shift).T,
+    tc_h = np.repeat(_tc_seg_from_bs(bs_h, qp_h, tc_offset, shift).T,
                      n // 4, axis=0)          # transposed pass: [W/4, rows-1]
     if xp is not np:
         tc_v, tc_h = xp.asarray(tc_v), xp.asarray(tc_h)
-    y = _filter_vertical_edges(y, vcols, beta, tc_v, maxv, xp)
+    y = _filter_vertical_edges(y, vcols, beta_v, tc_v, maxv, xp)
     y = xp.swapaxes(
-        _filter_vertical_edges(xp.swapaxes(y, 0, 1), hrows, beta, tc_h,
+        _filter_vertical_edges(xp.swapaxes(y, 0, 1), hrows, beta_h, tc_h,
                                maxv, xp), 0, 1)
 
-    tc_c = int(TC_TABLE[int(np.clip(qp_c + DEFAULT_INTRA_TC_OFFSET
-                                    + tc_offset, 0, 53))]) << shift
     mask_v = np.repeat(bs_v == 2, nc, axis=0)            # [Hc, cols-1]
     mask_h = np.repeat((bs_h == 2).T, nc, axis=0)        # [Wc, rows-1]
     if xp is not np:
         mask_v, mask_h = xp.asarray(mask_v), xp.asarray(mask_h)
     for pl in ("u", "v"):
         p = u if pl == "u" else v
-        p = _filter_vertical_edges_chroma(p, vcols_c, tc_c, maxv, xp, mask_v)
+        p = _filter_vertical_edges_chroma(p, vcols_c, tc_c_v, maxv, xp,
+                                          mask_v)
         p = xp.swapaxes(
-            _filter_vertical_edges_chroma(xp.swapaxes(p, 0, 1), hrows_c, tc_c,
-                                          maxv, xp, mask_h), 0, 1)
+            _filter_vertical_edges_chroma(xp.swapaxes(p, 0, 1), hrows_c,
+                                          tc_c_h, maxv, xp, mask_h), 0, 1)
         if pl == "u":
             u = p
         else:
@@ -564,7 +626,24 @@ def deblock_frame_qt2(recon_y, recon_u, recon_v, qp_y: int, qp_c: int,
     H, W = recon_y.shape
     maxv = (1 << bit_depth) - 1
     shift = bit_depth - 8
-    beta = int(BETA_TABLE[int(np.clip(qp_y + beta_offset, 0, 51))]) << shift
+    per_cu = np.ndim(qp_y) == 2
+    if per_cu:
+        # per-CTU QP: expand the [rows, cols] map to the 8-pel cell grid
+        # (QG == CTU), then per-edge average
+        rows, cols = np.asarray(qp_y).shape
+        cell_q = np.repeat(np.repeat(np.asarray(qp_y, np.int32), 4, 0), 4, 1)
+        e = _edge_qps(cell_q, beta_offset, tc_offset, shift)
+        beta = np.repeat(e["beta_v"], 2, axis=0)
+        beta_h_arr = np.repeat(e["beta_h"].T, 2, axis=0)
+        qp_v_arr, qp_h_arr = e["qv"], e["qh"]
+        tc_c_v = np.repeat(e["tc_c_v"][:, 1::2], 4, axis=0)
+        tc_c_h = np.repeat(e["tc_c_h"][1::2, :].T, 4, axis=0)
+    else:
+        beta = int(BETA_TABLE[int(np.clip(qp_y + beta_offset, 0, 51))]) << shift
+        beta_h_arr = beta
+        qp_v_arr = qp_h_arr = qp_y
+        tc_c_v = tc_c_h = int(TC_TABLE[int(np.clip(
+            qp_c + DEFAULT_INTRA_TC_OFFSET + tc_offset, 0, 53))]) << shift
 
     y = recon_y.astype(xp.int32)
     u = recon_u.astype(xp.int32)
@@ -572,20 +651,20 @@ def deblock_frame_qt2(recon_y, recon_u, recon_v, qp_y: int, qp_c: int,
 
     vcols = list(range(8, W, 8))
     hrows = list(range(8, H, 8))
-    tc_v = np.repeat(_tc_seg_from_bs(bs_v, qp_y, tc_offset, shift), 2, axis=0)
-    tc_h = np.repeat(_tc_seg_from_bs(bs_h, qp_y, tc_offset, shift).T, 2, axis=0)
+    tc_v = np.repeat(_tc_seg_from_bs(bs_v, qp_v_arr, tc_offset, shift), 2,
+                     axis=0)
+    tc_h = np.repeat(_tc_seg_from_bs(bs_h, qp_h_arr, tc_offset, shift).T, 2,
+                     axis=0)
     if xp is not np:
         tc_v, tc_h = xp.asarray(tc_v), xp.asarray(tc_h)
     y = _filter_vertical_edges(y, vcols, beta, tc_v, maxv, xp)
     y = xp.swapaxes(
-        _filter_vertical_edges(xp.swapaxes(y, 0, 1), hrows, beta, tc_h,
+        _filter_vertical_edges(xp.swapaxes(y, 0, 1), hrows, beta_h_arr, tc_h,
                                maxv, xp), 0, 1)
 
     # chroma: edges every 8 chroma px (= 16 luma); BS from odd 8-grid edges
     vcols_c = list(range(8, W // 2, 8))
     hrows_c = list(range(8, H // 2, 8))
-    tc_c = int(TC_TABLE[int(np.clip(qp_c + DEFAULT_INTRA_TC_OFFSET
-                                    + tc_offset, 0, 53))]) << shift
     bs_v_c = bs_v[:, 1::2]               # luma x = 16, 32, ...
     bs_h_c = bs_h[1::2, :]
     mask_v = np.repeat(bs_v_c == 2, 4, axis=0)       # 8-cell -> 4 chroma rows
@@ -594,10 +673,11 @@ def deblock_frame_qt2(recon_y, recon_u, recon_v, qp_y: int, qp_c: int,
         mask_v, mask_h = xp.asarray(mask_v), xp.asarray(mask_h)
     for pl in ("u", "v"):
         p = u if pl == "u" else v
-        p = _filter_vertical_edges_chroma(p, vcols_c, tc_c, maxv, xp, mask_v)
+        p = _filter_vertical_edges_chroma(p, vcols_c, tc_c_v, maxv, xp,
+                                          mask_v)
         p = xp.swapaxes(
-            _filter_vertical_edges_chroma(xp.swapaxes(p, 0, 1), hrows_c, tc_c,
-                                          maxv, xp, mask_h), 0, 1)
+            _filter_vertical_edges_chroma(xp.swapaxes(p, 0, 1), hrows_c,
+                                          tc_c_h, maxv, xp, mask_h), 0, 1)
         if pl == "u":
             u = p
         else:
