@@ -99,6 +99,8 @@ def main(argv=None):
     ap.add_argument("--deblock", action=argparse.BooleanOptionalAction, default=None,
                     help="deblocking filter")
     ap.add_argument("--aq-mode", type=int, default=None, choices=[0, 1, 2, 3, 4])
+    ap.add_argument("--psy-rdoq", type=float, default=None,
+                    help="psy-RDOQ strength (needs --rdoq-level)")
     ap.add_argument("--psy-rd", type=float, default=None,
                     help="psycho-visual RD strength (quadtree sessions)")
     ap.add_argument("--aq-strength", type=float, default=1.0)
@@ -235,7 +237,10 @@ def main(argv=None):
                                    analysis_load=args.analysis_load,
                                    aq_mode=aq_mode,
                                    aq_strength=args.aq_strength,
-                                   cutree=cutree, psy_rd=psy_rd)
+                                   cutree=cutree, psy_rd=psy_rd,
+                                   psy_rdoq=(args.psy_rdoq
+                                             if args.psy_rdoq is not None
+                                             else prm.psy_rdoq))
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         if args.lossless or args.slices > 1 or args.wpp:
@@ -261,7 +266,10 @@ def main(argv=None):
                                    sbh=sbh,
                                    master_display=args.master_display,
                                    max_cll=args.max_cll,
-                                   max_depth=qt_depth, psy_rd=psy_rd)
+                                   max_depth=qt_depth, psy_rd=psy_rd,
+                                   psy_rdoq=(args.psy_rdoq
+                                             if args.psy_rdoq is not None
+                                             else prm.psy_rdoq))
     if args.dhdr10_info:
         from .bitstream import sei as SEI
         recs = SEI.load_hdr10plus_json(args.dhdr10_info)

@@ -52,7 +52,7 @@ class IntraEncoderSession:
                  master_display: str = None, max_cll: str = None,
                  max_depth: int = 0, psy_rd: float = 0.0,
                  hash_type: int = 0, nr_intra: int = 0,
-                 scaling_lists: str = None):
+                 scaling_lists: str = None, psy_rdoq: float = 0.0):
         self.hash_type = hash_type
         # quant matrices (--scaling-lists): "default" or a file path
         self.scaling = None
@@ -103,6 +103,7 @@ class IntraEncoderSession:
             bit_depth=bit_depth, lossless=lossless,
             rdoq=rdoq and not lossless, sbh=self.sbh,
             max_depth=max_depth, psy_rd=psy_rd if max_depth else 0.0,
+            psy_rdoq=psy_rdoq if rdoq else 0.0,
             nr=bool(self.nr_intra)), scaling=self.scaling)
         if self.nr_intra:
             n2, c2 = cu_size * cu_size, (cu_size // 2) ** 2
@@ -836,7 +837,8 @@ class VideoEncoderSession:
                  cutree: bool = False, b_pyramid: bool = True,
                  max_depth: int = 0, psy_rd: float = 0.0,
                  bit_depth: int = 8, hme: bool = False, hme_range: int = 16,
-                 hash_type: int = 0, b_adapt: int = 2):
+                 hash_type: int = 0, b_adapt: int = 2,
+                 psy_rdoq: float = 0.0):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         if max_depth:
@@ -853,7 +855,8 @@ class VideoEncoderSession:
                                               max_depth=max_depth,
                                               psy_rd=psy_rd,
                                               bit_depth=bit_depth,
-                                              hash_type=hash_type)
+                                              hash_type=hash_type,
+                                              psy_rdoq=psy_rdoq)
         self.bit_depth = bit_depth
         self.sbh = self.intra_sess.sbh
         if aq_mode or cutree:
@@ -894,6 +897,7 @@ class VideoEncoderSession:
             sbh=self.sbh, analysis_load=self.analysis_data is not None,
             max_depth=max_depth, bit_depth=bit_depth,
             psy_rd=psy_rd if max_depth else 0.0,
+            psy_rdoq=psy_rdoq if rdoq else 0.0,
             hme=hme and max_depth > 0, hme_range=hme_range))
         self.frame_idx = 0
         self.poc = 0
@@ -923,6 +927,7 @@ class VideoEncoderSession:
                 qp=qp, search_range=search_range, bi=True, rdoq=rdoq,
                 sbh=self.sbh, max_depth=max_depth, bit_depth=bit_depth,
                 psy_rd=psy_rd if max_depth else 0.0,
+                psy_rdoq=psy_rdoq if rdoq else 0.0,
                 hme=hme and max_depth > 0, hme_range=hme_range))
         self.sei_provider = None    # callable(display_idx) -> prefix bytes
         self.pending = []           # buffered display-order frames (y, u, v)

@@ -42,6 +42,7 @@ class InterFrameConfig:
     max_depth: int = 0            # 1: CTU32 may split into 4 16x16 CUs
                                   # (in-scan RD quadtree; P slices)
     psy_rd: float = 0.0           # psycho-visual RD strength (--psy-rd)
+    psy_rdoq: float = 0.0         # psy-RDOQ energy bias (--psy-rdoq)
     hme: bool = False             # hierarchical ME: half-res coarse search
     hme_range: int = 16           # coarse range (half-res pels); effective
                                   # full-res reach = 2*hme_range + search_range
@@ -290,10 +291,12 @@ class InterFrameEncoder:
                 ones * avail_tr[:, None]], axis=1)
             return v, av
 
-        def tq(resid, qp, log2nn):
+        def tq(resid, qp, log2nn, luma=True):
             coef = transforms.forward_transform(resid, bd, xp=jnp)
             if cfg.rdoq:
-                levels = quant.quant_rdoq(coef, qp, log2nn, bd, xp=jnp)
+                levels = quant.quant_rdoq(
+                    coef, qp, log2nn, bd,
+                    psy_scale=cfg.psy_rdoq if luma else 0.0, xp=jnp)
             else:
                 levels, du = quant.quant(coef, qp, log2nn, bd, False, xp=jnp)
                 if cfg.sbh:
@@ -359,8 +362,10 @@ class InterFrameEncoder:
                 qp_y = jnp.take(qp_y_pad, cu_s)       # [S] per-slot QP
                 qp_c = jnp.take(qp_c_pad, cu_s)
                 lv_y, rr_y = tq(src_y.astype(jnp.int32) - pred_y, qp_y, log2n)
-                lv_cb, rr_u = tq(src_u.astype(jnp.int32) - pred_u, qp_c, log2n - 1)
-                lv_cr, rr_v = tq(src_v.astype(jnp.int32) - pred_v, qp_c, log2n - 1)
+                lv_cb, rr_u = tq(src_u.astype(jnp.int32) - pred_u, qp_c,
+                                 log2n - 1, luma=False)
+                lv_cr, rr_v = tq(src_v.astype(jnp.int32) - pred_v, qp_c,
+                                 log2n - 1, luma=False)
                 rec_y = jnp.clip(pred_y + rr_y, 0, maxv)
                 rec_u = jnp.clip(pred_u + rr_u, 0, maxv)
                 rec_v = jnp.clip(pred_v + rr_v, 0, maxv)
@@ -589,10 +594,12 @@ class InterFrameEncoder:
                                         nn // 2, bd, xp=jnp)
             return p_y, p_u, p_v
 
-        def tq(resid, qp, log2nn):
+        def tq(resid, qp, log2nn, luma=True):
             coef = transforms.forward_transform(resid, bd, xp=jnp)
             if cfg.rdoq:
-                levels = quant.quant_rdoq(coef, qp, log2nn, bd, xp=jnp)
+                levels = quant.quant_rdoq(
+                    coef, qp, log2nn, bd,
+                    psy_scale=cfg.psy_rdoq if luma else 0.0, xp=jnp)
             else:
                 levels, du = quant.quant(coef, qp, log2nn, bd, False, xp=jnp)
                 if cfg.sbh:
@@ -769,9 +776,9 @@ class InterFrameEncoder:
                                                             axis=0))
                     lvq_y, rr_y = tq(sy - pred_y, qp_y, nn.bit_length() - 1)
                     lvq_cb, rr_u = tq(su - pred_u, qp_c,
-                                      hc2.bit_length() - 1)
+                                      hc2.bit_length() - 1, luma=False)
                     lvq_cr, rr_v = tq(sv - pred_v, qp_c,
-                                      hc2.bit_length() - 1)
+                                      hc2.bit_length() - 1, luma=False)
                     rec_y = jnp.clip(pred_y + rr_y, 0, maxv)
                     rec_u = jnp.clip(pred_u + rr_u, 0, maxv)
                     rec_v = jnp.clip(pred_v + rr_v, 0, maxv)

@@ -64,6 +64,7 @@ class IntraFrameConfig:
     max_depth: int = 0              # 1: CTU32 may split into 4 16x16 CUs
                                     # (in-scan RD quadtree decision)
     psy_rd: float = 0.0             # psycho-visual RD strength (--psy-rd)
+    psy_rdoq: float = 0.0           # psy-RDOQ energy bias (--psy-rdoq)
     nr: bool = False                # noise reduction (denoise DCT): encode
                                     # takes per-coef offset inputs and emits
                                     # |coef| sums (uniform grid only)
@@ -266,7 +267,9 @@ class IntraFrameEncoder:
                 dq = quant.dequant_matrix(levels, qp, log2nn, dqtab, bd,
                                           xp=jnp)
             elif cfg.rdoq:
-                levels = quant.quant_rdoq(coef, qp, log2nn, bd, xp=jnp)
+                levels = quant.quant_rdoq(
+                    coef, qp, log2nn, bd,
+                    psy_scale=cfg.psy_rdoq if luma else 0.0, xp=jnp)
                 dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
             else:
                 levels, du = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
@@ -453,7 +456,9 @@ class IntraFrameEncoder:
             resid = src.astype(jnp.int32) - pred
             coef = transforms.forward_transform(resid, bd, xp=jnp)
             if cfg.rdoq:
-                levels = quant.quant_rdoq(coef, qp, log2nn, bd, xp=jnp)
+                levels = quant.quant_rdoq(
+                    coef, qp, log2nn, bd,
+                    psy_scale=cfg.psy_rdoq if luma else 0.0, xp=jnp)
             else:
                 levels, du = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
                 if cfg.sbh:
@@ -755,7 +760,9 @@ class IntraFrameEncoder:
             resid = src.astype(jnp.int32) - pred
             coef = transforms.forward_transform(resid, bd, xp=jnp)
             if cfg.rdoq:
-                levels = quant.quant_rdoq(coef, qp, log2nn, bd, xp=jnp)
+                levels = quant.quant_rdoq(
+                    coef, qp, log2nn, bd,
+                    psy_scale=cfg.psy_rdoq if luma else 0.0, xp=jnp)
             else:
                 levels, du = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
                 if cfg.sbh:

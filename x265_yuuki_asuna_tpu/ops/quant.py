@@ -262,13 +262,17 @@ def est_tu_bits(levels, xp=np):
 
 
 def quant_rdoq(coef, qp, log2_tr_size: int, bit_depth: int = 8,
-               lambda_scale: float = 0.25, xp=np):
+               lambda_scale: float = 0.25, psy_scale: float = 0.0, xp=np):
     """RD-optimized quantization. Returns int32 signed levels.
 
     Approximate: bit costs are static estimates, not CABAC-state-derived
     (the reference reads estBitsSbac tables) — gains are content-dependent;
     r2 work item: context-aware bit tables. lambda_scale tunes the
-    rate-distortion tradeoff around the x265 lambda2 curve."""
+    rate-distortion tradeoff around the x265 lambda2 curve.
+
+    psy_scale > 0 enables psy-RDOQ (reference --psy-rdoq, quant.cpp:631):
+    the reconstructed coefficient energy is SUBTRACTED from the cost of
+    non-DC luma positions, biasing level choices toward keeping AC energy."""
     tshift = transform_shift(log2_tr_size, bit_depth)
     if isinstance(qp, (int, np.integer)):
         per, rem = qp // 6, qp % 6
@@ -305,10 +309,25 @@ def quant_rdoq(coef, qp, log2_tr_size: int, bit_depth: int = 8,
     # real-valued cost: d^2 * 2^(-2*tshift) + lambda2 * bits (the reference's
     # Q15 bit scale cancels against its SCALE_BITS=15 distortion shift)
     sfac = np.float32(2.0 ** (-2 * tshift))
+    if psy_scale > 0:
+        # psy energy credit per non-DC position (PSYVALUE, quant.cpp:643:
+        # psyScale * lambda * recon >> (2*tshift + 1))
+        n_ = 1 << log2_tr_size
+        ac_mask = np.ones((n_, n_), np.float32)
+        ac_mask[0, 0] = 0.0
+        if xp is not np:
+            ac_mask = xp.asarray(ac_mask)
+        # lambda (not lambda2): 2^((qp-12)/6) == sqrt(lam2 / (9.728*scale)),
+        # which is already shaped right for scalar or per-block traced QP
+        lam1 = (lam2 / (9.728 * lambda_scale)) ** 0.5
+        psy_w = psy_scale * lam1 * np.float32(2.0 ** (-(2 * tshift + 1)))
 
     def cost(l):
         d = (a - unq(l)).astype(xp.float32)
-        return d * d * sfac + lam2 * _level_bits(l, xp)
+        c = d * d * sfac + lam2 * _level_bits(l, xp)
+        if psy_scale > 0:
+            c = c - psy_w * ac_mask * unq(l).astype(xp.float32)
+        return c
 
     c0 = cost(xp.zeros_like(a))
     cmax = cost(lmax)
