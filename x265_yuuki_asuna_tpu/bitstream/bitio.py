@@ -104,6 +104,8 @@ def strip_emulation(payload: bytes) -> bytes:
 # NAL unit types (spec table 7-1)
 NAL_TRAIL_N = 0
 NAL_TRAIL_R = 1
+NAL_RASL_N = 8
+NAL_RASL_R = 9
 NAL_BLA_W_LP = 16
 NAL_IDR_W_RADL = 19
 NAL_IDR_N_LP = 20

@@ -61,6 +61,9 @@ def main(argv=None):
     ap.add_argument("--merange", type=int, default=16, help="ME search range")
     ap.add_argument("--no-preset-defaults", action="store_true",
                     help="legacy behavior: all-intra CQP32 unless flags given")
+    ap.add_argument("--open-gop", action=argparse.BooleanOptionalAction,
+                    default=None, help="CRA keyframes with RASL leading "
+                                       "pictures (reference --open-gop)")
     ap.add_argument("--bframes", type=int, default=None,
                     help="max consecutive B frames (mini-GOP size - 1)")
     ap.add_argument("--rdoq-level", type=int, default=None, choices=(0, 1),
@@ -237,6 +240,8 @@ def main(argv=None):
                                    analysis_load=args.analysis_load,
                                    aq_mode=aq_mode,
                                    aq_strength=args.aq_strength,
+                                   open_gop=bool(pick(args.open_gop,
+                                                      prm.b_open_gop)),
                                    cutree=cutree, psy_rd=psy_rd,
                                    psy_rdoq=(args.psy_rdoq
                                              if args.psy_rdoq is not None

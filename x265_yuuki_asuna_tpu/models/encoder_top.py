@@ -302,7 +302,7 @@ class IntraEncoderSession:
             bw.write_byte(b)
         bw.write_bits(tail, tail_bits)
         bw.rbsp_trailing_bits()
-        return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
+        return wrap_nal(nal_type, bw.get_bytes())
 
     # ------------------------------------------------------------------
     def submit_batch(self, frames, need_recon: bool = False):
@@ -314,6 +314,13 @@ class IntraEncoderSession:
         us = np.stack([G.pad_plane(f[1], self.coded_h // 2, self.coded_w // 2) for f in frames])
         vs = np.stack([G.pad_plane(f[2], self.coded_h // 2, self.coded_w // 2) for f in frames])
         fut = self.frame_encoder.submit_frames(ys, us, vs, with_recon=need_recon)
+        # enqueue the device->host copy NOW, ahead of any later batch's
+        # compute: the device link is a FIFO, so requesting the copy at
+        # finish time would wait behind the next batch (head-of-line block)
+        try:
+            fut.copy_to_host_async()
+        except AttributeError:
+            pass
         return (fut, frames, need_recon)
 
     def finish_batch(self, handle) -> List["FrameResult"]:
@@ -377,19 +384,23 @@ class IntraEncoderSession:
 
     # ------------------------------------------------------------------
     def _assemble_slice(self, out: dict, qp: int = None,
-                        sao_params=None) -> bytes:
+                        sao_params=None, nal_type: int = NAL_IDR_W_RADL,
+                        poc: int = 0) -> bytes:
         if self.max_depth and self.cu == 64:
-            return self._assemble_slice_qt64(out, qp, sao_params)
+            return self._assemble_slice_qt64(out, qp, sao_params,
+                                             nal_type=nal_type, poc=poc)
         if self.max_depth:
-            return self._assemble_slice_qt(out, qp, sao_params)
+            return self._assemble_slice_qt(out, qp, sao_params,
+                                           nal_type=nal_type, poc=poc)
         if self.wpp:
-            return self._assemble_slice_wpp(out, qp, sao_params)
+            return self._assemble_slice_wpp(out, qp, sao_params,
+                                            nal_type=nal_type, poc=poc)
         qp = self.qp if qp is None else qp
         log2cu = self.cu.bit_length() - 1
         modes = out["modes"]
         qp_map = out.get("qp_map")
         bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
-                                    slice_qp=qp,
+                                    slice_qp=qp, nal_type=nal_type, poc=poc,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
         res = None if (self.lossless or sao_params or qp_map is not None
@@ -441,11 +452,12 @@ class IntraEncoderSession:
             bw.write_byte(b)
         bw.write_bits(tail, tail_bits)
         bw.rbsp_trailing_bits()
-        return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
+        return wrap_nal(nal_type, bw.get_bytes())
 
     # ------------------------------------------------------------------
     def _assemble_slice_qt(self, out: dict, qp: int = None,
-                           sao_params=None) -> bytes:
+                           sao_params=None, nal_type: int = NAL_IDR_W_RADL,
+                           poc: int = 0) -> bytes:
         """Quadtree I-slice (depth 1 or 2): per-CTU coding_quadtree with
         split_cu_flag contexts from neighbor depths (9.3.4.2.2), intra-mode
         MPMs from a cell-granular mode map (above candidates outside the
@@ -455,7 +467,7 @@ class IntraEncoderSession:
         mode32 = out["modes"]
         modes4 = out["modes4"]
         bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
-                                    slice_qp=qp,
+                                    slice_qp=qp, nal_type=nal_type, poc=poc,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
         qp_map = out.get("qp_map")
@@ -490,18 +502,19 @@ class IntraEncoderSession:
             bw.write_byte(b)
         bw.write_bits(tail, tail_bits)
         bw.rbsp_trailing_bits()
-        return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
+        return wrap_nal(nal_type, bw.get_bytes())
 
     # ------------------------------------------------------------------
     def _assemble_slice_qt64(self, out: dict, qp: int = None,
-                             sao_params=None) -> bytes:
+                             sao_params=None, nal_type: int = NAL_IDR_W_RADL,
+                             poc: int = 0) -> bytes:
         """CTU64 I-slice: depth-0 always split (encoder choice), recursive
         coding_quadtree over the device's 32/16/8 decisions with split_cu
         contexts from an 8px-cell depth map."""
         from .qt_common import QOFF
         qp = self.qp if qp is None else qp
         bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
-                                    slice_qp=qp,
+                                    slice_qp=qp, nal_type=nal_type, poc=poc,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
         qp_map = out.get("qp_map")
@@ -598,7 +611,7 @@ class IntraEncoderSession:
             bw.write_byte(b)
         bw.write_bits(tail, tail_bits)
         bw.rbsp_trailing_bits()
-        return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
+        return wrap_nal(nal_type, bw.get_bytes())
 
     def _write_ctu_qt(self, enc, out, r, c, mode_map, depth_map,
                       ctu_qp=None, qp_state=None):
@@ -668,7 +681,8 @@ class IntraEncoderSession:
 
     # ------------------------------------------------------------------
     def _assemble_slice_wpp(self, out: dict, qp: int = None,
-                            sao_params=None) -> bytes:
+                            sao_params=None, nal_type: int = NAL_IDR_W_RADL,
+                            poc: int = 0) -> bytes:
         """WPP slice: one CABAC substream per CTU row. Row r>0 inherits the
         context states saved after the second CTU of row r-1 (spec 9.3.1
         entropy sync); each row ends with end_of_subset_one_bit + byte
@@ -723,14 +737,14 @@ class IntraEncoderSession:
             blobs.append(sub.get_bytes())
         offsets = [len(b) for b in blobs[:-1]]
         bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
-                                    slice_qp=qp,
+                                    slice_qp=qp, nal_type=nal_type, poc=poc,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0,
                                     entry_point_offsets=offsets)
         for blob in blobs:
             for b in blob:
                 bw.write_byte(b)
-        return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
+        return wrap_nal(nal_type, bw.get_bytes())
 
     # ------------------------------------------------------------------
     def _sao_decide(self, out: dict, yp, up, vp):
@@ -838,7 +852,7 @@ class VideoEncoderSession:
                  max_depth: int = 0, psy_rd: float = 0.0,
                  bit_depth: int = 8, hme: bool = False, hme_range: int = 16,
                  hash_type: int = 0, b_adapt: int = 2,
-                 psy_rdoq: float = 0.0):
+                 psy_rdoq: float = 0.0, open_gop: bool = False):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         if max_depth:
@@ -935,6 +949,10 @@ class VideoEncoderSession:
         self.anchor_lowres = None   # lowres of the last coded anchor
         self.display_idx = 0
         self.anchor = None          # (recon planes, poc) of last I/P anchor
+        # open GOP (reference --open-gop): keyframes after the first are
+        # CRA pictures; frames pending at the keyframe become leading
+        # pictures (RASL) referencing across it
+        self.open_gop = open_gop
         # b-adapt level (reference --b-adapt): 0 = fixed mini-GOPs,
         # 1 = fast early-close heuristic, 2 = path search (default, like
         # the reference's medium-and-up presets)
@@ -1256,8 +1274,11 @@ class VideoEncoderSession:
             or (self.scenecut_enabled and scenecut)
         cur_lowres = np.asarray(self.lookahead.prev_lowres)
         if idr_due:
-            results += self.flush()
-            results.append(self._encode_anchor(y, u, v, idr=True))
+            if self.open_gop and self.anchor is not None:
+                results += self._encode_cra_gop(y, u, v)
+            else:
+                results += self.flush()
+                results.append(self._encode_anchor(y, u, v, idr=True))
             self.anchor_lowres = cur_lowres
         else:
             self.pending.append((y, u, v))
@@ -1420,8 +1441,49 @@ class VideoEncoderSession:
         return self._result(out, nals, qp, poc, src_y=y,
                             frame_type="I" if idr else "P")
 
+    def _encode_cra_gop(self, y, u, v) -> List["FrameResult"]:
+        """Open-GOP keyframe: code this frame as a CRA (POC continues),
+        then the pending display-order frames as RASL leading pictures
+        referencing (previous anchor, CRA) — decodable in sequence, dropped
+        on random access at the CRA (reference bOpenGOP behavior)."""
+        prev_anchor, prev_poc = self.anchor
+        pending = self.pending
+        pending_lowres = self.pending_lowres
+        self.pending, self.pending_lowres = [], []
+        cra_poc = prev_poc + len(pending) + 1
+
+        yp, up, vp = self._pad(y, u, v)
+        qp = self.rc.frame_qp(True)
+        qp = self._zone_qp(self.display_idx, qp)
+        out = self.intra_sess.frame_encoder.encode_frame(yp, up, vp, qp=qp)
+        self._deblock_frame(out, qp, is_idr=True)
+        sao_params = self._sao_frame(out, yp, up, vp)
+        from ..bitstream.bitio import NAL_CRA
+        nals = self.intra_sess._assemble_slice(out, qp=qp,
+                                               sao_params=sao_params,
+                                               nal_type=NAL_CRA, poc=cra_poc)
+        if self.sei_provider is not None:
+            nals = self.sei_provider(self.display_idx) + nals
+        if self.hash_sei:
+            nals += self.intra_sess._hash_sei(out)
+        cra_recon = (out["recon_y"], out["recon_u"], out["recon_v"])
+        self.rc.frame_done(qp, len(nals) * 8)
+        results = [self._result(out, nals, qp, cra_poc, src_y=y,
+                                frame_type="I")]
+        self.gop_display_base = self.display_idx - cra_poc
+        # leading pictures (decode after the CRA, display before)
+        from ..bitstream.bitio import NAL_RASL_N
+        for i, (by, bu, bv) in enumerate(pending):
+            poc = prev_poc + 1 + i
+            fr, _ = self._encode_b(by, bu, bv, poc, prev_anchor, prev_poc,
+                                   cra_recon, cra_poc, nal_type=NAL_RASL_N)
+            results.append(fr)
+        self.anchor = (cra_recon, cra_poc)
+        self.anchor_lowres = pending_lowres[-1] if pending_lowres else None
+        return results
+
     def _encode_b(self, y, u, v, poc, ref0, poc0, ref1, poc1,
-                  is_ref: bool = False, rps=None):
+                  is_ref: bool = False, rps=None, nal_type=None):
         """Returns (FrameResult, padded recon planes). is_ref: referenced B
         (B-pyramid middle) — coded TRAIL_R with a smaller QP offset."""
         yp, up, vp = self._pad(y, u, v)
@@ -1435,7 +1497,7 @@ class VideoEncoderSession:
         sao_params = self._sao_frame(out, yp, up, vp)
         nals = self._assemble_b_slice(out, qp, poc, poc0, poc1,
                                       sao_params=sao_params, is_ref=is_ref,
-                                      rps=rps)
+                                      rps=rps, nal_type=nal_type)
         if self.sei_provider is not None:
             nals = self.sei_provider(self.gop_display_base + poc) + nals
         if self.hash_sei:
@@ -1447,15 +1509,17 @@ class VideoEncoderSession:
 
     def _assemble_b_slice(self, out: dict, qp: int, poc: int, poc0: int,
                           poc1: int, sao_params=None, is_ref: bool = False,
-                          rps=None) -> bytes:
+                          rps=None, nal_type=None) -> bytes:
         from ..bitstream import inter_syntax as IS
         from ..bitstream.bitio import NAL_TRAIL_N, NAL_TRAIL_R
         if self.max_depth:
             return self._assemble_b_slice_qt(out, qp, poc, poc0, poc1,
-                                             sao_params, is_ref, rps)
+                                             sao_params, is_ref, rps,
+                                             nal_type=nal_type)
         sess = self.intra_sess
         log2cu = self.cu.bit_length() - 1
-        nal_type = NAL_TRAIL_R if is_ref else NAL_TRAIL_N
+        if nal_type is None:
+            nal_type = NAL_TRAIL_R if is_ref else NAL_TRAIL_N
         bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=0,
                                     slice_qp=qp, nal_type=nal_type,
                                     poc=poc, max_merge=self.max_merge,
@@ -1503,7 +1567,7 @@ class VideoEncoderSession:
 
     def _assemble_b_slice_qt(self, out: dict, qp: int, poc: int, poc0: int,
                              poc1: int, sao_params=None, is_ref: bool = False,
-                             rps=None) -> bytes:
+                             rps=None, nal_type=None) -> bytes:
         """Quadtree B slice (depth 1 or 2): coding_quadtree per CTU with
         position-based B merge/AMVP (POC-scaled) derivation."""
         from ..bitstream import inter_syntax as IS
@@ -1511,7 +1575,8 @@ class VideoEncoderSession:
         from ..bitstream.tables import CTX_OFFSET as CTX
         from .qt_common import QOFF
         sess = self.intra_sess
-        nal_type = NAL_TRAIL_R if is_ref else NAL_TRAIL_N
+        if nal_type is None:
+            nal_type = NAL_TRAIL_R if is_ref else NAL_TRAIL_N
         bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=0,
                                     slice_qp=qp, nal_type=nal_type,
                                     poc=poc, max_merge=self.max_merge,
