@@ -302,7 +302,7 @@ class IntraEncoderSession:
             bw.write_byte(b)
         bw.write_bits(tail, tail_bits)
         bw.rbsp_trailing_bits()
-        return wrap_nal(nal_type, bw.get_bytes())
+        return wrap_nal(NAL_IDR_W_RADL, bw.get_bytes())
 
     # ------------------------------------------------------------------
     def submit_batch(self, frames, need_recon: bool = False):
@@ -321,11 +321,12 @@ class IntraEncoderSession:
             fut.copy_to_host_async()
         except AttributeError:
             pass
-        return (fut, frames, need_recon)
+        return (fut, frames, need_recon, (ys, us, vs, None))
 
     def finish_batch(self, handle) -> List["FrameResult"]:
-        fut, frames, need_recon = handle
-        outs = self.frame_encoder.collect_frames(fut, with_recon=need_recon)
+        fut, frames, need_recon, rerun = handle
+        outs = self.frame_encoder.collect_frames(fut, with_recon=need_recon,
+                                                 rerun_inputs=rerun)
         return self._serialize_outs(outs, frames)
 
     def _serialize_outs(self, outs, frames):

@@ -112,12 +112,20 @@ class IntraFrameEncoder:
         self.num_slots = ns
         self._rc = jnp.asarray(rc)          # [nd, ns, 2]
         self._valid = jnp.asarray(valid)    # [nd, ns]
+        # compact (int8) level transfer for the uniform path (lossless codes
+        # raw residuals, always > int8). MEASURED OFF on the current TPU
+        # backend: int8 narrowing + bitcast doubles the device step time
+        # (layout/packing cost outweighs the halved transfer), so the int16
+        # format stays the default; flip on where int8 IO is cheap.
+        self._compact = False
         if cfg.max_depth and cfg.cu_size == 64:
             build = self._build_qt64
         elif cfg.max_depth:
             build = self._build_qt
         else:
-            build = self._build
+            build = lambda with_recon=True: self._build(
+                with_recon, compact=self._compact)
+        self._full_cache = {}
         self._encode = jax.jit(build())
         # frame-batched variant (frame-parallelism, the reference's
         # frame-threads analog); NR offsets are shared across the batch
@@ -153,7 +161,19 @@ class IntraFrameEncoder:
             args += [jnp.asarray(nr_off[0], jnp.int32),
                      jnp.asarray(nr_off[1], jnp.int32)]
         buf = np.asarray(self._encode(*args))
+        if self._compact and buf[-1]:
+            # rare: a level exceeded int8 — rerun through the int16 variant
+            buf = np.asarray(self._full(True)(*args))
+            return self._unpack(buf, compact=False)
         return self._unpack(buf)
+
+    def _full(self, with_recon: bool):
+        """Lazily-compiled int16-levels variant (overflow fallback)."""
+        key = with_recon
+        if key not in self._full_cache:
+            self._full_cache[key] = jax.jit(
+                self._build(with_recon=with_recon, compact=False))
+        return self._full_cache[key]
 
     # ------------------------------------------------------------------
     def submit_frames(self, y, u, v, with_recon: bool = True, qp=None,
@@ -180,9 +200,33 @@ class IntraFrameEncoder:
                      jnp.asarray(nr_off[1], jnp.int32)]
         return fn(*args)
 
-    def collect_frames(self, fut, with_recon: bool = True):
+    def collect_frames(self, fut, with_recon: bool = True, rerun_inputs=None):
+        """rerun_inputs: optional (yp [B,H,W], up, vp, qp or None) so frames
+        whose compact int8 levels overflowed can be re-encoded exactly."""
         buf = np.asarray(fut)
-        return [self._unpack(buf[i], with_recon) for i in range(buf.shape[0])]
+        outs = []
+        ncu = self.cfg.rows * self.cfg.cols
+        for i in range(buf.shape[0]):
+            if self._compact and buf[i, -1]:
+                if rerun_inputs is None:
+                    raise RuntimeError(
+                        "int8 level overflow: collect_frames needs "
+                        "rerun_inputs to re-encode exactly")
+                yp, up, vp, qp = rerun_inputs
+                if qp is None:
+                    qrow = np.broadcast_to(np.int32(self.cfg.qp), (ncu,))
+                else:
+                    qa = np.asarray(qp, np.int32)
+                    qrow = np.broadcast_to(qa if qa.ndim == 0 else qa[i],
+                                           (ncu,)).reshape(-1)
+                dt = self._pix_dtype
+                fb = np.asarray(self._full(with_recon)(
+                    jnp.asarray(yp[i], dt), jnp.asarray(up[i], dt),
+                    jnp.asarray(vp[i], dt), jnp.asarray(qrow)))
+                outs.append(self._unpack(fb, with_recon, compact=False))
+            else:
+                outs.append(self._unpack(buf[i], with_recon))
+        return outs
 
     # ------------------------------------------------------------------
     def encode_frames(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
@@ -190,10 +234,11 @@ class IntraFrameEncoder:
         """Batched encode: y [F, H, W]; independent frames in parallel.
         qp: per-batch scalar or per-frame array. Returns per-frame dicts."""
         fut = self.submit_frames(y, u, v, with_recon, qp, nr_off)
-        return self.collect_frames(fut, with_recon)
+        return self.collect_frames(fut, with_recon,
+                                   rerun_inputs=(y, u, v, qp))
 
     # ------------------------------------------------------------------
-    def _build(self, with_recon: bool = True):
+    def _build(self, with_recon: bool = True, compact: bool = True):
         cfg = self.cfg
         sl = self._sl
         n = cfg.cu_size
@@ -383,11 +428,22 @@ class IntraFrameEncoder:
             # (the axon tunnel has ~55 ms/transfer latency; SURVEY.md §5
             # "minimise host<->device transfers")
             modes8 = modes.astype(jnp.uint8)
-            levels16 = jnp.concatenate([
-                lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)
-            ]).astype(jnp.int16)
-            levels8 = jax.lax.bitcast_convert_type(levels16, jnp.uint8).reshape(-1)
-            tail = [] if nr_tail8 is None else [nr_tail8]
+            lv_cat = jnp.concatenate([
+                lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)])
+            if compact:
+                # levels as int8 (halves the device->host transfer — the
+                # link dominates the pipeline); a 1-byte overflow flag at
+                # the buffer end makes the caller rerun the rare frame
+                # whose levels exceed int8 through the int16 variant
+                overflow = ((lv_cat > 127) | (lv_cat < -128)).any()
+                levels8 = jax.lax.bitcast_convert_type(
+                    lv_cat.astype(jnp.int8), jnp.uint8).reshape(-1)
+                flag = overflow.astype(jnp.uint8).reshape(1)
+            else:
+                levels8 = jax.lax.bitcast_convert_type(
+                    lv_cat.astype(jnp.int16), jnp.uint8).reshape(-1)
+                flag = jnp.zeros((1,), jnp.uint8)
+            tail = ([] if nr_tail8 is None else [nr_tail8]) + [flag]
             if not with_recon:
                 return jnp.concatenate([modes8, levels8] + tail)
             rec_cat = jnp.concatenate([
@@ -1066,7 +1122,8 @@ class IntraFrameEncoder:
         }
 
     # ------------------------------------------------------------------
-    def _unpack(self, buf: np.ndarray, with_recon: bool = True) -> dict:
+    def _unpack(self, buf: np.ndarray, with_recon: bool = True,
+                compact: bool = None) -> dict:
         if self.cfg.max_depth and self.cfg.cu_size == 64:
             return self._unpack_qt64(buf, with_recon)
         if self.cfg.max_depth:
@@ -1093,8 +1150,14 @@ class IntraFrameEncoder:
         modes = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
         sy = ncu * n * n
         sc = ncu * nc * nc
-        lv = buf[o:o + 2 * (sy + 2 * sc)].view(np.int16)
-        o += 2 * (sy + 2 * sc)
+        if compact is None:
+            compact = self._compact
+        if compact:
+            lv = buf[o:o + sy + 2 * sc].view(np.int8)
+            o += sy + 2 * sc
+        else:
+            lv = buf[o:o + 2 * (sy + 2 * sc)].view(np.int16)
+            o += 2 * (sy + 2 * sc)
         out = {
             "modes": modes,
             "levels_y": lv[:sy].astype(np.int32).reshape(rows, cols, n, n),
