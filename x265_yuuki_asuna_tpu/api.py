@@ -171,6 +171,11 @@ class Encoder:
             self._stats.encoded_picture_count += 1
             self._stats.accumulated_bits += fr.bits
             self._psnr_sum += fr.psnr_y
+            self._last_frame_info = {
+                "sliceType": fr.frame_type,
+                "poc": getattr(fr, "poc", None),
+                "bScenecut": 1 if fr.frame_type == "I" else 0,
+            }
             out.append(fr.nals)
         return out
 
@@ -269,3 +274,46 @@ def dither_image(plane16: np.ndarray, bit_depth_in: int,
             err = v - (q << shift)
             orow[xx] = q
     return out.astype(np.uint8 if bit_depth_out <= 8 else np.uint16)
+
+
+# ---------------------------------------------------------------------------
+# Remaining x265 public API surface (x265.h:2147-2223). VMAF needs libvmaf,
+# which this build gates off (ENABLE_LIBVMAF analog).
+# ---------------------------------------------------------------------------
+
+VMAF_AVAILABLE = False
+
+
+def calculate_vmaf(*_args, **_kw):
+    """x265_calculate_vmaf analog. libvmaf is not present in this build;
+    mirror the reference's ENABLE_LIBVMAF=off behavior (x265.h:2214)."""
+    raise RuntimeError("VMAF support not compiled in (libvmaf unavailable)")
+
+
+def get_slicetype_poc_and_scenecut(enc: "Encoder", pic_out=None) -> dict:
+    """x265_get_slicetype_poc_and_scenecut (x265.h:2174): slice type, POC
+    and scenecut flag of the most recent output picture."""
+    st = getattr(enc, "_last_frame_info", None)
+    if st is None:
+        return {"sliceType": None, "poc": None, "bScenecut": 0}
+    return dict(st)
+
+
+def get_ref_frame_list(enc: "Encoder") -> tuple:
+    """x265_get_ref_frame_list (x265.h:2179): POCs of the active reference
+    lists (L0, L1) for the next picture."""
+    sess = getattr(enc, "_sess", None)
+    anchor = getattr(sess, "anchor", None)
+    l0 = [anchor[1]] if anchor else []
+    return (l0, [])
+
+
+def set_analysis_data(enc: "Encoder", analysis) -> int:
+    """x265_set_analysis_data (x265.h:2184): hand externally produced
+    analysis records to the encoder (same dict format as --analysis-save)."""
+    sess = getattr(enc, "_sess", None)
+    if sess is None or not hasattr(sess, "analysis_data"):
+        return -1
+    sess.analysis_data = analysis
+    sess.analysis_idx = 0
+    return 0

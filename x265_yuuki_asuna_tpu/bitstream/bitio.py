@@ -186,3 +186,24 @@ class BitReader:
 
     def more_rbsp_data(self) -> bool:
         return self.pos < len(self.data) * 8 - 8
+
+
+def parse_annexb_nals(data: bytes):
+    """Split an Annex-B byte stream into raw NAL payloads (no start codes,
+    emulation bytes left intact — payloads are re-wrapped verbatim)."""
+    nals = []
+    i = 0
+    n = len(data)
+    while True:
+        j = data.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        j += 3
+        k = data.find(b"\x00\x00\x01", j)
+        end = n if k < 0 else (k - 1 if k > 0 and data[k - 1] == 0 else k)
+        payload = data[j:end].rstrip(b"\x00") if k < 0 else data[j:end]
+        # strip the 2-byte NAL header: wrap_nal() re-adds one
+        if len(payload) > 2:
+            nals.append(bytes(payload[2:]))
+        i = j
+    return nals

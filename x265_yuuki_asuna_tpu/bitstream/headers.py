@@ -91,9 +91,25 @@ def _profile_tier_level(bw: BitWriter, ptl: ProfileTierLevel, max_sub_layers: in
     bw.write_flag(ptl.interlaced_source)
     bw.write_flag(ptl.non_packed)
     bw.write_flag(ptl.frame_only)
-    bw.write_bits(0, 16)                     # reserved_zero_44bits
-    bw.write_bits(0, 16)
-    bw.write_bits(0, 12)
+    if ptl.profile_idc == 4:
+        # Range Extensions (Main12): constraint flags replace the
+        # reserved_zero_44bits (spec 7.3.3 / A.3.5)
+        bw.write_flag(1)                     # general_max_12bit_constraint
+        bw.write_flag(0)                     # max_10bit
+        bw.write_flag(0)                     # max_8bit
+        bw.write_flag(1)                     # max_422chroma
+        bw.write_flag(1)                     # max_420chroma
+        bw.write_flag(0)                     # max_monochrome
+        bw.write_flag(0)                     # intra
+        bw.write_flag(0)                     # one_picture_only
+        bw.write_flag(1)                     # lower_bit_rate
+        bw.write_bits(0, 17)                 # reserved_zero_34bits
+        bw.write_bits(0, 17)
+        bw.write_flag(0)                     # reserved_zero_bit (inbld)
+    else:
+        bw.write_bits(0, 16)                 # reserved_zero_44bits
+        bw.write_bits(0, 16)
+        bw.write_bits(0, 12)
     bw.write_bits(ptl.level_idc, 8)          # general_level_idc
     assert max_sub_layers == 1
 

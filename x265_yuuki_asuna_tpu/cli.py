@@ -79,6 +79,12 @@ def main(argv=None):
     ap.add_argument("--max-cll", default=None, help="HDR10 MaxCLL,MaxFALL")
     ap.add_argument("--dhdr10-info", default=None,
                     help="HDR10+ dynamic metadata JSON (per-frame T.35 SEI)")
+    ap.add_argument("--dolby-vision-rpu", default=None,
+                    help="Dolby Vision RPU file (Annex-B NALs, one per "
+                         "frame) injected as NAL 62 per access unit")
+    ap.add_argument("--recon-y4m-exec", default=None,
+                    help="pipe recon as y4m into this command's stdin "
+                         "(reference reconplay)")
     ap.add_argument("--cutree", action=argparse.BooleanOptionalAction, default=None,
                     help="lookahead cost propagation -> per-CU QP offsets")
     ap.add_argument("--analysis-save", default=None,
@@ -281,6 +287,16 @@ def main(argv=None):
         if recs:
             sess.sei_provider = (
                 lambda idx: SEI.hdr10plus_sei_for_frame(recs, idx))
+    if args.dolby_vision_rpu:
+        from .bitstream.bitio import parse_annexb_nals, wrap_nal
+        rpus = parse_annexb_nals(open(args.dolby_vision_rpu, "rb").read())
+        if rpus:
+            prev = sess.sei_provider
+            def _dovi(idx, _prev=prev, _rpus=rpus):
+                head = _prev(idx) if _prev else b""
+                # reference: one UNSPEC62 RPU per frame, repeated-last
+                return head + wrap_nal(62, _rpus[min(idx, len(_rpus) - 1)])
+            sess.sei_provider = _dovi
     qpfile = {}
     if args.qpfile:
         # reference --qpfile format: "<frameNumber> <frameType> <QP>"
@@ -299,6 +315,9 @@ def main(argv=None):
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None
+    recon_play = None
+    if args.recon_y4m_exec:
+        recon_play = IO.ReconPlay(args.recon_y4m_exec, info)
 
     csv_lines = ["Encode Order, Type, POC, QP, Bits, PSNR Y"] if args.csv else None
     n = 0
@@ -327,6 +346,8 @@ def main(argv=None):
             for fr in sorted(seg, key=lambda f: f.poc):
                 if recon_writer:
                     recon_writer.write_frame(*fr.recon)
+                if recon_play:
+                    recon_play.write_frame(*fr.recon)
                 if csv_lines is not None:
                     csv_lines.append(
                         f"{n}, {fr.frame_type or 'I'}, {fr.poc}, "
@@ -342,13 +363,15 @@ def main(argv=None):
                 emit(sess.push_frame(*f))
             pending.clear()
             return
-        for fr in (sess.encode_batch(pending, need_recon=bool(recon_writer or csv_lines))
+        for fr in (sess.encode_batch(pending, need_recon=bool(recon_writer or csv_lines or recon_play))
                    if (len(pending) > 1 and hasattr(sess, "encode_batch"))
                    else [sess.encode_frame(*f) for f in pending]):
             out.write(fr.nals)
             total_bits += fr.bits
             if recon_writer:
                 recon_writer.write_frame(*fr.recon)
+            if recon_play:
+                recon_play.write_frame(*fr.recon)
             if csv_lines is not None:
                 csv_lines.append(
                     f"{n}, {fr.frame_type or 'I'}, {fr.poc}, "
@@ -393,6 +416,8 @@ def main(argv=None):
     out.close()
     if recon_writer:
         recon_writer.close()
+    if recon_play:
+        recon_play.close()
     if args.csv:
         # summary row (reference CSV encode-summary analog)
         if n:

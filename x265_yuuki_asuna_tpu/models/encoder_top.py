@@ -112,7 +112,8 @@ class IntraEncoderSession:
 
         from ..bitstream import sei as SEI
         ptl = HDR.ProfileTierLevel(
-            profile_idc=2 if bit_depth > 8 else 1,
+            profile_idc=(4 if bit_depth > 10 else
+                         2 if bit_depth > 8 else 1),
             bit_depth_constraint=bit_depth,
             level_idc=SEI.pick_level(self.coded_w, self.coded_h,
                                      fps[0] / max(fps[1], 1)))

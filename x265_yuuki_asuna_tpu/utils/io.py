@@ -230,3 +230,40 @@ class RawBitstreamWriter:
     def close(self):
         if self.f:
             self.f.close()
+
+
+class ReconPlay:
+    """Pipe recon frames as y4m into a subprocess (reference reconplay:
+    output/reconplay.cpp — e.g. mplayer/ffplay reading stdin)."""
+
+    def __init__(self, command: str, info: "VideoInfo"):
+        import shlex
+        import subprocess
+        self.proc = subprocess.Popen(shlex.split(command),
+                                     stdin=subprocess.PIPE)
+        self.info = info
+        ctag = {CSP_I420: "420", CSP_I422: "422", CSP_I444: "444",
+                CSP_I400: "mono"}[info.csp]
+        if info.bit_depth > 8:
+            ctag += f"p{info.bit_depth}"
+        self.proc.stdin.write(
+            f"YUV4MPEG2 W{info.width} H{info.height} "
+            f"F{info.fps_num}:{info.fps_denom} Ip A1:1 C{ctag}\n"
+            .encode("ascii"))
+
+    def write_frame(self, y, u, v):
+        try:
+            self.proc.stdin.write(b"FRAME\n")
+            self.proc.stdin.write(np.ascontiguousarray(y).tobytes())
+            if u is not None:
+                self.proc.stdin.write(np.ascontiguousarray(u).tobytes())
+                self.proc.stdin.write(np.ascontiguousarray(v).tobytes())
+        except BrokenPipeError:
+            pass
+
+    def close(self):
+        try:
+            self.proc.stdin.close()
+        except Exception:
+            pass
+        self.proc.wait(timeout=10)
