@@ -73,7 +73,8 @@ def main():
             json.dump({"ref_intra_720p_fps": baseline_fps}, open(CACHE, "w"))
 
     from x265_yuuki_asuna_tpu.models.encoder_top import IntraEncoderSession
-    sess = IntraEncoderSession(W, H, qp=QP, cu_size=16, hash_sei=False)
+    sess = IntraEncoderSession(W, H, qp=QP, cu_size=16, hash_sei=False,
+                               fast_intra=True)
 
     # warmup / compile (batched path)
     BATCH = 8

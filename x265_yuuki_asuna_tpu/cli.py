@@ -204,6 +204,8 @@ def main(argv=None):
     if args.lossless:
         keyint, bframes, rc_mode = 0, 0, "cqp"
         qp = 32 if args.qp is None else args.qp
+    if args.keyint is not None and args.keyint <= 1:
+        keyint, bframes = 0, 0        # --keyint 1 = all-intra (reference)
     qt_depth = 0
     if min_cu and ctu and min_cu < ctu:
         qt_depth = ctu.bit_length() - min_cu.bit_length()
@@ -319,7 +321,9 @@ def main(argv=None):
     if args.recon_y4m_exec:
         recon_play = IO.ReconPlay(args.recon_y4m_exec, info)
 
-    csv_lines = ["Encode Order, Type, POC, QP, Bits, PSNR Y"] if args.csv else None
+    csv_lines = ["Encode Order, Type, POC, QP, Bits, PSNR Y, PSNR U, "
+                 "PSNR V, SSIM Y"] if args.csv else None
+    psnr_acc = []  # (psnr_y, psnr_u, psnr_v, ssim)
     n = 0
     total_bits = 0
     t0 = time.time()
@@ -351,7 +355,11 @@ def main(argv=None):
                 if csv_lines is not None:
                     csv_lines.append(
                         f"{n}, {fr.frame_type or 'I'}, {fr.poc}, "
-                        f"{fr.qp or args.qp}, {fr.bits}, {fr.psnr_y:.4f}")
+                        f"{fr.qp or args.qp}, {fr.bits}, {fr.psnr_y:.4f}, "
+                        f"{fr.psnr_u:.4f}, {fr.psnr_v:.4f}, {fr.ssim_y:.5f}")
+                if fr.psnr_y:
+                    psnr_acc.append((fr.psnr_y, fr.psnr_u, fr.psnr_v,
+                                     fr.ssim_y))
                 n += 1
 
     def flush_batch():
@@ -375,7 +383,10 @@ def main(argv=None):
             if csv_lines is not None:
                 csv_lines.append(
                     f"{n}, {fr.frame_type or 'I'}, {fr.poc}, "
-                    f"{fr.qp or args.qp}, {fr.bits}, {fr.psnr_y:.4f}")
+                    f"{fr.qp or args.qp}, {fr.bits}, {fr.psnr_y:.4f}, "
+                    f"{fr.psnr_u:.4f}, {fr.psnr_v:.4f}, {fr.ssim_y:.5f}")
+            if fr.psnr_y:
+                psnr_acc.append((fr.psnr_y, fr.psnr_u, fr.psnr_v, fr.ssim_y))
             n += 1
         pending.clear()
         elapsed = time.time() - t0
@@ -423,7 +434,15 @@ def main(argv=None):
         if n:
             kbps = total_bits * (reader.info.fps_num
                                  / max(reader.info.fps_denom, 1)) / n / 1000.0
-            csv_lines.append(f"Summary, frames={n}, kbps={kbps:.2f}")
+            if psnr_acc:
+                import numpy as _np
+                g = _np.mean(_np.asarray(psnr_acc), axis=0)
+                csv_lines.append(
+                    f"Summary, frames={n}, kbps={kbps:.2f}, "
+                    f"Global PSNR Y={g[0]:.4f}, U={g[1]:.4f}, V={g[2]:.4f}, "
+                    f"SSIM Y={g[3]:.5f}")
+            else:
+                csv_lines.append(f"Summary, frames={n}, kbps={kbps:.2f}")
         with open(args.csv, "w") as f:
             f.write("\n".join(csv_lines) + "\n")
     if getattr(sess, "stats_writer", None) is not None:

@@ -37,6 +37,24 @@ class FrameResult:
     poc: int = 0           # display order within the GOP (B-frame pipeline)
     frame_type: str = ""   # I / P / B / b (x265 CSV naming)
     qp: int = 0
+    psnr_u: float = 0.0
+    psnr_v: float = 0.0
+    ssim_y: float = 0.0
+
+
+def frame_quality(recon, y, u, v, bit_depth: int = 8):
+    """Per-frame PSNR Y/U/V + SSIM(Y) vs the source (reference
+    framefilter.cpp:654 processPostRow accumulation)."""
+    from ..ops.pixel import ssim_plane
+    pk = (1 << bit_depth) - 1
+
+    def ps(a, b):
+        mse = float(np.mean((np.asarray(a, np.float64) - b) ** 2))
+        return 99.99 if mse == 0 else 10 * np.log10(pk * pk / mse)
+
+    return (ps(recon[0], y), ps(recon[1], u), ps(recon[2], v),
+            float(ssim_plane(np.asarray(recon[0]), np.asarray(y),
+                             bit_depth)))
 
 
 class IntraEncoderSession:
@@ -52,7 +70,8 @@ class IntraEncoderSession:
                  master_display: str = None, max_cll: str = None,
                  max_depth: int = 0, psy_rd: float = 0.0,
                  hash_type: int = 0, nr_intra: int = 0,
-                 scaling_lists: str = None, psy_rdoq: float = 0.0):
+                 scaling_lists: str = None, psy_rdoq: float = 0.0,
+                 fast_intra: bool = False):
         self.hash_type = hash_type
         # quant matrices (--scaling-lists): "default" or a file path
         self.scaling = None
@@ -104,6 +123,7 @@ class IntraEncoderSession:
             rdoq=rdoq and not lossless, sbh=self.sbh,
             max_depth=max_depth, psy_rd=psy_rd if max_depth else 0.0,
             psy_rdoq=psy_rdoq if rdoq else 0.0,
+            fast_intra=fast_intra and not max_depth and not lossless,
             nr=bool(self.nr_intra)), scaling=self.scaling)
         if self.nr_intra:
             n2, c2 = cu_size * cu_size, (cu_size // 2) ** 2
@@ -241,16 +261,14 @@ class IntraEncoderSession:
         if self.hash_sei:
             nals += self._hash_sei(out)
         bits = len(nals) * 8
-        mse = float(np.mean((out["recon_y"][:self.src_h, :self.src_w]
-                             .astype(np.float64) - y) ** 2))
-        pk = (1 << self.bit_depth) - 1
-        psnr = 99.99 if mse == 0 else 10 * np.log10(pk * pk / mse)
         pdt = np.uint16 if self.bit_depth > 8 else np.uint8
         recon = (out["recon_y"][:self.src_h, :self.src_w].astype(pdt),
                  out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(pdt),
                  out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(pdt))
+        psnr, pu, pv, ssim = frame_quality(recon, y, u, v, self.bit_depth)
         return FrameResult(nals=nals, recon=recon, bits=bits, psnr_y=psnr,
-                           frame_type="I", qp=self.qp)
+                           frame_type="I", qp=self.qp, psnr_u=pu, psnr_v=pv,
+                           ssim_y=ssim)
 
     # ------------------------------------------------------------------
     def _encode_frame_sliced(self, y, yp, up, vp):
@@ -340,49 +358,25 @@ class IntraEncoderSession:
             if self.hash_sei:
                 nals += self._hash_sei(out)
             if out["recon_y"] is not None:
-                mse = float(np.mean((out["recon_y"][:self.src_h, :self.src_w]
-                                     .astype(np.float64) - y) ** 2))
-                pk = (1 << self.bit_depth) - 1
-                psnr = 99.99 if mse == 0 else 10 * np.log10(pk * pk / mse)
                 pdt = np.uint16 if self.bit_depth > 8 else np.uint8
                 recon = (out["recon_y"][:self.src_h, :self.src_w].astype(pdt),
                          out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(pdt),
                          out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(pdt))
+                psnr, pu, pv, ssim = frame_quality(recon, y, u, v,
+                                                   self.bit_depth)
             else:
-                psnr, recon = 0.0, None
+                psnr = pu = pv = ssim = 0.0
+                recon = None
             results.append(FrameResult(nals=nals, recon=recon,
-                                       bits=len(nals) * 8, psnr_y=psnr))
+                                       bits=len(nals) * 8, psnr_y=psnr,
+                                       frame_type="I", qp=self.qp,
+                                       psnr_u=pu, psnr_v=pv, ssim_y=ssim))
         return results
 
     def encode_batch(self, frames, need_recon: bool = False) -> List["FrameResult"]:
         """Encode a list of (y, u, v) frames through the device-batched
         wavefront (frame-parallelism), then serialize each on the host."""
-        ys = np.stack([G.pad_plane(f[0], self.coded_h, self.coded_w) for f in frames])
-        us = np.stack([G.pad_plane(f[1], self.coded_h // 2, self.coded_w // 2) for f in frames])
-        vs = np.stack([G.pad_plane(f[2], self.coded_h // 2, self.coded_w // 2) for f in frames])
-        need_recon = self.hash_sei or self.deblock or need_recon
-        outs = self.frame_encoder.encode_frames(ys, us, vs,
-                                                with_recon=need_recon)
-        results = []
-        for i, (y, u, v) in enumerate(frames):
-            out = outs[i]
-            if self.deblock:
-                self._apply_deblock(out)
-            nals = self._assemble_slice(out)
-            if self.hash_sei:
-                nals += self._hash_sei(out)
-            if out["recon_y"] is not None:
-                mse = float(np.mean((out["recon_y"][:self.src_h, :self.src_w]
-                                     .astype(np.float64) - y) ** 2))
-                psnr = 99.99 if mse == 0 else 10 * np.log10(255 * 255 / mse)
-                recon = (out["recon_y"][:self.src_h, :self.src_w].astype(np.uint8),
-                         out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8),
-                         out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(np.uint8))
-            else:
-                psnr, recon = 0.0, None
-            results.append(FrameResult(nals=nals, recon=recon,
-                                       bits=len(nals) * 8, psnr_y=psnr))
-        return results
+        return self.finish_batch(self.submit_batch(frames, need_recon))
 
     # ------------------------------------------------------------------
     def _assemble_slice(self, out: dict, qp: int = None,
@@ -1398,14 +1392,20 @@ class VideoEncoderSession:
             for k, h, w in (("recon_y", self.src_h, self.src_w),
                             ("recon_u", self.src_h // 2, self.src_w // 2),
                             ("recon_v", self.src_h // 2, self.src_w // 2)))
-        psnr = 0.0
+        psnr = pu = pv = ssim = 0.0
         if src_y is not None:
-            pk = (1 << getattr(self, "bit_depth", 8)) - 1
-            mse = float(np.mean((recon[0].astype(np.float64) - src_y) ** 2))
-            psnr = 99.99 if mse == 0 else 10 * np.log10(pk * pk / mse)
+            src_uv = getattr(self, "_cur_src_uv", None)
+            if src_uv is not None:
+                psnr, pu, pv, ssim = frame_quality(
+                    recon, src_y, src_uv[0], src_uv[1],
+                    getattr(self, "bit_depth", 8))
+            else:
+                pk = (1 << getattr(self, "bit_depth", 8)) - 1
+                mse = float(np.mean((recon[0].astype(np.float64) - src_y) ** 2))
+                psnr = 99.99 if mse == 0 else 10 * np.log10(pk * pk / mse)
         return FrameResult(nals=nals, recon=recon, bits=len(nals) * 8,
                            psnr_y=psnr, poc=poc, frame_type=frame_type,
-                           qp=qp)
+                           qp=qp, psnr_u=pu, psnr_v=pv, ssim_y=ssim)
 
     def _encode_anchor(self, y, u, v, idr: bool, poc: int = 0,
                        ref_delta: int = 1) -> "FrameResult":
@@ -1440,6 +1440,8 @@ class VideoEncoderSession:
             nals += self.intra_sess._hash_sei(out)
         self.anchor = ((out["recon_y"], out["recon_u"], out["recon_v"]), poc)
         self.rc.frame_done(qp, len(nals) * 8)
+        self._cur_src_uv = (u, v)
+        self._cur_src_uv = (u, v)
         return self._result(out, nals, qp, poc, src_y=y,
                             frame_type="I" if idr else "P")
 
@@ -1470,6 +1472,7 @@ class VideoEncoderSession:
             nals += self.intra_sess._hash_sei(out)
         cra_recon = (out["recon_y"], out["recon_u"], out["recon_v"])
         self.rc.frame_done(qp, len(nals) * 8)
+        self._cur_src_uv = (u, v)
         results = [self._result(out, nals, qp, cra_poc, src_y=y,
                                 frame_type="I")]
         self.gop_display_base = self.display_idx - cra_poc
@@ -1506,6 +1509,7 @@ class VideoEncoderSession:
             nals += self.intra_sess._hash_sei(out)
         self.rc.frame_done(qp, len(nals) * 8)
         recon = (out["recon_y"], out["recon_u"], out["recon_v"])
+        self._cur_src_uv = (u, v)
         return self._result(out, nals, qp, poc, src_y=y,
                             frame_type="B" if is_ref else "b"), recon
 

@@ -65,6 +65,12 @@ class IntraFrameConfig:
                                     # (in-scan RD quadtree decision)
     psy_rd: float = 0.0             # psycho-visual RD strength (--psy-rd)
     psy_rdoq: float = 0.0           # psy-RDOQ energy bias (--psy-rdoq)
+    fast_intra: bool = False        # decide modes from SOURCE neighbors in
+                                    # one dense batch (no wavefront for the
+                                    # decision); the scan then computes only
+                                    # the chosen prediction. Streams stay
+                                    # conformant; decisions differ slightly
+                                    # from recon-boundary SATD.
     nr: bool = False                # noise reduction (denoise DCT): encode
                                     # takes per-coef offset inputs and emits
                                     # |coef| sums (uniform grid only)
@@ -112,12 +118,9 @@ class IntraFrameEncoder:
         self.num_slots = ns
         self._rc = jnp.asarray(rc)          # [nd, ns, 2]
         self._valid = jnp.asarray(valid)    # [nd, ns]
-        # compact (int8) level transfer for the uniform path (lossless codes
-        # raw residuals, always > int8). MEASURED OFF on the current TPU
-        # backend: int8 narrowing + bitcast doubles the device step time
-        # (layout/packing cost outweighs the halved transfer), so the int16
-        # format stays the default; flip on where int8 IO is cheap.
-        self._compact = False
+        # compact (int8-in-uint16-lane) level transfer for the uniform path
+        # (lossless codes raw residuals, always > int8)
+        self._compact = not cfg.max_depth and not cfg.lossless
         if cfg.max_depth and cfg.cu_size == 64:
             build = self._build_qt64
         elif cfg.max_depth:
@@ -287,14 +290,19 @@ class IntraFrameEncoder:
             # qp may be a traced scalar
             v_raw, av = build_v(botrow, rightcol, cu, r, c, nn, avail)
             v = intra.substitute_references(v_raw, av, bd, xp=jnp)
-            preds = intra.predict_all_modes_matmul(v, nn, bd, luma=luma,
-                                                   strong_smoothing=False,
-                                                   xp=jnp)
             if modes is None:
+                preds = intra.predict_all_modes_matmul(
+                    v, nn, bd, luma=luma, strong_smoothing=False, xp=jnp)
                 costs = pixel.satd(src_blocks[:, None], preds, xp=jnp)
                 modes = jnp.argmin(costs, axis=1).astype(jnp.int32)
-            pred = jnp.take_along_axis(
-                preds, modes[:, None, None, None].astype(jnp.int32), axis=1)[:, 0]
+                pred = jnp.take_along_axis(
+                    preds, modes[:, None, None, None].astype(jnp.int32),
+                    axis=1)[:, 0]
+            else:
+                # mode already decided (chroma DM / fast-intra): compute
+                # only that prediction — 35x fewer MXU FLOPs
+                pred = intra.predict_mode_matmul(v, modes, nn, bd, luma=luma,
+                                                 xp=jnp)
             resid = src_blocks.astype(jnp.int32) - pred
             if cfg.lossless:      # transquant bypass: residual coded directly
                 return modes, resid, src_blocks.astype(jnp.int32), None
@@ -326,8 +334,12 @@ class IntraFrameEncoder:
             return modes, levels, recon, nr_sum
 
         def make_step(src_y_blocks, src_u_blocks, src_v_blocks, qp_y_map,
-                      qp_c_map, nr_y=None, nr_c=None):
+                      qp_c_map, nr_y=None, nr_c=None, modes_all=None):
             # src_*_blocks: [ncu, nn, nn] block-layout source
+            if modes_all is not None:
+                modes_pad = jnp.concatenate(
+                    [modes_all, jnp.zeros((1,), jnp.int32)])
+
             def step(carry, xs):
                 (bry, rcy, bru, rcu_, brv, rcv) = carry
                 rc, valid = xs
@@ -346,9 +358,11 @@ class IntraFrameEncoder:
                 qp_y = jnp.take(qp_y_map, cu_s, axis=0)    # [S] per-CU QP
                 qp_c = jnp.take(qp_c_map, cu_s, axis=0)
 
+                luma_modes = None if modes_all is None \
+                    else jnp.take(modes_pad, cu_s, axis=0)
                 modes, lv_y, rec_y, nsy = process_plane(
-                    bry, rcy, src_y, cu, r, c, n, log2n, qp_y, True, None,
-                    avail, nr_y, vmask, "y")
+                    bry, rcy, src_y, cu, r, c, n, log2n, qp_y, True,
+                    luma_modes, avail, nr_y, vmask, "y")
                 _, lv_cb, rec_u, nsu = process_plane(
                     bru, rcu_, src_u, cu, r, c, nc, log2n - 1, qp_c, False,
                     modes, avail, nr_c, vmask, "cb")
@@ -378,6 +392,37 @@ class IntraFrameEncoder:
             return (blocks.reshape(hh // nn, ww // nn, nn, nn)
                     .transpose(0, 2, 1, 3).reshape(hh, ww))
 
+        def decide_modes_from_source(y):
+            """Dense fast-intra decision: boundary vectors gathered from the
+            SOURCE plane (edge-replicated), all CUs and all 35 modes in one
+            MXU batch, SATD argmin. [ncu] int32."""
+            p = jnp.pad(y.astype(jnp.int32), 1, mode="edge")
+            ridx = np.arange(ncu) // cols
+            cidx = np.arange(ncu) % cols
+            y0 = ridx * n + 1
+            x0 = cidx * n + 1
+            ar = np.arange(n)
+            bl_rows = np.minimum(y0[:, None] + 2 * n - 1 - ar[None, :],
+                                 H)                       # bottom..top
+            lf_rows = y0[:, None] + n - 1 - ar[None, :]
+            top_cols = x0[:, None] + ar[None, :]
+            tr_cols = np.minimum(x0[:, None] + n + ar[None, :], W + 1)
+            coll = (x0 - 1)[:, None]
+            rowt = (y0 - 1)[:, None]
+            vsrc = jnp.concatenate([
+                p[jnp.asarray(bl_rows), jnp.asarray(coll)],
+                p[jnp.asarray(lf_rows), jnp.asarray(coll)],
+                p[jnp.asarray(rowt), jnp.asarray(coll)],
+                p[jnp.asarray(rowt), jnp.asarray(top_cols)],
+                p[jnp.asarray(rowt), jnp.asarray(tr_cols)],
+            ], axis=1)                                    # [ncu, 4n+1]
+            preds = intra.predict_all_modes_matmul(vsrc, n, bd, luma=True,
+                                                   strong_smoothing=False,
+                                                   xp=jnp)
+            yb = to_blocks(y.astype(jnp.int32), n)
+            costs = pixel.satd(yb[:, None], preds, xp=jnp)
+            return jnp.argmin(costs, axis=1).astype(jnp.int32)
+
         def encode(y, u, v, qp, nr_y=None, nr_c=None):
             # qp: per-CU map [ncu]; internal quant QP includes the bit-depth
             # offset (Qp' = Qp + 6*(bd-8))
@@ -390,7 +435,10 @@ class IntraFrameEncoder:
             yb = to_blocks(y.astype(jnp.int32), n)
             ub = to_blocks(u.astype(jnp.int32), nc)
             vb = to_blocks(v.astype(jnp.int32), nc)
-            step = make_step(yb, ub, vb, qp_y_map, qp_c_map, nr_y, nr_c)
+            modes_all = decide_modes_from_source(y) if cfg.fast_intra \
+                else None
+            step = make_step(yb, ub, vb, qp_y_map, qp_c_map, nr_y, nr_c,
+                             modes_all)
             z0 = y.reshape(-1)[0] * 0   # ties carry varying-ness to inputs
             init = (
                 jnp.full((ncu + 1, n), fill, jnp.int32) + z0,
@@ -431,13 +479,19 @@ class IntraFrameEncoder:
             lv_cat = jnp.concatenate([
                 lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)])
             if compact:
-                # levels as int8 (halves the device->host transfer — the
-                # link dominates the pipeline); a 1-byte overflow flag at
-                # the buffer end makes the caller rerun the rare frame
-                # whose levels exceed int8 through the int16 variant
+                # levels as int8 PAIRS packed into uint16 lanes (halves the
+                # device->host transfer — the link dominates the pipeline)
+                # with pure int32 lane arithmetic: narrowing to an int8
+                # tensor measured slower on TPU (layout repack), while a
+                # uint16 bitcast matches the int16 path's cost. A 1-byte
+                # overflow flag at the buffer end makes the caller rerun
+                # the rare frame whose levels exceed int8.
                 overflow = ((lv_cat > 127) | (lv_cat < -128)).any()
+                pairs = lv_cat.reshape(-1, 2)
+                packed = ((pairs[:, 0] & 0xff)
+                          | ((pairs[:, 1] & 0xff) << 8)).astype(jnp.uint16)
                 levels8 = jax.lax.bitcast_convert_type(
-                    lv_cat.astype(jnp.int8), jnp.uint8).reshape(-1)
+                    packed, jnp.uint8).reshape(-1)
                 flag = overflow.astype(jnp.uint8).reshape(1)
             else:
                 levels8 = jax.lax.bitcast_convert_type(

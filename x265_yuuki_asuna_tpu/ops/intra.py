@@ -421,3 +421,60 @@ def predict_all_modes_matmul(v, n: int, bit_depth: int = 8, luma: bool = True,
         fix = xp.where((modes == HOR_IDX) & row0, v10r[:, None, None, :], fix)
         pred = fix
     return pred
+
+
+def predict_mode_matmul(v, modes, n: int, bit_depth: int = 8,
+                        luma: bool = True, strong_smoothing: bool = False,
+                        xp=np):
+    """Single-mode variant of predict_all_modes_matmul: computes ONLY each
+    sample's chosen mode via a per-sample gathered weight matrix — 35x fewer
+    MXU FLOPs when the mode is already decided (chroma DM, fast-intra).
+    v: [B, 4n+1]; modes: [B] int32. Bit-exact with the all-modes path."""
+    W, T = allangs_matrix(n, luma)
+    vi = v.astype(xp.int32)
+    B = vi.shape[0]
+    two_n = 2 * n
+    if luma and n > 4:
+        vf = filter_references(vi, n, bit_depth, strong_smoothing, xp=xp)
+    else:
+        vf = vi
+    vcat = xp.concatenate([vi, vf], axis=-1).astype(xp.float32)   # [B, 2L]
+    Wm = W.reshape(35, n * n, -1)
+    if xp is not np:
+        import jax
+        Wsel = xp.take(xp.asarray(Wm, xp.float32), modes, axis=0)  # [B,p,2L]
+        acc = jax.numpy.einsum("bl,bpl->bp", vcat, Wsel,
+                               precision=jax.lax.Precision.HIGHEST)
+    else:
+        Wsel = Wm[np.asarray(modes)]
+        acc = np.einsum("bl,bpl->bp", vcat, Wsel)
+    acc = acc.astype(xp.int32)
+    pred = xp.right_shift(acc + (1 << (T - 1)), T).reshape(B, n, n)
+
+    # boundary fixups for the rows/cols of DC / V / H predictions
+    left = vi[..., two_n - 1::-1][..., :n]
+    top = vi[..., two_n + 1:two_n + 1 + n]
+    corner = vi[..., two_n]
+    maxv = (1 << bit_depth) - 1
+    m = modes.reshape(B, 1, 1)
+    row0 = (np.arange(n).reshape(1, n, 1) == 0)
+    col0 = (np.arange(n).reshape(1, 1, n) == 0)
+    if xp is not np:
+        row0, col0 = xp.asarray(row0), xp.asarray(col0)
+    if luma and n < 32:
+        dc = xp.right_shift(xp.sum(left, axis=-1) + xp.sum(top, axis=-1) + n,
+                            (n.bit_length() - 1) + 1)
+        dcr = xp.right_shift(top + 3 * dc[..., None] + 2, 2)
+        dcc = xp.right_shift(left + 3 * dc[..., None] + 2, 2)
+        dc00 = xp.right_shift(left[..., 0] + 2 * dc + top[..., 0] + 2, 2)
+        m_dc = (m == DC_IDX)
+        pred = xp.where(m_dc & row0, dcr[:, None, :], pred)
+        pred = xp.where(m_dc & col0, dcc[:, :, None], pred)
+        pred = xp.where(m_dc & row0 & col0, dc00[:, None, None], pred)
+        v26c = xp.clip(top[..., :1] + xp.right_shift(left - corner[..., None],
+                                                     1), 0, maxv)
+        pred = xp.where((m == VER_IDX) & col0, v26c[:, :, None], pred)
+        v10r = xp.clip(left[..., :1] + xp.right_shift(top - corner[..., None],
+                                                      1), 0, maxv)
+        pred = xp.where((m == HOR_IDX) & row0, v10r[:, None, :], pred)
+    return pred
