@@ -109,7 +109,9 @@ def encode_intra_ctu_full(enc: CabacEncoder, d: CTUDecisions, log2_cu: int,
                           sign_hiding: bool = False,
                           tq_bypass: bool = False,
                           bypass_enabled: bool = False,
-                          cu_qp_delta=None):
+                          cu_qp_delta=None, chroma_log2: int = None):
+    if chroma_log2 is None:
+        chroma_log2 = log2_cu - 1
     if bypass_enabled:
         enc.encode_bin(1 if tq_bypass else 0, CTX["tq_bypass"])
     if part_mode_coded:
@@ -137,10 +139,10 @@ def encode_intra_ctu_full(enc: CabacEncoder, d: CTUDecisions, log2_cu: int,
         encode_residual(enc, d.luma_levels, log2_cu, True, d.luma_mode,
                         sign_hiding)
     if cbf_cb:
-        encode_residual(enc, d.cb_levels, log2_cu - 1, False, d.luma_mode,
+        encode_residual(enc, d.cb_levels, chroma_log2, False, d.luma_mode,
                         sign_hiding)
     if cbf_cr:
-        encode_residual(enc, d.cr_levels, log2_cu - 1, False, d.luma_mode,
+        encode_residual(enc, d.cr_levels, chroma_log2, False, d.luma_mode,
                         sign_hiding)
 
 

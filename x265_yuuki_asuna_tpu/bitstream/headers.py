@@ -92,13 +92,15 @@ def _profile_tier_level(bw: BitWriter, ptl: ProfileTierLevel, max_sub_layers: in
     bw.write_flag(ptl.non_packed)
     bw.write_flag(ptl.frame_only)
     if ptl.profile_idc == 4:
-        # Range Extensions (Main12): constraint flags replace the
-        # reserved_zero_44bits (spec 7.3.3 / A.3.5)
+        # Range Extensions (Main12 / Main 4:4:4): constraint flags replace
+        # the reserved_zero_44bits (spec 7.3.3 / A.3.5)
+        bd = ptl.bit_depth_constraint
+        cc = ptl.chroma_constraint           # 1=<=4:2:0, 2=<=4:2:2, 3=4:4:4
         bw.write_flag(1)                     # general_max_12bit_constraint
-        bw.write_flag(0)                     # max_10bit
-        bw.write_flag(0)                     # max_8bit
-        bw.write_flag(1)                     # max_422chroma
-        bw.write_flag(1)                     # max_420chroma
+        bw.write_flag(1 if bd <= 10 else 0)  # max_10bit
+        bw.write_flag(1 if bd <= 8 else 0)   # max_8bit
+        bw.write_flag(1 if cc <= 2 else 0)   # max_422chroma
+        bw.write_flag(1 if cc <= 1 else 0)   # max_420chroma
         bw.write_flag(0)                     # max_monochrome
         bw.write_flag(0)                     # intra
         bw.write_flag(0)                     # one_picture_only

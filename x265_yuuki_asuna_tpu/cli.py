@@ -91,6 +91,9 @@ def main(argv=None):
                     help="save per-CU analysis for reuse")
     ap.add_argument("--analysis-load", default=None,
                     help="reuse saved analysis (skip full motion search)")
+    ap.add_argument("--scale-factor", type=int, default=1, choices=[1, 2, 4],
+                    help="upscale loaded analysis from a 1/N-resolution "
+                         "pass (cross-resolution reuse)")
     ap.add_argument("--zones", default=None,
                     help="per-range overrides: start,end,q=N|b=M[/...]")
     ap.add_argument("--ladder", default=None,
@@ -158,6 +161,12 @@ def main(argv=None):
     if args.ladder:
         return _run_ladder(args, reader)
 
+    from .utils.param import CSP_I420, CSP_I444
+    if info.csp not in (CSP_I420, CSP_I444):
+        print("x265-tpu: only 4:2:0 and 4:4:4 inputs supported", file=sys.stderr)
+        return 1
+    csp_name = "i444" if info.csp == CSP_I444 else "i420"
+
     # ---- resolve preset defaults (reference x265_param_default_preset
     # semantics: the preset configures everything; explicit flags override;
     # settings are reconciled against this round's implementation limits) ----
@@ -206,6 +215,13 @@ def main(argv=None):
         qp = 32 if args.qp is None else args.qp
     if args.keyint is not None and args.keyint <= 1:
         keyint, bframes = 0, 0        # --keyint 1 = all-intra (reference)
+    if csp_name == "i444":
+        # 4:4:4 is the all-intra CTU16 path this round
+        keyint, bframes = 0, 0
+        args.vbv_maxrate = 0
+        rc_mode = "cqp"
+        deblock = sao = False
+        ctu, qt_depth = 16, 0
     qt_depth = 0
     if min_cu and ctu and min_cu < ctu:
         qt_depth = ctu.bit_length() - min_cu.bit_length()
@@ -246,6 +262,7 @@ def main(argv=None):
                                    zones=args.zones,
                                    analysis_save=args.analysis_save,
                                    analysis_load=args.analysis_load,
+                                   scale_factor=args.scale_factor,
                                    aq_mode=aq_mode,
                                    aq_strength=args.aq_strength,
                                    open_gop=bool(pick(args.open_gop,
@@ -279,7 +296,10 @@ def main(argv=None):
                                    sbh=sbh,
                                    master_display=args.master_display,
                                    max_cll=args.max_cll,
-                                   max_depth=qt_depth, psy_rd=psy_rd,
+                                   csp=csp_name,
+                                   max_depth=qt_depth if csp_name == "i420"
+                                   else 0,
+                                   psy_rd=psy_rd,
                                    psy_rdoq=(args.psy_rdoq
                                              if args.psy_rdoq is not None
                                              else prm.psy_rdoq))

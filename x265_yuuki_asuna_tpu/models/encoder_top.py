@@ -71,7 +71,13 @@ class IntraEncoderSession:
                  max_depth: int = 0, psy_rd: float = 0.0,
                  hash_type: int = 0, nr_intra: int = 0,
                  scaling_lists: str = None, psy_rdoq: float = 0.0,
-                 fast_intra: bool = False):
+                 fast_intra: bool = False, csp: str = "i420"):
+        self.csp = csp
+        self.c_shift = 0 if csp == "i444" else 1
+        if csp == "i444":
+            assert not (lossless or max_depth or slices > 1 or wpp
+                        or sao or deblock), \
+                "4:4:4: uniform-grid lossy path, no loop filters (v1)"
         self.hash_type = hash_type
         # quant matrices (--scaling-lists): "default" or a file path
         self.scaling = None
@@ -118,7 +124,7 @@ class IntraEncoderSession:
         self.sbh = sbh and not lossless and not rdoq and self.slices == 1
         self.frame_encoder = IntraFrameEncoder(IntraFrameConfig(
             width=self.coded_w, height=band_h if self.slices > 1 else self.coded_h,
-            cu_size=cu_size, qp=qp,
+            cu_size=cu_size, qp=qp, csp=csp,
             bit_depth=bit_depth, lossless=lossless,
             rdoq=rdoq and not lossless, sbh=self.sbh,
             max_depth=max_depth, psy_rd=psy_rd if max_depth else 0.0,
@@ -140,11 +146,15 @@ class IntraEncoderSession:
         self.info_sei = info_sei
         self.master_display = master_display
         self.max_cll = max_cll
+        if csp == "i444":
+            ptl.profile_idc = 4          # RExt (Main 4:4:4)
+            ptl.chroma_constraint = 3
         self.sps = HDR.SPSInfo(
             width=self.coded_w, height=self.coded_h,
             conf_win=(0, self.coded_w - width, 0, self.coded_h - height),
             ptl=ptl,
-            chroma_format_idc=1, bit_depth=bit_depth,
+            chroma_format_idc=3 if csp == "i444" else 1,
+            bit_depth=bit_depth,
             log2_min_cb=log2cu - max_depth, log2_diff_max_min_cb=max_depth,
             log2_min_tb=2, log2_diff_max_min_tb=min(log2cu, 5) - 2,
             max_transform_hierarchy_depth_inter=0,
@@ -228,8 +238,10 @@ class IntraEncoderSession:
                      poc: int = 0) -> FrameResult:
         # pad to coded size (edge replicate — conformance window crops back)
         yp = G.pad_plane(y, self.coded_h, self.coded_w)
-        up = G.pad_plane(u, self.coded_h // 2, self.coded_w // 2)
-        vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
+        up = G.pad_plane(u, self.coded_h >> self.c_shift,
+                         self.coded_w >> self.c_shift)
+        vp = G.pad_plane(v, self.coded_h >> self.c_shift,
+                         self.coded_w >> self.c_shift)
 
         if self.slices > 1:
             return self._encode_frame_sliced(y, yp, up, vp)
@@ -262,9 +274,10 @@ class IntraEncoderSession:
             nals += self._hash_sei(out)
         bits = len(nals) * 8
         pdt = np.uint16 if self.bit_depth > 8 else np.uint8
+        ch, cw = self.src_h >> self.c_shift, self.src_w >> self.c_shift
         recon = (out["recon_y"][:self.src_h, :self.src_w].astype(pdt),
-                 out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(pdt),
-                 out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(pdt))
+                 out["recon_u"][:ch, :cw].astype(pdt),
+                 out["recon_v"][:ch, :cw].astype(pdt))
         psnr, pu, pv, ssim = frame_quality(recon, y, u, v, self.bit_depth)
         return FrameResult(nals=nals, recon=recon, bits=bits, psnr_y=psnr,
                            frame_type="I", qp=self.qp, psnr_u=pu, psnr_v=pv,
@@ -330,8 +343,12 @@ class IntraEncoderSession:
         with this batch's host entropy coding."""
         need_recon = self.hash_sei or self.deblock or need_recon
         ys = np.stack([G.pad_plane(f[0], self.coded_h, self.coded_w) for f in frames])
-        us = np.stack([G.pad_plane(f[1], self.coded_h // 2, self.coded_w // 2) for f in frames])
-        vs = np.stack([G.pad_plane(f[2], self.coded_h // 2, self.coded_w // 2) for f in frames])
+        us = np.stack([G.pad_plane(f[1], self.coded_h >> self.c_shift,
+                                   self.coded_w >> self.c_shift)
+                       for f in frames])
+        vs = np.stack([G.pad_plane(f[2], self.coded_h >> self.c_shift,
+                                   self.coded_w >> self.c_shift)
+                       for f in frames])
         fut = self.frame_encoder.submit_frames(ys, us, vs, with_recon=need_recon)
         # enqueue the device->host copy NOW, ahead of any later batch's
         # compute: the device link is a FIFO, so requesting the copy at
@@ -359,9 +376,11 @@ class IntraEncoderSession:
                 nals += self._hash_sei(out)
             if out["recon_y"] is not None:
                 pdt = np.uint16 if self.bit_depth > 8 else np.uint8
+                ch = self.src_h >> self.c_shift
+                cw = self.src_w >> self.c_shift
                 recon = (out["recon_y"][:self.src_h, :self.src_w].astype(pdt),
-                         out["recon_u"][:self.src_h // 2, :self.src_w // 2].astype(pdt),
-                         out["recon_v"][:self.src_h // 2, :self.src_w // 2].astype(pdt))
+                         out["recon_u"][:ch, :cw].astype(pdt),
+                         out["recon_v"][:ch, :cw].astype(pdt))
                 psnr, pu, pv, ssim = frame_quality(recon, y, u, v,
                                                    self.bit_depth)
             else:
@@ -399,8 +418,9 @@ class IntraEncoderSession:
                                     slice_qp=qp, nal_type=nal_type, poc=poc,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
+        i444 = self.csp == "i444"
         res = None if (self.lossless or sao_params or qp_map is not None
-                       or self.sbh) \
+                       or self.sbh or i444) \
             else native.encode_intra_slice(
             modes, out["levels_y"], out["levels_cb"], out["levels_cr"],
             log2cu, qp)
@@ -441,7 +461,9 @@ class IntraEncoderSession:
                                              sign_hiding=self.sbh,
                                              tq_bypass=self.lossless,
                                              bypass_enabled=self.lossless,
-                                             cu_qp_delta=delta)
+                                             cu_qp_delta=delta,
+                                             chroma_log2=log2cu if i444
+                                             else None)
                     enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
             data, tail, tail_bits = enc.finish()
         for b in data:
@@ -848,7 +870,8 @@ class VideoEncoderSession:
                  max_depth: int = 0, psy_rd: float = 0.0,
                  bit_depth: int = 8, hme: bool = False, hme_range: int = 16,
                  hash_type: int = 0, b_adapt: int = 2,
-                 psy_rdoq: float = 0.0, open_gop: bool = False):
+                 psy_rdoq: float = 0.0, open_gop: bool = False,
+                 scale_factor: int = 1):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         if max_depth:
@@ -900,6 +923,22 @@ class VideoEncoderSession:
                         recs.append(pickle.load(f))
                 except EOFError:
                     pass
+            if scale_factor > 1:
+                # cross-resolution reuse (reference --scale-factor +
+                # scale1D/2D primitives, K19): upsample the CU-grid MV
+                # hints and scale the vectors to the new resolution
+                sf = scale_factor
+                for rec in recs:
+                    for k in ("mvx", "mvy"):
+                        if k in rec:
+                            g = np.repeat(np.repeat(rec[k], sf, 0), sf, 1)
+                            g = g[:self.rows, :self.cols]
+                            pr = self.rows - g.shape[0]
+                            pc = self.cols - g.shape[1]
+                            if pr > 0 or pc > 0:
+                                g = np.pad(g, ((0, max(pr, 0)),
+                                               (0, max(pc, 0))), mode="edge")
+                            rec[k] = (g * sf).astype(np.int32)
             self.analysis_data = recs
         self.inter_encoder = InterFrameEncoder(InterFrameConfig(
             width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp,

@@ -48,6 +48,8 @@ def chroma_qp_from_luma(qp_y: int, offset: int = 0) -> int:
 # device-side mapping table for traced QPs
 CHROMA_QP_TABLE = np.array([chroma_qp_from_luma(q) for q in range(58)],
                            dtype=np.int32)
+# ChromaArrayType 3 (4:4:4): QpC = min(qPi, 51) — no table (spec 8.6.1)
+CHROMA_QP_TABLE_444 = np.minimum(np.arange(58), 51).astype(np.int32)
 
 
 @dataclass(frozen=True)
@@ -65,6 +67,8 @@ class IntraFrameConfig:
                                     # (in-scan RD quadtree decision)
     psy_rd: float = 0.0             # psycho-visual RD strength (--psy-rd)
     psy_rdoq: float = 0.0           # psy-RDOQ energy bias (--psy-rdoq)
+    csp: str = "i420"               # "i420" or "i444" (4:4:4: chroma at
+                                    # luma size, DM mode, uniform grid)
     fast_intra: bool = False        # decide modes from SOURCE neighbors in
                                     # one dense batch (no wavefront for the
                                     # decision); the scan then computes only
@@ -113,6 +117,9 @@ class IntraFrameEncoder:
             assert not cfg.nr, "noise reduction: uniform grid only (v1)"
         if cfg.nr:
             assert not cfg.lossless, "noise reduction is lossy-path only"
+        if cfg.csp == "i444":
+            assert not cfg.max_depth and not cfg.lossless, \
+                "4:4:4: uniform-grid lossy path only (v1)"
         nd, ns, rc, valid = wavefront_schedule(cfg.rows, cfg.cols, slope=2)
         self.num_diags = nd
         self.num_slots = ns
@@ -244,11 +251,13 @@ class IntraFrameEncoder:
     def _build(self, with_recon: bool = True, compact: bool = True):
         cfg = self.cfg
         sl = self._sl
+        i444 = cfg.csp == "i444"
         n = cfg.cu_size
-        nc = n // 2
+        nc = n if i444 else n // 2
         log2n = cfg.log2_cu
         rows, cols = cfg.rows, cfg.cols
         W, H = cfg.width, cfg.height
+        CH, CW = (H, W) if i444 else (H // 2, W // 2)
         bd = cfg.bit_depth
         maxv = (1 << bd) - 1
         ncu = rows * cols
@@ -290,6 +299,7 @@ class IntraFrameEncoder:
             # qp may be a traced scalar
             v_raw, av = build_v(botrow, rightcol, cu, r, c, nn, avail)
             v = intra.substitute_references(v_raw, av, bd, xp=jnp)
+            c444 = i444 and not luma
             if modes is None:
                 preds = intra.predict_all_modes_matmul(
                     v, nn, bd, luma=luma, strong_smoothing=False, xp=jnp)
@@ -302,7 +312,7 @@ class IntraFrameEncoder:
                 # mode already decided (chroma DM / fast-intra): compute
                 # only that prediction — 35x fewer MXU FLOPs
                 pred = intra.predict_mode_matmul(v, modes, nn, bd, luma=luma,
-                                                 xp=jnp)
+                                                 chroma444=c444, xp=jnp)
             resid = src_blocks.astype(jnp.int32) - pred
             if cfg.lossless:      # transquant bypass: residual coded directly
                 return modes, resid, src_blocks.astype(jnp.int32), None
@@ -363,11 +373,12 @@ class IntraFrameEncoder:
                 modes, lv_y, rec_y, nsy = process_plane(
                     bry, rcy, src_y, cu, r, c, n, log2n, qp_y, True,
                     luma_modes, avail, nr_y, vmask, "y")
+                log2c = log2n if i444 else log2n - 1
                 _, lv_cb, rec_u, nsu = process_plane(
-                    bru, rcu_, src_u, cu, r, c, nc, log2n - 1, qp_c, False,
+                    bru, rcu_, src_u, cu, r, c, nc, log2c, qp_c, False,
                     modes, avail, nr_c, vmask, "cb")
                 _, lv_cr, rec_v, nsv = process_plane(
-                    brv, rcv, src_v, cu, r, c, nc, log2n - 1, qp_c, False,
+                    brv, rcv, src_v, cu, r, c, nc, log2c, qp_c, False,
                     modes, avail, nr_c, vmask, "cr")
 
                 bry = bry.at[cu_s].set(rec_y[:, n - 1, :], mode="drop")
@@ -429,8 +440,9 @@ class IntraFrameEncoder:
             qp_sig = qp.astype(jnp.int32)
             qp_y_map = jnp.concatenate([qp_sig + 6 * (bd - 8),
                                         jnp.zeros((1,), jnp.int32)])
+            ctab = CHROMA_QP_TABLE_444 if i444 else CHROMA_QP_TABLE
             qp_c_map = jnp.concatenate([
-                jnp.take(jnp.asarray(CHROMA_QP_TABLE), jnp.clip(qp_sig, 0, 57))
+                jnp.take(jnp.asarray(ctab), jnp.clip(qp_sig, 0, 57))
                 + 6 * (bd - 8), jnp.zeros((1,), jnp.int32)])
             yb = to_blocks(y.astype(jnp.int32), n)
             ub = to_blocks(u.astype(jnp.int32), nc)
@@ -502,8 +514,8 @@ class IntraFrameEncoder:
                 return jnp.concatenate([modes8, levels8] + tail)
             rec_cat = jnp.concatenate([
                 from_blocks(rec_y, n, H, W).reshape(-1),
-                from_blocks(rec_u, nc, H // 2, W // 2).reshape(-1),
-                from_blocks(rec_v, nc, H // 2, W // 2).reshape(-1),
+                from_blocks(rec_u, nc, CH, CW).reshape(-1),
+                from_blocks(rec_v, nc, CH, CW).reshape(-1),
             ])
             if bd > 8:
                 recon8 = jax.lax.bitcast_convert_type(
@@ -1183,10 +1195,13 @@ class IntraFrameEncoder:
         if self.cfg.max_depth:
             return self._unpack_qt(buf, with_recon)
         cfg = self.cfg
-        n, nc = cfg.cu_size, cfg.cu_size // 2
+        i444 = cfg.csp == "i444"
+        n = cfg.cu_size
+        nc = n if i444 else n // 2
         rows, cols, ncu = cfg.rows, cfg.cols, cfg.rows * cfg.cols
         W, H = cfg.width, cfg.height
-        ny, nuv = H * W, (H // 2) * (W // 2)
+        CH, CW = (H, W) if i444 else (H // 2, W // 2)
+        ny, nuv = H * W, CH * CW
         bsz = 2 if cfg.bit_depth > 8 else 1
         o = 0
         rec_y = rec_u = rec_v = None
@@ -1199,8 +1214,8 @@ class IntraFrameEncoder:
                     return raw.view(np.int16).reshape(hh, ww)
                 return raw.reshape(hh, ww)
             rec_y = plane(ny, H, W)
-            rec_u = plane(nuv, H // 2, W // 2)
-            rec_v = plane(nuv, H // 2, W // 2)
+            rec_u = plane(nuv, CH, CW)
+            rec_v = plane(nuv, CH, CW)
         modes = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
         sy = ncu * n * n
         sc = ncu * nc * nc

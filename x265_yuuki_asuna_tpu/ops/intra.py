@@ -363,14 +363,18 @@ def allangs_matrix(n: int, luma: bool) -> Tuple[np.ndarray, int]:
 
 
 def predict_all_modes_matmul(v, n: int, bit_depth: int = 8, luma: bool = True,
-                             strong_smoothing: bool = False, xp=np):
+                             strong_smoothing: bool = False,
+                             chroma444: bool = False, xp=np):
     """MXU formulation of predict_all_modes; bit-exact with the gather path.
-    v: [B, 4n+1] substituted references. Returns [B, 35, n, n] int32."""
-    W, T = allangs_matrix(n, luma)
+    v: [B, 4n+1] substituted references. Returns [B, 35, n, n] int32.
+    chroma444: 4:4:4 chroma uses luma-style reference filtering
+    (spec 8.4.4.2.3 applies when cIdx==0 or ChromaArrayType==3) but NOT
+    the DC/V/H edge fixups (cIdx==0 only)."""
+    W, T = allangs_matrix(n, luma or chroma444)
     vi = v.astype(xp.int32)
     B = vi.shape[0]
     two_n = 2 * n
-    if luma and n > 4:
+    if (luma or chroma444) and n > 4:
         vf = filter_references(vi, n, bit_depth, strong_smoothing, xp=xp)
     else:
         vf = vi
@@ -425,16 +429,16 @@ def predict_all_modes_matmul(v, n: int, bit_depth: int = 8, luma: bool = True,
 
 def predict_mode_matmul(v, modes, n: int, bit_depth: int = 8,
                         luma: bool = True, strong_smoothing: bool = False,
-                        xp=np):
+                        chroma444: bool = False, xp=np):
     """Single-mode variant of predict_all_modes_matmul: computes ONLY each
     sample's chosen mode via a per-sample gathered weight matrix — 35x fewer
     MXU FLOPs when the mode is already decided (chroma DM, fast-intra).
     v: [B, 4n+1]; modes: [B] int32. Bit-exact with the all-modes path."""
-    W, T = allangs_matrix(n, luma)
+    W, T = allangs_matrix(n, luma or chroma444)
     vi = v.astype(xp.int32)
     B = vi.shape[0]
     two_n = 2 * n
-    if luma and n > 4:
+    if (luma or chroma444) and n > 4:
         vf = filter_references(vi, n, bit_depth, strong_smoothing, xp=xp)
     else:
         vf = vi
