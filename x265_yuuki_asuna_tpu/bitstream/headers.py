@@ -54,6 +54,10 @@ class SPSInfo:
     sar_idc: int = 0
     sar_wh: Tuple[int, int] = (0, 0)
     video_full_range: int = 0
+    colour_description: Optional[Tuple[int, int, int]] = None
+    # (colour_primaries, transfer_characteristics, matrix_coeffs) e.g.
+    # (9, 16, 9) = BT.2020 / PQ / BT.2020nc for HDR10
+    chroma_loc: Optional[int] = None    # chroma_sample_loc_type (0..5)
     timing_info: Optional[Tuple[int, int]] = None  # (num_units_in_tick, time_scale)
 
     @property
@@ -190,7 +194,9 @@ def write_sps(sps: SPSInfo) -> bytes:
     bw.write_flag(0)             # long_term_ref_pics_present_flag
     bw.write_flag(sps.temporal_mvp)
     bw.write_flag(sps.strong_intra_smoothing)
-    vui_present = sps.timing_info is not None or sps.sar_idc or sps.video_full_range
+    vui_present = (sps.timing_info is not None or sps.sar_idc
+                   or sps.video_full_range or sps.colour_description
+                   or sps.chroma_loc is not None)
     bw.write_flag(1 if vui_present else 0)
     if vui_present:
         _write_vui(bw, sps)
@@ -209,14 +215,26 @@ def _write_vui(bw: BitWriter, sps: SPSInfo):
     else:
         bw.write_flag(0)
     bw.write_flag(0)             # overscan_info_present_flag
-    if sps.video_full_range:
+    if sps.video_full_range or sps.colour_description:
         bw.write_flag(1)         # video_signal_type_present_flag
         bw.write_bits(5, 3)      # video_format unknown
-        bw.write_flag(1)         # video_full_range_flag
-        bw.write_flag(0)         # colour_description_present_flag
+        bw.write_flag(sps.video_full_range)
+        if sps.colour_description:
+            bw.write_flag(1)     # colour_description_present_flag
+            prim, trc, mat = sps.colour_description
+            bw.write_bits(prim, 8)
+            bw.write_bits(trc, 8)
+            bw.write_bits(mat, 8)
+        else:
+            bw.write_flag(0)
     else:
         bw.write_flag(0)
-    bw.write_flag(0)             # chroma_loc_info_present_flag
+    if sps.chroma_loc is not None:
+        bw.write_flag(1)         # chroma_loc_info_present_flag
+        bw.write_ue(sps.chroma_loc)
+        bw.write_ue(sps.chroma_loc)
+    else:
+        bw.write_flag(0)
     bw.write_flag(0)             # neutral_chroma_indication_flag
     bw.write_flag(0)             # field_seq_flag
     bw.write_flag(0)             # frame_field_info_present_flag

@@ -74,6 +74,12 @@ def main(argv=None):
                     help="weighted prediction for P slices")
     ap.add_argument("--signhide", action=argparse.BooleanOptionalAction, default=None,
                     help="sign-bit hiding")
+    ap.add_argument("--colorprim", default=None, choices=list({'bt709': 1, 'unknown': 2, 'bt470m': 4, 'bt470bg': 5, 'smpte170m': 6, 'smpte240m': 7, 'film': 8, 'bt2020': 9, 'smpte428': 10, 'smpte431': 11, 'smpte432': 12}))
+    ap.add_argument("--transfer", default=None, choices=list({'bt709': 1, 'unknown': 2, 'bt470m': 4, 'bt470bg': 5, 'smpte170m': 6, 'smpte240m': 7, 'linear': 8, 'log100': 9, 'log316': 10, 'iec61966-2-4': 11, 'bt1361e': 12, 'iec61966-2-1': 13, 'bt2020-10': 14, 'bt2020-12': 15, 'smpte2084': 16, 'smpte428': 17, 'arib-std-b67': 18}))
+    ap.add_argument("--colormatrix", default=None, choices=list({'gbr': 0, 'bt709': 1, 'unknown': 2, 'fcc': 4, 'bt470bg': 5, 'smpte170m': 6, 'smpte240m': 7, 'ycgco': 8, 'bt2020nc': 9, 'bt2020c': 10, 'smpte2085': 11, 'chroma-derived-nc': 12, 'chroma-derived-c': 13, 'ictcp': 14}))
+    ap.add_argument("--range", default=None, choices=["limited", "full"])
+    ap.add_argument("--chromaloc", type=int, default=None,
+                    choices=[0, 1, 2, 3, 4, 5])
     ap.add_argument("--master-display", default=None,
                     help="HDR10 mastering display: G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)")
     ap.add_argument("--max-cll", default=None, help="HDR10 MaxCLL,MaxFALL")
@@ -334,6 +340,17 @@ def main(argv=None):
         except (OSError, ValueError) as e:
             print(f"x265-tpu: bad qpfile: {e}", file=sys.stderr)
             return 1
+    _PRIM = {'bt709': 1, 'unknown': 2, 'bt470m': 4, 'bt470bg': 5, 'smpte170m': 6, 'smpte240m': 7, 'film': 8, 'bt2020': 9, 'smpte428': 10, 'smpte431': 11, 'smpte432': 12}
+    _TRC = {'bt709': 1, 'unknown': 2, 'bt470m': 4, 'bt470bg': 5, 'smpte170m': 6, 'smpte240m': 7, 'linear': 8, 'log100': 9, 'log316': 10, 'iec61966-2-4': 11, 'bt1361e': 12, 'iec61966-2-1': 13, 'bt2020-10': 14, 'bt2020-12': 15, 'smpte2084': 16, 'smpte428': 17, 'arib-std-b67': 18}
+    _MAT = {'gbr': 0, 'bt709': 1, 'unknown': 2, 'fcc': 4, 'bt470bg': 5, 'smpte170m': 6, 'smpte240m': 7, 'ycgco': 8, 'bt2020nc': 9, 'bt2020c': 10, 'smpte2085': 11, 'chroma-derived-nc': 12, 'chroma-derived-c': 13, 'ictcp': 14}
+    if args.colorprim or args.transfer or args.colormatrix:
+        sess.sps.colour_description = (
+            _PRIM.get(args.colorprim, 2), _TRC.get(args.transfer, 2),
+            _MAT.get(args.colormatrix, 2))
+    if args.range == "full":
+        sess.sps.video_full_range = 1
+    if args.chromaloc is not None:
+        sess.sps.chroma_loc = args.chromaloc
     out = IO.RawBitstreamWriter(args.output)
     out.write(sess.headers())
     recon_writer = IO.YUVWriter(args.recon) if args.recon else None
