@@ -24,7 +24,7 @@ def _mixed_frame(W, H, seed):
 def test_ctu64_intra_conformance(depth):
     W, H = 128, 64        # 2x1 CTU64s
     sess = IntraEncoderSession(W, H, qp=30, cu_size=64, max_depth=depth,
-                               hash_sei=False)
+                               hash_sei=False, deblock=(depth == 3))
     assert sess.cu == 64 and sess.rows == 1 and sess.cols == 2
     y, u, v = _mixed_frame(W, H, 3)
     fr = sess.encode_frame(y, u, v)

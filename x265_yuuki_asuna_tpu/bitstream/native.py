@@ -100,6 +100,15 @@ def load():
         except AttributeError:
             pass
         try:
+            lib.asuna_encode_intra_slice_qt64.restype = ctypes.c_int
+            lib.asuna_encode_intra_slice_qt64.argtypes = (
+                [ctypes.c_void_p] * 8 + [ctypes.c_int] * 5
+                + [ctypes.c_void_p, ctypes.c_int,
+                   ctypes.POINTER(ctypes.c_uint32),
+                   ctypes.POINTER(ctypes.c_int)])
+        except AttributeError:
+            pass
+        try:
             lib.asuna_crc16.restype = ctypes.c_uint32
             lib.asuna_crc16.argtypes = [ctypes.c_void_p, ctypes.c_longlong,
                                         ctypes.c_uint32]
@@ -387,3 +396,36 @@ def crc16(data: bytes, init: int = 0xffff) -> int:
         msb = (crc >> 15) & 1
         crc = ((crc << 1) & 0xffff) ^ (msb * 0x1021)
     return crc
+
+
+def encode_intra_slice_qt64(out: dict, rows: int, cols: int, qp: int,
+                            max_depth: int, sign_hiding: bool = False):
+    """Native CTU64 intra quadtree CABAC. Returns (payload, tail, tail_bits)
+    or None when unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "asuna_encode_intra_slice_qt64"):
+        return None
+
+    def ptr(a, dt):
+        return np.ascontiguousarray(a, dt).ctypes.data
+
+    ly = np.ascontiguousarray(out["levels_y"], np.int32)
+    lcb = np.ascontiguousarray(out["levels_cb"], np.int32)
+    lcr = np.ascontiguousarray(out["levels_cr"], np.int32)
+    sp32 = np.ascontiguousarray(out["split32"], np.uint8)
+    m32 = np.ascontiguousarray(out["modes32"], np.int32)
+    sp16 = np.ascontiguousarray(out["split16"], np.uint8)
+    m16 = np.ascontiguousarray(out["modes16"], np.int32)
+    m8 = np.ascontiguousarray(out["modes8"], np.int32)
+    cap = int(ly.nbytes + lcb.nbytes + lcr.nbytes + 65536)
+    buf = np.empty(cap, np.uint8)
+    tail = ctypes.c_uint32()
+    tail_bits = ctypes.c_int()
+    nbytes = lib.asuna_encode_intra_slice_qt64(
+        sp32.ctypes.data, m32.ctypes.data, sp16.ctypes.data, m16.ctypes.data,
+        m8.ctypes.data, ly.ctypes.data, lcb.ctypes.data, lcr.ctypes.data,
+        rows, cols, qp, max_depth, 1 if sign_hiding else 0,
+        buf.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
+    if nbytes < 0:
+        return None
+    return bytes(buf[:nbytes]), int(tail.value), int(tail_bits.value)

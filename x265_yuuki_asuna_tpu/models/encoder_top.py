@@ -94,6 +94,8 @@ class IntraEncoderSession:
             assert not lossless, "quadtree + lossless unsupported (v1)"
             assert slices == 1 and not wpp, \
                 "quadtree + slices/wpp unsupported (v1)"
+            if cu_size == 64:
+                sao = False          # CTU64 SAO syntax wiring is r2 work
         self.max_depth = max_depth
         self.src_w = width
         self.src_h = height
@@ -207,7 +209,15 @@ class IntraEncoderSession:
         # averaged QPs, so the encoder must too (spec 8.7.2.5.3)
         qmap = out.get("qp_map")
         qarg = qmap if qmap is not None else qp
-        if self.max_depth >= 2:
+        if self.max_depth and self.cu == 64:
+            bs_v, bs_h = DB.compute_bs_qt64_intra(out["split32"],
+                                                  out["split16"],
+                                                  self.max_depth)
+            dy, du, dv = DB.deblock_frame_qt2(
+                out["recon_y"], out["recon_u"], out["recon_v"],
+                qarg, chroma_qp_from_luma(qp), bs_v, bs_h,
+                bit_depth=self.bit_depth, cells=8)
+        elif self.max_depth >= 2:
             maps = DB.expand_qt_maps8({"split": out["split"],
                                        "split16": out["split16"],
                                        "levels_y": out["levels_y"]})
@@ -372,6 +382,9 @@ class IntraEncoderSession:
             if self.deblock:
                 self._apply_deblock(out)
             nals = self._assemble_slice(out)
+            if self.sei_provider is not None:
+                nals = self.sei_provider(self._display_counter) + nals
+            self._display_counter += 1
             if self.hash_sei:
                 nals += self._hash_sei(out)
             if out["recon_y"] is not None:
@@ -536,6 +549,17 @@ class IntraEncoderSession:
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
         qp_map = out.get("qp_map")
+        res = None if (sao_params is not None or qp_map is not None) \
+            else native.encode_intra_slice_qt64(
+                out, self.rows, self.cols, qp, self.max_depth,
+                sign_hiding=self.sbh)
+        if res is not None:
+            data, tail, tail_bits = res
+            for b in data:
+                bw.write_byte(b)
+            bw.write_bits(tail, tail_bits)
+            bw.rbsp_trailing_bits()
+            return wrap_nal(nal_type, bw.get_bytes())
         enc = CabacEncoder()
         enc.init_contexts(2, qp)
         md = self.max_depth            # 2 or 3 (from CTU64)

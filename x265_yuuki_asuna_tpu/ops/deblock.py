@@ -619,7 +619,8 @@ def compute_bs_qt2(maps):
 
 def deblock_frame_qt2(recon_y, recon_u, recon_v, qp_y: int, qp_c: int,
                       bs_v, bs_h, bit_depth: int = 8,
-                      beta_offset: int = 0, tc_offset: int = 0, xp=np):
+                      beta_offset: int = 0, tc_offset: int = 0,
+                      cells: int = 4, xp=np):
     """Deblock with luma edges on the 8-pel grid (bs arrays at that
     granularity) and chroma edges on the 16-luma grid (spec: chroma is
     filtered on the 8-chroma-sample grid only)."""
@@ -631,7 +632,8 @@ def deblock_frame_qt2(recon_y, recon_u, recon_v, qp_y: int, qp_c: int,
         # per-CTU QP: expand the [rows, cols] map to the 8-pel cell grid
         # (QG == CTU), then per-edge average
         rows, cols = np.asarray(qp_y).shape
-        cell_q = np.repeat(np.repeat(np.asarray(qp_y, np.int32), 4, 0), 4, 1)
+        cell_q = np.repeat(np.repeat(np.asarray(qp_y, np.int32), cells, 0),
+                           cells, 1)
         e = _edge_qps(cell_q, beta_offset, tc_offset, shift)
         beta = np.repeat(e["beta_v"], 2, axis=0)
         beta_h_arr = np.repeat(e["beta_h"].T, 2, axis=0)
@@ -683,3 +685,38 @@ def deblock_frame_qt2(recon_y, recon_u, recon_v, qp_y: int, qp_c: int,
         else:
             v = p
     return y, u, v
+
+
+# ---------------------------------------------------------------------------
+# CTU64 intra quadtree deblocking: CU-id map on the 8-pel cell grid; every
+# CU-boundary edge is intra (BS 2), interior edges are not filtered.
+# ---------------------------------------------------------------------------
+
+def compute_bs_qt64_intra(split32, split16, max_depth: int):
+    """split32: [rows, cols, 4] bool (z-order); split16: [rows, cols, 4, 4];
+    returns (bs_v [gr, gc-1], bs_h [gr-1, gc]) on the 8px cell grid."""
+    split32 = np.asarray(split32, bool)
+    split16 = np.asarray(split16, bool)
+    rows, cols = split32.shape[:2]
+    gr, gc = 8 * rows, 8 * cols
+    cu_id = np.zeros((gr, gc), np.int64)
+    nid = 1
+    qoff = ((0, 0), (0, 1), (1, 0), (1, 1))
+    for r in range(rows):
+        for c in range(cols):
+            gy, gx = 8 * r, 8 * c
+            for q, (qy, qx) in enumerate(qoff):
+                y32, x32 = gy + 4 * qy, gx + 4 * qx
+                if not split32[r, c, q]:
+                    cu_id[y32:y32 + 4, x32:x32 + 4] = nid; nid += 1
+                    continue
+                for sq, (sy, sx) in enumerate(qoff):
+                    y16, x16 = y32 + 2 * sy, x32 + 2 * sx
+                    if max_depth == 2 or not split16[r, c, q, sq]:
+                        cu_id[y16:y16 + 2, x16:x16 + 2] = nid; nid += 1
+                        continue
+                    for uy, ux in qoff:
+                        cu_id[y16 + uy, x16 + ux] = nid; nid += 1
+    bs_v = np.where(cu_id[:, :-1] != cu_id[:, 1:], 2, 0).astype(np.int32)
+    bs_h = np.where(cu_id[:-1, :] != cu_id[1:, :], 2, 0).astype(np.int32)
+    return bs_v, bs_h
