@@ -987,6 +987,13 @@ class VideoEncoderSession:
         self.stats_writer = StatsWriter(stats_write) if stats_write else None
         self.two_pass = TwoPassRC(stats_read, bitrate_kbps,
                                   fps[0] / max(fps[1], 1)) if stats_read else None
+        # pass-1 cuTree offsets present -> signal cu_qp_delta and emit a QP
+        # map on EVERY frame (PPS cu_qp_delta requires the delta syntax)
+        self._tp_delta_on = bool(
+            self.two_pass is not None
+            and any("cuoff" in r for r in self.two_pass.records))
+        if self._tp_delta_on:
+            self.intra_sess.pps.cu_qp_delta = 1
         # ---- B-frame mini-GOP state (bframes > 0) -------------------------
         self.bframes = max(0, bframes)
         self.b_pyramid = b_pyramid and self.bframes >= 2
@@ -1063,8 +1070,12 @@ class VideoEncoderSession:
             or getattr(self, "_force_idr", False)
         self._force_idr = False
         la_cost = icost if is_idr else pcost
+        self._tp_cuoff = None
         if self.two_pass is not None:
             qp = self.two_pass.frame_qp()
+            off = self.two_pass.frame_cuoff()
+            if off is not None and off.size == self.rows * self.cols:
+                self._tp_cuoff = off.reshape(self.rows, self.cols)
         else:
             qp = self.rc.frame_qp(is_idr, lookahead_cost=la_cost)
         qp = self._zone_qp(self.display_idx, qp)
@@ -1143,8 +1154,11 @@ class VideoEncoderSession:
         self.frame_idx += 1
         self.rc.frame_done(qp, len(nals) * 8)
         if self.stats_writer is not None:
+            co = None
+            if self.cutree:
+                co = self._cutree_offsets().reshape(-1).tolist()
             self.stats_writer.add("I" if is_idr else "P", qp, len(nals) * 8,
-                                  la_cost)
+                                  la_cost, cuoff=co)
         pk = (1 << getattr(self, "bit_depth", 8)) - 1
         pdt = np.uint16 if getattr(self, "bit_depth", 8) > 8 else np.uint8
         mse = float(np.mean((out["recon_y"][:self.src_h, :self.src_w]
@@ -1215,8 +1229,12 @@ class VideoEncoderSession:
         return np.round(out).astype(np.int32)
 
     def _frame_qp_map(self, yp, qp):
-        """Combined AQ + cuTree per-CU QP map, or None."""
-        if not (self.aq_mode or self.cutree):
+        """Combined AQ + cuTree per-CU QP map, or None. In pass 2, cuTree
+        offsets come from the pass-1 stat records instead of being
+        recomputed (the reference's cuTreeReadFor2Pass)."""
+        tp_off = getattr(self, "_tp_cuoff", None)
+        if not (self.aq_mode or self.cutree or tp_off is not None
+                or getattr(self, "_tp_delta_on", False)):
             return None
         off = np.zeros((self.rows, self.cols), np.int32)
         if self.aq_mode:
@@ -1224,7 +1242,9 @@ class VideoEncoderSession:
             off = off + compute_aq_offsets(yp, self.cu, self.aq_strength,
                                            mode=self.aq_mode,
                                            bit_depth=self.bit_depth)
-        if self.cutree:
+        if tp_off is not None:
+            off = off + tp_off
+        elif self.cutree:
             off = off + self._cutree_offsets()
         return np.clip(qp + off, 0, 51).astype(np.int32)
 

@@ -295,9 +295,14 @@ class StatsWriter:
         self.path = path
         self.records = []
 
-    def add(self, frame_type: str, qp: int, bits: int, cost: float):
-        self.records.append({"type": frame_type, "qp": qp, "bits": bits,
-                             "cost": cost})
+    def add(self, frame_type: str, qp: int, bits: int, cost: float,
+            cuoff=None):
+        rec = {"type": frame_type, "qp": qp, "bits": bits, "cost": cost}
+        if cuoff is not None:
+            # per-CU cuTree QP offsets (the reference's .cutree sidecar,
+            # ratecontrol.cpp:2988 writes fix8-packed offsets per block)
+            rec["cuoff"] = cuoff
+        self.records.append(rec)
 
     def close(self):
         with open(self.path, "w") as f:
@@ -321,6 +326,16 @@ class TwoPassRC:
 
     def frame_qp(self) -> int:
         r = self.records[min(self.idx, len(self.records) - 1)]
+        self.last_record = r
         self.idx += 1
         q = QP_TO_QSCALE(r["qp"]) * self.scale
         return int(round(min(max(qscale_to_qp(q), self.qp_min), self.qp_max)))
+
+    def frame_cuoff(self):
+        """Per-CU cuTree offsets saved by pass 1 for the frame just issued
+        by frame_qp() (cuTreeReadFor2Pass analog), or None."""
+        import numpy as np
+        r = getattr(self, "last_record", None)
+        if not r or "cuoff" not in r:
+            return None
+        return np.asarray(r["cuoff"], np.int32)
