@@ -52,3 +52,35 @@ def test_ladder_two_rungs():
         dec = decode_hevc(streams[k], lad.sessions[k].coded_w,
                           lad.sessions[k].coded_h)
         assert len(dec) == 3, f"rung {k}"
+
+
+def test_ladder_analysis_handoff():
+    """The smallest rung donates scaled MV hints to 2x rungs (AbrEncoder
+    cross-pass analysis handoff analog) and the streams stay conformant."""
+    import numpy as np
+    from x265_yuuki_asuna_tpu.models.ladder import LadderEncoder, Rung
+    from x265_yuuki_asuna_tpu.utils.av_decode import decode_hevc
+    rng = np.random.default_rng(4)
+    W, H = 128, 96
+    lad = LadderEncoder(W, H, [Rung(128, 96, 400), Rung(64, 48, 120)],
+                        keyint=9, hash_sei=False)
+    assert lad.donor == 1 and lad.consumer_sf == {0: 2}
+    base = rng.integers(0, 256, (H, W))
+    streams = [h for h in lad.headers()]
+    recons = [[], []]
+    N = 4
+    for i in range(N):
+        y = np.roll(base, i, axis=1).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 100, np.uint8)
+        v = np.full((H // 2, W // 2), 150, np.uint8)
+        for j, fr in enumerate(lad.encode_frame(y, u, v)):
+            streams[j] += fr.nals
+            recons[j].append(fr.recon)
+    # donor produced records; consumer consumed them
+    assert len(lad.sessions[1].shared_analysis) == N
+    for j, (w, h) in enumerate(((128, 96), (64, 48))):
+        dec = decode_hevc(streams[j], w, h)
+        assert len(dec) == N
+        for d, r in zip(dec, recons[j]):
+            for p in range(3):
+                assert np.array_equal(d[p].astype(np.uint8), r[p])

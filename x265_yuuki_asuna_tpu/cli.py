@@ -494,7 +494,8 @@ def _run_ladder(args, reader):
     info = reader.info
     rungs = parse_ladder(args.ladder)
     lad = LadderEncoder(info.width, info.height, rungs,
-                        fps=(info.fps_num, info.fps_denom), qp=args.qp,
+                        fps=(info.fps_num, info.fps_denom),
+                        qp=32 if args.qp is None else args.qp,
                         keyint=max(args.keyint, 2) if args.keyint > 1 else 250,
                         hash_sei=not args.no_hash)
     stem, _, ext = args.output.rpartition(".")

@@ -42,6 +42,22 @@ class FrameResult:
     ssim_y: float = 0.0
 
 
+def scale_analysis_rec(rec: dict, sf: int, rows: int, cols: int) -> dict:
+    """Upsample a saved analysis record's CU-grid MV hints by sf and scale
+    the vectors (reference --scale-factor / scale1D/2D reuse)."""
+    out = dict(rec)
+    for k in ("mvx", "mvy"):
+        if k in rec:
+            g = np.repeat(np.repeat(rec[k], sf, 0), sf, 1)
+            g = g[:rows, :cols]
+            pr, pc = rows - g.shape[0], cols - g.shape[1]
+            if pr > 0 or pc > 0:
+                g = np.pad(g, ((0, max(pr, 0)), (0, max(pc, 0))),
+                           mode="edge")
+            out[k] = (g * sf).astype(np.int32)
+    return out
+
+
 def frame_quality(recon, y, u, v, bit_depth: int = 8):
     """Per-frame PSNR Y/U/V + SSIM(Y) vs the source (reference
     framefilter.cpp:654 processPostRow accumulation)."""
@@ -895,7 +911,7 @@ class VideoEncoderSession:
                  bit_depth: int = 8, hme: bool = False, hme_range: int = 16,
                  hash_type: int = 0, b_adapt: int = 2,
                  psy_rdoq: float = 0.0, open_gop: bool = False,
-                 scale_factor: int = 1):
+                 scale_factor: int = 1, analysis_share=None):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         if max_depth:
@@ -938,6 +954,12 @@ class VideoEncoderSession:
         self.analysis_save = open(analysis_save, "wb") if analysis_save else None
         self.analysis_data = None
         self.analysis_idx = 0
+        # in-memory cross-session sharing (reference AbrEncoder handoff):
+        # "save" keeps each frame's record in self.shared_analysis; a list
+        # means records arrive from a donor session as encoding proceeds
+        self.shared_analysis = [] if analysis_share == "save" else None
+        if isinstance(analysis_share, list):
+            self.analysis_data = analysis_share
         if analysis_load:
             import pickle
             recs = []
@@ -949,25 +971,16 @@ class VideoEncoderSession:
                     pass
             if scale_factor > 1:
                 # cross-resolution reuse (reference --scale-factor +
-                # scale1D/2D primitives, K19): upsample the CU-grid MV
-                # hints and scale the vectors to the new resolution
-                sf = scale_factor
-                for rec in recs:
-                    for k in ("mvx", "mvy"):
-                        if k in rec:
-                            g = np.repeat(np.repeat(rec[k], sf, 0), sf, 1)
-                            g = g[:self.rows, :self.cols]
-                            pr = self.rows - g.shape[0]
-                            pc = self.cols - g.shape[1]
-                            if pr > 0 or pc > 0:
-                                g = np.pad(g, ((0, max(pr, 0)),
-                                               (0, max(pc, 0))), mode="edge")
-                            rec[k] = (g * sf).astype(np.int32)
+                # scale1D/2D primitives, K19)
+                recs = [scale_analysis_rec(r, scale_factor,
+                                           self.rows, self.cols)
+                        for r in recs]
             self.analysis_data = recs
         self.inter_encoder = InterFrameEncoder(InterFrameConfig(
             width=self.coded_w, height=self.coded_h, cu_size=cu_size, qp=qp,
             search_range=search_range, rdoq=rdoq, weightp=weightp,
-            sbh=self.sbh, analysis_load=self.analysis_data is not None,
+            sbh=self.sbh, analysis_load=self.analysis_data is not None
+            or isinstance(analysis_share, list),
             max_depth=max_depth, bit_depth=bit_depth,
             psy_rd=psy_rd if max_depth else 0.0,
             psy_rdoq=psy_rdoq if rdoq else 0.0,
@@ -1141,14 +1154,17 @@ class VideoEncoderSession:
             out, nals = attempt(qp)
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
-        if self.analysis_save is not None:
-            import pickle
+        if self.analysis_save is not None or self.shared_analysis is not None:
             rec = {"t": "I" if is_idr else "P"}
             if not is_idr:
                 rec["mvx"] = out["mvx"].astype(np.int32)
                 rec["mvy"] = out["mvy"].astype(np.int32)
-            pickle.dump(rec, self.analysis_save)
-            self.analysis_save.flush()
+            if self.analysis_save is not None:
+                import pickle
+                pickle.dump(rec, self.analysis_save)
+                self.analysis_save.flush()
+            if self.shared_analysis is not None:
+                self.shared_analysis.append(rec)
         self.analysis_idx += 1
         self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         self.frame_idx += 1
