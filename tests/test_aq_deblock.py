@@ -73,3 +73,31 @@ def test_video_ippp_aq_deblock_sao():
                                deblock=True, sao=True)
     assert sess.deblock and sess.sao and sess.aq_mode
     _check(sess, _frames(5, W, H, seed=7), W, H)
+
+
+def test_aq_deblock_with_skipped_ctus():
+    """CTUs with no coded residual keep the PREDICTED QP on the decoder
+    side; the loop filter must use that, not the AQ-intended QP (found by
+    construction: one flat CTU that codes nothing at a very different AQ
+    offset than its neighbors)."""
+    W, H = 64, 48
+    rng = np.random.default_rng(21)
+    sess = VideoEncoderSession(W, H, qp=37, cu_size=16, keyint=8,
+                               hash_sei=False, aq_mode=1, aq_strength=3.0,
+                               deblock=True)
+    base = rng.integers(0, 256, (H, W))
+    stream = sess.headers()
+    recons = []
+    for i in range(4):
+        y = np.roll(base, i, axis=1).astype(np.uint8)
+        y[:16, :16] = 128                      # dead-flat CTU: likely no cbf
+        u = np.full((H // 2, W // 2), 128, np.uint8)
+        v = np.full((H // 2, W // 2), 128, np.uint8)
+        fr = sess.encode_frame(y, u, v)
+        stream += fr.nals
+        recons.append(fr.recon)
+    dec = decode_hevc(stream, W, H)
+    assert len(dec) == 4
+    for d, r in zip(dec, recons):
+        for p in range(3):
+            assert np.array_equal(d[p].astype(np.uint8), r[p])

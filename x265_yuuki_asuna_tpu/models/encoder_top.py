@@ -42,6 +42,27 @@ class FrameResult:
     ssim_y: float = 0.0
 
 
+def effective_qp_map(out: dict, qp_map, slice_qp: int):
+    """The DECODER-side per-CTU QP: a CTU with no coded residual signals no
+    cu_qp_delta, so its QpY stays the predictor (previous coded QG's QP,
+    spec 8.6.1) — the loop filter must use these values, not the encoder's
+    intended map."""
+    if qp_map is None:
+        return None
+    rows, cols = qp_map.shape
+    has = (np.asarray(out["levels_y"]).reshape(rows, cols, -1).any(-1)
+           | np.asarray(out["levels_cb"]).reshape(rows, cols, -1).any(-1)
+           | np.asarray(out["levels_cr"]).reshape(rows, cols, -1).any(-1))
+    eff = np.empty_like(qp_map)
+    prev = slice_qp
+    for r in range(rows):
+        for c in range(cols):
+            if has[r, c]:
+                prev = int(qp_map[r, c])
+            eff[r, c] = prev
+    return eff
+
+
 def scale_analysis_rec(rec: dict, sf: int, rows: int, cols: int) -> dict:
     """Upsample a saved analysis record's CU-grid MV hints by sf and scale
     the vectors (reference --scale-factor / scale1D/2D reuse)."""
@@ -223,7 +244,7 @@ class IntraEncoderSession:
         qp = self.qp if qp is None else qp
         # per-CU QP (AQ): the decoder derives thresholds from per-edge
         # averaged QPs, so the encoder must too (spec 8.7.2.5.3)
-        qmap = out.get("qp_map")
+        qmap = effective_qp_map(out, out.get("qp_map"), qp)
         qarg = qmap if qmap is not None else qp
         if self.max_depth and self.cu == 64:
             bs_v, bs_h = DB.compute_bs_qt64_intra(out["split32"],
@@ -1305,7 +1326,7 @@ class VideoEncoderSession:
         reference for subsequent frames)."""
         if not self.deblock:
             return
-        qmap = out.get("qp_map")
+        qmap = effective_qp_map(out, out.get("qp_map"), qp)
         qarg = qmap if qmap is not None else qp
         if self.max_depth >= 2:
             src = out if not is_idr else {"split": out["split"],
