@@ -101,3 +101,33 @@ def test_aq_deblock_with_skipped_ctus():
     for d, r in zip(dec, recons):
         for p in range(3):
             assert np.array_equal(d[p].astype(np.uint8), r[p])
+
+
+def test_b_frames_per_cu_qp():
+    """AQ per-CU QP on B frames (uniform grid) with deblock."""
+    W, H = 64, 48
+    rng = np.random.default_rng(31)
+    sess = VideoEncoderSession(W, H, qp=35, cu_size=16, keyint=20,
+                               bframes=2, hash_sei=False, aq_mode=2,
+                               aq_strength=2.5, deblock=True)
+    base = rng.integers(0, 256, (H, W))
+    stream = sess.headers()
+    results = []
+    for i in range(7):
+        y = np.roll(base, i, axis=1).astype(np.uint8)
+        y[:, :32] = 100                       # flat half: AQ spread
+        u = np.full((H // 2, W // 2), 128, np.uint8)
+        v = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+        results += sess.push_frame(y, u, v)
+    results += sess.flush()
+    recons = []
+    for fr in results:
+        stream += fr.nals
+        recons.append(fr.recon)
+    assert any(fr.frame_type in ("B", "b") for fr in results)
+    dec = decode_hevc(stream, W, H)
+    assert len(dec) == 7
+    for d in dec:
+        ok = any(all(np.array_equal(d[p].astype(np.uint8), r[p])
+                     for p in range(3)) for r in recons)
+        assert ok

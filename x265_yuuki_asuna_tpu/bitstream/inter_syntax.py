@@ -543,7 +543,8 @@ def _skip_ctx_b(grid, r, c):
 
 
 def encode_b_ctu(enc: CabacEncoder, d: BCTUDecision, grid, r, c,
-                 log2_cu: int, max_merge: int, sign_hiding: bool = False):
+                 log2_cu: int, max_merge: int, sign_hiding: bool = False,
+                 cu_qp_delta=None):
     is_skip = (not d.is_intra and d.merge_idx >= 0 and not d.has_residual)
     enc.encode_bin(1 if is_skip else 0, CTX["skip"] + _skip_ctx_b(grid, r, c))
     if is_skip:
@@ -564,6 +565,8 @@ def encode_b_ctu(enc: CabacEncoder, d: BCTUDecision, grid, r, c,
         enc.encode_bin(cbf_cb, CTX["qt_cbf"] + 2)
         enc.encode_bin(cbf_cr, CTX["qt_cbf"] + 2)
         enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
+        if cu_qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
+            encode_cu_qp_delta(enc, cu_qp_delta)
         if cbf_y:
             encode_residual(enc, d.luma_levels, log2_cu, True, d.intra_mode, sign_hiding)
         if cbf_cb:
@@ -604,6 +607,8 @@ def encode_b_ctu(enc: CabacEncoder, d: BCTUDecision, grid, r, c,
             enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
         else:
             assert cbf_y
+        if cu_qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
+            encode_cu_qp_delta(enc, cu_qp_delta)
         if cbf_y:
             encode_residual(enc, d.luma_levels, log2_cu, True, -1, sign_hiding)
         if cbf_cb:

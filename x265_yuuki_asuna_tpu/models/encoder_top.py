@@ -1536,8 +1536,15 @@ class VideoEncoderSession:
             qp = self._zone_qp(self.display_idx, qp)
         else:
             qp = self._zone_qp(self.gop_display_base + poc, qp)
+        # per-CU QP (AQ/cuTree): the PPS signals cu_qp_delta for the whole
+        # session, so EVERY slice must carry the delta syntax (uniform grid)
+        qp_map = None if self.max_depth else self._frame_qp_map(yp, qp)
         if idr:
-            out = self.intra_sess.frame_encoder.encode_frame(yp, up, vp, qp=qp)
+            out = self.intra_sess.frame_encoder.encode_frame(
+                yp, up, vp,
+                qp=qp_map.reshape(-1) if qp_map is not None else qp)
+            if qp_map is not None:
+                out["qp_map"] = qp_map
             self._deblock_frame(out, qp, is_idr=True)
             sao_params = self._sao_frame(out, yp, up, vp)
             nals = self.intra_sess._assemble_slice(out, qp=qp,
@@ -1547,13 +1554,18 @@ class VideoEncoderSession:
             weights = self._decide_weights(yp, up, vp, self.anchor[0])
             out = self.inter_encoder.encode_frame(
                 yp, up, vp, self.anchor[0][0], self.anchor[0][1],
-                self.anchor[0][2], qp=qp, weights=weights)
+                self.anchor[0][2],
+                qp=qp_map.reshape(-1) if qp_map is not None else qp,
+                weights=weights)
+            if qp_map is not None:
+                out["qp_map"] = qp_map
             self._deblock_frame(out, qp, is_idr=False)
             sao_params = self._sao_frame(out, yp, up, vp)
             nals = self._assemble_p_slice(out, qp, poc=poc,
                                           ref_delta=ref_delta,
                                           sao_params=sao_params,
-                                          weights=weights)
+                                          weights=weights,
+                                          qp_map=qp_map)
         if self.sei_provider is not None:
             nals = self.sei_provider(self.gop_display_base + poc) + nals
         if self.hash_sei:
@@ -1579,7 +1591,11 @@ class VideoEncoderSession:
         yp, up, vp = self._pad(y, u, v)
         qp = self.rc.frame_qp(True)
         qp = self._zone_qp(self.display_idx, qp)
-        out = self.intra_sess.frame_encoder.encode_frame(yp, up, vp, qp=qp)
+        qp_map = None if self.max_depth else self._frame_qp_map(yp, qp)
+        out = self.intra_sess.frame_encoder.encode_frame(
+            yp, up, vp, qp=qp_map.reshape(-1) if qp_map is not None else qp)
+        if qp_map is not None:
+            out["qp_map"] = qp_map
         self._deblock_frame(out, qp, is_idr=True)
         sao_params = self._sao_frame(out, yp, up, vp)
         from ..bitstream.bitio import NAL_CRA
@@ -1615,9 +1631,15 @@ class VideoEncoderSession:
         boff_ref, boff = getattr(self, "_b_qp_offsets", (1, 2))
         qp = min(self.rc.frame_qp(False) + (boff_ref if is_ref else boff), 51)
         qp = self._zone_qp(self.gop_display_base + poc, qp)
+        # per-CU QP (AQ/cuTree) on B frames: uniform grid only (the qt B
+        # writer takes frame QP this round)
+        qp_map = None if self.max_depth else self._frame_qp_map(yp, qp)
         out = self.bi_encoder.encode_frame(
-            yp, up, vp, ref0[0], ref0[1], ref0[2], qp=qp,
+            yp, up, vp, ref0[0], ref0[1], ref0[2],
+            qp=qp_map.reshape(-1) if qp_map is not None else qp,
             ref1_y=ref1[0], ref1_u=ref1[1], ref1_v=ref1[2])
+        if qp_map is not None:
+            out["qp_map"] = qp_map
         self._deblock_frame(out, qp, is_idr=False)
         sao_params = self._sao_frame(out, yp, up, vp)
         nals = self._assemble_b_slice(out, qp, poc, poc0, poc1,
@@ -1654,8 +1676,9 @@ class VideoEncoderSession:
                                     rps=rps,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
+        qp_map = out.get("qp_map")
         res = None
-        if sao_params is None and not self.sbh:
+        if sao_params is None and not self.sbh and qp_map is None:
             pd = out["pdir"]
             m0 = (pd & 1).astype(bool)
             m1 = (pd & 2).astype(bool)
@@ -1672,6 +1695,7 @@ class VideoEncoderSession:
             enc.init_contexts(0, qp)        # B-slice context init row
             grid = [[None] * self.cols for _ in range(self.rows)]
             last = self.rows * self.cols - 1
+            qp_prev = qp                    # decoder's qPY_PREV chain
             for r in range(self.rows):
                 for c in range(self.cols):
                     if sao_params is not None:
@@ -1681,8 +1705,13 @@ class VideoEncoderSession:
                             sao_params[r - 1][c] if r > 0 else None,
                             True, True, sess.bit_depth)
                     d = self._decide_cu_b(out, grid, r, c, poc, poc0, poc1)
+                    delta = None
+                    if qp_map is not None and d.has_residual:
+                        delta = int(qp_map[r, c]) - qp_prev
+                        qp_prev = int(qp_map[r, c])
                     IS.encode_b_ctu(enc, d, grid, r, c, log2cu,
-                                    self.max_merge, sign_hiding=self.sbh)
+                                    self.max_merge, sign_hiding=self.sbh,
+                                    cu_qp_delta=delta)
                     enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
             data, tail, tail_bits = enc.finish()
         for b in data:
