@@ -59,6 +59,14 @@ def main(argv=None):
     ap.add_argument("--keyint", type=int, default=None,
                     help="GOP length: 0/1 = all-intra, N>1 = IPPP with IDR every N")
     ap.add_argument("--merange", type=int, default=16, help="ME search range")
+    ap.add_argument("--qpmin", type=int, default=4,
+                    help="rate-control QP floor")
+    ap.add_argument("--qpmax", type=int, default=51,
+                    help="rate-control QP ceiling")
+    ap.add_argument("--max-merge", type=int, default=3, choices=[1, 2, 3, 4, 5],
+                    help="max merge candidates")
+    ap.add_argument("--b-adapt", type=int, default=None, choices=[0, 1, 2],
+                    help="adaptive B placement: 0 fixed, 1 fast, 2 full")
     ap.add_argument("--no-preset-defaults", action="store_true",
                     help="legacy behavior: all-intra CQP32 unless flags given")
     ap.add_argument("--open-gop", action=argparse.BooleanOptionalAction,
@@ -252,6 +260,12 @@ def main(argv=None):
                                    fps=(info.fps_num, info.fps_denom),
                                    keyint=max(keyint, 2) if keyint > 1 else 250,
                                    search_range=min(args.merange, 16),
+                                   qp_min=args.qpmin, qp_max=args.qpmax,
+                                   max_merge=args.max_merge,
+                                   b_adapt=(args.b_adapt
+                                            if args.b_adapt is not None
+                                            else min(prm.b_frame_adaptive,
+                                                     2)),
                                    hash_sei=not args.no_hash,
                                    hash_type=args.hash - 1,
                                    rc_mode=rc_mode,

@@ -932,7 +932,8 @@ class VideoEncoderSession:
                  bit_depth: int = 8, hme: bool = False, hme_range: int = 16,
                  hash_type: int = 0, b_adapt: int = 2,
                  psy_rdoq: float = 0.0, open_gop: bool = False,
-                 scale_factor: int = 1, analysis_share=None):
+                 scale_factor: int = 1, analysis_share=None,
+                 qp_min: int = 4, qp_max: int = 51):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         if max_depth:
@@ -1012,6 +1013,7 @@ class VideoEncoderSession:
         self.rc = RateControl(RCConfig(
             mode=rc_mode, qp=qp, crf=crf, bitrate_kbps=bitrate_kbps,
             fps=fps[0] / max(fps[1], 1), width=width, height=height,
+            qp_min=qp_min, qp_max=qp_max,
             vbv_maxrate_kbps=vbv_maxrate_kbps,
             vbv_bufsize_kbps=vbv_bufsize_kbps))
         from .lookahead import Lookahead
