@@ -388,6 +388,9 @@ class IntraEncoderSession:
         """Async: pad + submit a batch to the device; returns a handle for
         finish_batch(). Lets the caller overlap the next batch's device time
         with this batch's host entropy coding."""
+        if self.slices > 1:
+            # sliced sessions encode per-frame through the band pipeline
+            return ("eager", [self.encode_frame(*f) for f in frames])
         need_recon = self.hash_sei or self.deblock or need_recon
         ys = np.stack([G.pad_plane(f[0], self.coded_h, self.coded_w) for f in frames])
         us = np.stack([G.pad_plane(f[1], self.coded_h >> self.c_shift,
@@ -407,6 +410,8 @@ class IntraEncoderSession:
         return (fut, frames, need_recon, (ys, us, vs, None))
 
     def finish_batch(self, handle) -> List["FrameResult"]:
+        if isinstance(handle[0], str) and handle[0] == "eager":
+            return handle[1]
         fut, frames, need_recon, rerun = handle
         outs = self.frame_encoder.collect_frames(fut, with_recon=need_recon,
                                                  rerun_inputs=rerun)
