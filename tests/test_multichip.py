@@ -106,3 +106,91 @@ def test_slice_bands_mesh_stream_bit_exact():
     assert stream == golden
     dec = decode_hevc(stream, W, H)
     assert len(dec) == 1
+
+def test_frame_pipeline_cross_device_bit_exact():
+    """P-chain over the mesh: device k encodes frame k against device k-1's
+    recon, handed off with lax.ppermute (a REAL cross-device dependency —
+    the reference's frame-threads m_reconRowFlag handshake, frame.h:105).
+    Every device's packed output must equal the sequential single-device
+    chain bit for bit."""
+    _need_devices(4)
+    from x265_yuuki_asuna_tpu.models.inter_encoder import (InterFrameConfig,
+                                                           InterFrameEncoder)
+    from x265_yuuki_asuna_tpu.parallel import frame_pipeline_fn
+    N, W, H = 4, 64, 48
+    mesh = Mesh(np.array(jax.devices()[:N]), ("frame",))
+    cfg = InterFrameConfig(width=W, height=H, cu_size=16, qp=32,
+                           search_range=8)
+    enc = InterFrameEncoder(cfg)
+    pipe = frame_pipeline_fn(enc, mesh)
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 200, (H, W)).astype(np.int32)
+    ys = np.stack([(base + 3 * i).clip(0, 255).astype(np.uint8)
+                   for i in range(N)])
+    us = rng.integers(0, 256, (N, H // 2, W // 2)).astype(np.uint8)
+    vs = rng.integers(0, 256, (N, H // 2, W // 2)).astype(np.uint8)
+    idr_y = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    idr_u = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+    idr_v = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+
+    packed = np.asarray(pipe(jnp.asarray(ys), jnp.asarray(us),
+                             jnp.asarray(vs), jnp.asarray(idr_y),
+                             jnp.asarray(idr_u), jnp.asarray(idr_v)))
+
+    # sequential single-device chain (the golden path)
+    encode_one = jax.jit(enc._build())
+    ref = (jnp.asarray(idr_y), jnp.asarray(idr_u), jnp.asarray(idr_v))
+    ny, nuv = H * W, (H // 2) * (W // 2)
+    for k in range(N):
+        out = np.asarray(encode_one(jnp.asarray(ys[k]), jnp.asarray(us[k]),
+                                    jnp.asarray(vs[k]), *ref,
+                                    jnp.int32(32)))
+        assert np.array_equal(out, packed[k]), f"frame {k} diverges"
+        ref = (jnp.asarray(out[:ny].reshape(H, W)),
+               jnp.asarray(out[ny:ny + nuv].reshape(H // 2, W // 2)),
+               jnp.asarray(out[ny + nuv:ny + 2 * nuv]
+                           .reshape(H // 2, W // 2)))
+
+
+def test_frame_pipeline_stream_steady_state():
+    """Steady-state pipeline: 3 chains of N frames flow through the mesh
+    back-to-back; every chain must match its sequential encode."""
+    _need_devices(4)
+    from x265_yuuki_asuna_tpu.models.inter_encoder import (InterFrameConfig,
+                                                           InterFrameEncoder)
+    from x265_yuuki_asuna_tpu.parallel import frame_pipeline_stream_fn
+    N, T, W, H = 4, 3, 64, 32
+    mesh = Mesh(np.array(jax.devices()[:N]), ("frame",))
+    cfg = InterFrameConfig(width=W, height=H, cu_size=16, qp=32,
+                           search_range=8)
+    enc = InterFrameEncoder(cfg)
+    pipe = frame_pipeline_stream_fn(enc, mesh, n_batches=T)
+
+    rng = np.random.default_rng(4)
+    ys = rng.integers(0, 256, (T, N, H, W)).astype(np.uint8)
+    us = rng.integers(0, 256, (T, N, H // 2, W // 2)).astype(np.uint8)
+    vs = rng.integers(0, 256, (T, N, H // 2, W // 2)).astype(np.uint8)
+    idr_y = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    idr_u = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+    idr_v = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+
+    packed = np.asarray(pipe(jnp.asarray(ys), jnp.asarray(us),
+                             jnp.asarray(vs), jnp.asarray(idr_y),
+                             jnp.asarray(idr_u), jnp.asarray(idr_v)))
+    assert packed.shape[:2] == (T, N)
+
+    encode_one = jax.jit(enc._build())
+    ny, nuv = H * W, (H // 2) * (W // 2)
+    for t in range(T):
+        ref = (jnp.asarray(idr_y), jnp.asarray(idr_u), jnp.asarray(idr_v))
+        for k in range(N):
+            out = np.asarray(encode_one(
+                jnp.asarray(ys[t, k]), jnp.asarray(us[t, k]),
+                jnp.asarray(vs[t, k]), *ref, jnp.int32(32)))
+            assert np.array_equal(out, packed[t, k]), \
+                f"chain {t} frame {k} diverges"
+            ref = (jnp.asarray(out[:ny].reshape(H, W)),
+                   jnp.asarray(out[ny:ny + nuv].reshape(H // 2, W // 2)),
+                   jnp.asarray(out[ny + nuv:ny + 2 * nuv]
+                               .reshape(H // 2, W // 2)))

@@ -64,24 +64,36 @@ def _ctu_reduce(values: np.ndarray, mask: np.ndarray, n: int):
     return r, c
 
 
+def _tile_bincount(tile_id, idx, diff, ntiles, nbins):
+    """Per-tile histogram: (sum of diff, count) for each bin of idx.
+    One bincount pass instead of nbins masked reductions."""
+    key = (tile_id * nbins + idx).ravel()
+    cnt = np.bincount(key, minlength=ntiles * nbins)
+    s = np.bincount(key, weights=diff.ravel(), minlength=ntiles * nbins)
+    return (s.astype(np.int64).reshape(ntiles, nbins),
+            cnt.astype(np.int64).reshape(ntiles, nbins))
+
+
 def sao_stats(recon: np.ndarray, src: np.ndarray, n: int, bit_depth: int = 8):
     """Per-CTU statistics: for each EO class & category and each BO band:
     (sum of (src-recon), count). Returns dict."""
-    diff = src.astype(np.int64) - recon.astype(np.int64)
-    rows, cols = recon.shape[0] // n, recon.shape[1] // n
+    diff = (src.astype(np.int64) - recon.astype(np.int64)).astype(np.float64)
+    H, W = recon.shape
+    rows, cols = H // n, W // n
+    ntiles = rows * cols
+    tile = ((np.arange(H) // n)[:, None] * cols
+            + (np.arange(W) // n)[None, :]).astype(np.int64)
     eo = np.zeros((4, 5, rows, cols, 2), np.int64)    # [class, cat, r, c, (sum,count)]
     for cls in range(4):
         cat = eo_category(recon, cls)
-        for k in range(1, 5):
-            s, c = _ctu_reduce(diff, (cat == k).astype(np.int64), n)
-            eo[cls, k, :, :, 0] = s
-            eo[cls, k, :, :, 1] = c
+        s, c = _tile_bincount(tile, cat, diff, ntiles, 5)
+        eo[cls, :, :, :, 0] = s.T.reshape(5, rows, cols)
+        eo[cls, :, :, :, 1] = c.T.reshape(5, rows, cols)
     bands = bo_band(recon, bit_depth)
+    s, c = _tile_bincount(tile, bands, diff, ntiles, 32)
     bo = np.zeros((32, rows, cols, 2), np.int64)
-    for b in range(32):
-        s, c = _ctu_reduce(diff, (bands == b).astype(np.int64), n)
-        bo[b, :, :, 0] = s
-        bo[b, :, :, 1] = c
+    bo[:, :, :, 0] = s.T.reshape(32, rows, cols)
+    bo[:, :, :, 1] = c.T.reshape(32, rows, cols)
     return {"eo": eo, "bo": bo}
 
 
