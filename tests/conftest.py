@@ -14,6 +14,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite re-jits the same programs across
+# test files; caching compiled executables cuts suite time dramatically.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
