@@ -99,6 +99,9 @@ def main(argv=None):
     ap.add_argument("--recon-y4m-exec", default=None,
                     help="pipe recon as y4m into this command's stdin "
                          "(reference reconplay)")
+    ap.add_argument("--rc-lookahead", type=int, default=None,
+                    help="lookahead window (frames) for cuTree backward "
+                         "propagation (reference --rc-lookahead)")
     ap.add_argument("--cutree", action=argparse.BooleanOptionalAction, default=None,
                     help="lookahead cost propagation -> per-CU QP offsets")
     ap.add_argument("--analysis-save", default=None,
@@ -288,6 +291,13 @@ def main(argv=None):
                                    open_gop=bool(pick(args.open_gop,
                                                       prm.b_open_gop)),
                                    cutree=cutree, psy_rd=psy_rd,
+                                   rc_lookahead=(args.rc_lookahead
+                                                 if args.rc_lookahead
+                                                 is not None
+                                                 else (prm.lookahead_depth
+                                                       if cutree
+                                                       and not bframes
+                                                       else 0)),
                                    psy_rdoq=(args.psy_rdoq
                                              if args.psy_rdoq is not None
                                              else prm.psy_rdoq))
@@ -422,9 +432,15 @@ def main(argv=None):
                 emit(sess.push_frame(*f))
             pending.clear()
             return
-        for fr in (sess.encode_batch(pending, need_recon=bool(recon_writer or csv_lines or recon_play))
-                   if (len(pending) > 1 and hasattr(sess, "encode_batch"))
-                   else [sess.encode_frame(*f) for f in pending]):
+        if getattr(sess, "la_depth", 0):
+            results = [fr for f in pending for fr in sess.push_la(*f)]
+        elif len(pending) > 1 and hasattr(sess, "encode_batch"):
+            results = sess.encode_batch(
+                pending, need_recon=bool(recon_writer or csv_lines
+                                         or recon_play))
+        else:
+            results = [sess.encode_frame(*f) for f in pending]
+        for fr in results:
             out.write(fr.nals)
             total_bits += fr.bits
             if recon_writer:
@@ -471,6 +487,23 @@ def main(argv=None):
     flush_batch()
     if use_bframes:
         emit(sess.flush())       # close the tail mini-GOP
+    elif getattr(sess, "la_depth", 0):
+        # drain the lookahead window through the same per-frame writer
+        for fr in sess.flush_la():
+            out.write(fr.nals)
+            total_bits += fr.bits
+            if recon_writer:
+                recon_writer.write_frame(*fr.recon)
+            if recon_play:
+                recon_play.write_frame(*fr.recon)
+            if csv_lines is not None:
+                csv_lines.append(
+                    f"{n}, {fr.frame_type or 'I'}, {fr.poc}, "
+                    f"{fr.qp or args.qp}, {fr.bits}, {fr.psnr_y:.4f}, "
+                    f"{fr.psnr_u:.4f}, {fr.psnr_v:.4f}, {fr.ssim_y:.5f}")
+            if fr.psnr_y:
+                psnr_acc.append((fr.psnr_y, fr.psnr_u, fr.psnr_v, fr.ssim_y))
+            n += 1
     elapsed = time.time() - t0
     print(f"\nencoded {n} frames in {elapsed:.2f}s ({n / max(elapsed, 1e-9):.2f} fps), "
           f"{total_bits * info.fps_num / max(n * info.fps_denom, 1) / 1000:.2f} kb/s",

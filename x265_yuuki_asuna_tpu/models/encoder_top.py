@@ -939,7 +939,8 @@ class VideoEncoderSession:
                  hash_type: int = 0, b_adapt: int = 2,
                  psy_rdoq: float = 0.0, open_gop: bool = False,
                  scale_factor: int = 1, analysis_share=None,
-                 qp_min: int = 4, qp_max: int = 51):
+                 qp_min: int = 4, qp_max: int = 51,
+                 rc_lookahead: int = 0):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         if max_depth:
@@ -1071,6 +1072,15 @@ class VideoEncoderSession:
                                     self.lookahead.lw // 8))
         self.cutree_icost = np.maximum(self.cutree_acc, 1.0)
         self.cutree_strength = 2.0
+        # ---- windowed lookahead (reference --rc-lookahead, slicetype.cpp
+        # slicetypeAnalyse over a sliding window): frames are delayed by
+        # la_depth display frames so cuTree can propagate REAL future costs
+        # backwards (models/slicetype.py) instead of the causal EWMA.
+        # Driven through push_la()/flush_la(); bframes keep their own
+        # mini-GOP buffering (EWMA path) this round.
+        self.la_depth = max(0, rc_lookahead) if (cutree and not bframes) else 0
+        self.la_queue = []          # (y, u, v, icost, pcost, scenecut, detail, didx)
+        self._cutree_window = None  # details list while encoding a delayed frame
         # --- zones (reference --zones start,end,q=N|b=M[/...]) ------------
         self.zones = []
         self.gop_display_base = 0
@@ -1104,9 +1114,57 @@ class VideoEncoderSession:
         streaming)."""
         self._force_idr = True
 
-    def encode_frame(self, y, u, v) -> FrameResult:
+    def push_la(self, y, u, v) -> List["FrameResult"]:
+        """Windowed-lookahead ingest (reference Lookahead::addPicture →
+        slicetypeAnalyse over a sliding window, slicetype.cpp:1139,1879):
+        buffer la_depth display frames; once the window is full, the oldest
+        frame encodes with cuTree offsets back-propagated from the decided
+        future window (models/slicetype.py). Returns 0 or 1 results."""
+        assert self.la_depth > 0, "push_la requires rc_lookahead > 0"
         yp0 = G.pad_plane(y, self.coded_h, self.coded_w)
         icost, pcost, scenecut = self.lookahead.push(yp0)
+        det = dict(self.lookahead.last_detail)
+        det["scenecut"] = scenecut
+        # per-frame overrides (qpfile / intra_refresh) are set by the caller
+        # just before push; snapshot them so they apply to THIS frame when it
+        # leaves the window, not to whichever frame encodes next
+        force_idr = getattr(self, "_force_idr", False)
+        self._force_idr = False
+        self.la_queue.append((y, u, v, icost, pcost, scenecut, det,
+                              self.display_idx, force_idr, self.rc.cfg.qp))
+        self.display_idx += 1
+        if len(self.la_queue) > self.la_depth:
+            return [self._pop_la()]
+        return []
+
+    def flush_la(self) -> List["FrameResult"]:
+        """Drain the lookahead window (end of stream)."""
+        out = []
+        while self.la_queue:
+            out.append(self._pop_la())
+        return out
+
+    def _pop_la(self) -> "FrameResult":
+        (y, u, v, icost, pcost, scenecut, det, didx,
+         force_idr, qp_cfg) = self.la_queue.pop(0)
+        window = [det] + [q[6] for q in self.la_queue]
+        self.rc.cfg.qp = qp_cfg
+        self.qp = qp_cfg
+        if force_idr:
+            self._force_idr = True
+        return self.encode_frame(y, u, v,
+                                 _la=(icost, pcost, scenecut, window, didx))
+
+    def encode_frame(self, y, u, v, _la=None) -> FrameResult:
+        yp0 = G.pad_plane(y, self.coded_h, self.coded_w)
+        if _la is None:
+            icost, pcost, scenecut = self.lookahead.push(yp0)
+            didx = self.display_idx
+            self.display_idx += 1
+            self._cutree_window = None
+        else:
+            icost, pcost, scenecut, window, didx = _la
+            self._cutree_window = window
         is_idr = (self.frame_idx % self.keyint == 0) or self.ref is None \
             or (self.scenecut_enabled and scenecut) \
             or getattr(self, "_force_idr", False)
@@ -1120,9 +1178,9 @@ class VideoEncoderSession:
                 self._tp_cuoff = off.reshape(self.rows, self.cols)
         else:
             qp = self.rc.frame_qp(is_idr, lookahead_cost=la_cost)
-        qp = self._zone_qp(self.display_idx, qp)
-        self.display_idx += 1
-        self._cutree_update()
+        qp = self._zone_qp(didx, qp)
+        if _la is None:
+            self._cutree_update()
         yp = yp0
         up = G.pad_plane(u, self.coded_h // 2, self.coded_w // 2)
         vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
@@ -1173,7 +1231,7 @@ class VideoEncoderSession:
             self.poc += 1        # slice header reads self.poc in attempt()
         out, nals = attempt(qp)
         if self.sei_provider is not None:
-            nals = self.sei_provider(self.display_idx - 1) + nals
+            nals = self.sei_provider(didx) + nals
         import math as _math
         for _ in range(2):
             over = self.rc.vbv_overshoot(len(nals) * 8)
@@ -1200,7 +1258,13 @@ class VideoEncoderSession:
         self.rc.frame_done(qp, len(nals) * 8)
         if self.stats_writer is not None:
             co = None
-            if self.cutree:
+            if self.cutree and self._cutree_window:
+                from . import slicetype
+                co = slicetype.pool_to_cu(
+                    slicetype.cutree_propagate(self._cutree_window,
+                                               strength=self.cutree_strength),
+                    self.cu, self.rows, self.cols).reshape(-1).tolist()
+            elif self.cutree:
                 co = self._cutree_offsets().reshape(-1).tolist()
             self.stats_writer.add("I" if is_idr else "P", qp, len(nals) * 8,
                                   la_cost, cuoff=co)
@@ -1289,6 +1353,13 @@ class VideoEncoderSession:
                                            bit_depth=self.bit_depth)
         if tp_off is not None:
             off = off + tp_off
+        elif self.cutree and self._cutree_window:
+            # real backward propagation over the decided lookahead window
+            from . import slicetype
+            off_blk = slicetype.cutree_propagate(
+                self._cutree_window, strength=self.cutree_strength)
+            off = off + slicetype.pool_to_cu(off_blk, self.cu,
+                                             self.rows, self.cols)
         elif self.cutree:
             off = off + self._cutree_offsets()
         return np.clip(qp + off, 0, 51).astype(np.int32)

@@ -594,7 +594,7 @@ class InterFrameEncoder:
                                         nn // 2, bd, xp=jnp)
             return p_y, p_u, p_v
 
-        def tq(resid, qp, log2nn, luma=True):
+        def tq(resid, qp, log2nn, luma=True, is_intra=None, modes=None):
             coef = transforms.forward_transform(resid, bd, xp=jnp)
             if cfg.rdoq:
                 levels = quant.quant_rdoq(
@@ -603,7 +603,15 @@ class InterFrameEncoder:
             else:
                 levels, du = quant.quant(coef, qp, log2nn, bd, False, xp=jnp)
                 if cfg.sbh:
-                    levels = quant.sign_bit_hiding(levels, du, log2nn, xp=jnp)
+                    if modes is not None:
+                        # intra-in-P TUs <= 8x8 luma / 4x4 chroma use the
+                        # mode-dependent scan; SBH parity must match it
+                        levels = quant.sign_bit_hiding_mdcs(
+                            levels, du, log2nn, modes, luma, xp=jnp,
+                            is_intra=is_intra)
+                    else:
+                        levels = quant.sign_bit_hiding(levels, du, log2nn,
+                                                       xp=jnp)
             dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
             rr = transforms.inverse_transform(dq, bd, xp=jnp)
             return levels, rr
@@ -774,11 +782,14 @@ class InterFrameEncoder:
                                                             axis=0))
                     pred_v = jnp.where(selq, ip_v, jnp.take(p_v, blk_idx,
                                                             axis=0))
-                    lvq_y, rr_y = tq(sy - pred_y, qp_y, nn.bit_length() - 1)
+                    lvq_y, rr_y = tq(sy - pred_y, qp_y, nn.bit_length() - 1,
+                                     is_intra=uiq, modes=imq)
                     lvq_cb, rr_u = tq(su - pred_u, qp_c,
-                                      hc2.bit_length() - 1, luma=False)
+                                      hc2.bit_length() - 1, luma=False,
+                                      is_intra=uiq, modes=imq)
                     lvq_cr, rr_v = tq(sv - pred_v, qp_c,
-                                      hc2.bit_length() - 1, luma=False)
+                                      hc2.bit_length() - 1, luma=False,
+                                      is_intra=uiq, modes=imq)
                     rec_y = jnp.clip(pred_y + rr_y, 0, maxv)
                     rec_u = jnp.clip(pred_u + rr_u, 0, maxv)
                     rec_v = jnp.clip(pred_v + rr_v, 0, maxv)

@@ -326,7 +326,9 @@ class IntraFrameEncoder:
                 levels, du = quant.quant_matrix(coef, qp, log2nn, qtab, bd,
                                                 True, xp=jnp)
                 if cfg.sbh:
-                    levels = quant.sign_bit_hiding(levels, du, log2nn, xp=jnp)
+                    levels = quant.sign_bit_hiding_mdcs(
+                        levels, du, log2nn, modes, luma, xp=jnp,
+                        csp420=not i444)
                 dq = quant.dequant_matrix(levels, qp, log2nn, dqtab, bd,
                                           xp=jnp)
             elif cfg.rdoq:
@@ -337,7 +339,9 @@ class IntraFrameEncoder:
             else:
                 levels, du = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
                 if cfg.sbh:
-                    levels = quant.sign_bit_hiding(levels, du, log2nn, xp=jnp)
+                    levels = quant.sign_bit_hiding_mdcs(
+                        levels, du, log2nn, modes, luma, xp=jnp,
+                        csp420=not i444)
                 dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
             rr = transforms.inverse_transform(dq, bd, xp=jnp)
             recon = jnp.clip(pred + rr, 0, maxv)
@@ -584,7 +588,8 @@ class IntraFrameEncoder:
             else:
                 levels, du = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
                 if cfg.sbh:
-                    levels = quant.sign_bit_hiding(levels, du, log2nn, xp=jnp)
+                    levels = quant.sign_bit_hiding_mdcs(
+                        levels, du, log2nn, modes, luma, xp=jnp)
             dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
             rr = transforms.inverse_transform(dq, bd, xp=jnp)
             recon = jnp.clip(pred + rr, 0, maxv)
@@ -888,7 +893,8 @@ class IntraFrameEncoder:
             else:
                 levels, du = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
                 if cfg.sbh:
-                    levels = quant.sign_bit_hiding(levels, du, log2nn, xp=jnp)
+                    levels = quant.sign_bit_hiding_mdcs(
+                        levels, du, log2nn, modes, luma, xp=jnp)
             dq = quant.dequant(levels, qp, log2nn, bd, xp=jnp)
             rr = transforms.inverse_transform(dq, bd, xp=jnp)
             recon = jnp.clip(pred + rr, 0, maxv)

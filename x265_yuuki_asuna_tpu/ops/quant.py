@@ -353,11 +353,15 @@ def quant_rdoq(coef, qp, log2_tr_size: int, bit_depth: int = 8,
     return xp.clip(best * sign, -32768, 32767)
 
 
-def sign_bit_hiding(levels, delta_u, log2n: int, xp=np):
+def sign_bit_hiding(levels, delta_u, log2n: int, xp=np, scan_type: int = 0):
     """Vectorized sign-bit-hiding parity adjustment (decoder infers the sign
     of each CG's first-in-scan significant coefficient from the parity of the
-    CG's absolute sum — spec 7.4.9.11 signHidden). Uniform-grid TUs always
-    use the diagonal scan (MDCS only covers <=8x8 luma / <=4x4 chroma TUs).
+    CG's absolute sum — spec 7.4.9.11 signHidden). scan_type selects the
+    coefficient scan (tables.SCAN_DIAG/HOR/VER): the signHidden condition
+    (last - first >= 4 in SCAN order) and the hidden-sign position are
+    scan-dependent, so SBH must run under the SAME scan the serializer will
+    use (mode-dependent for <=8x8 intra luma / 4x4 intra chroma TUs,
+    residual.py select_scan).
 
     levels/delta_u: [..., N, N]. Adjusts the max-|delta_u| coefficient inside
     the CG's significant span by +1 magnitude when the parity disagrees —
@@ -366,7 +370,7 @@ def sign_bit_hiding(levels, delta_u, log2n: int, xp=np):
     """
     from ..bitstream import tables as T
     n = 1 << log2n
-    scan = T.scan_order(T.SCAN_DIAG, log2n)          # scan pos -> raster
+    scan = T.scan_order(scan_type, log2n)            # scan pos -> raster
     inv = np.argsort(scan)
     if xp is not np:
         scan_x, inv_x = xp.asarray(scan), xp.asarray(inv)
@@ -402,3 +406,36 @@ def sign_bit_hiding(levels, delta_u, log2n: int, xp=np):
 
     out = rs.reshape(shp + (n * n,))
     return xp.take(out, inv_x, axis=-1).reshape(levels.shape)
+
+
+def sign_bit_hiding_mdcs(levels, delta_u, log2n: int, modes, is_luma: bool,
+                         xp=np, is_intra=None, csp420: bool = True):
+    """Sign-bit hiding with the mode-dependent coefficient scan (MDCS,
+    residual.py select_scan / reference cudata.cpp
+    getTUEntropyCodingParameters): intra TUs of size <= 8x8 luma
+    (<= 4x4 chroma in 4:2:0) scan horizontally for modes 22-30 and
+    vertically for modes 6-14; everything else scans diagonally.
+
+    modes: per-block intra mode [...]; is_intra: optional per-block bool
+    (None = all intra). Blocks that are inter (or TUs too large for MDCS)
+    use the diagonal scan.
+    """
+    from ..bitstream import tables as T
+    max_log2 = 3 if is_luma else (3 - (1 if csp420 else 0))
+    if log2n > max_log2:
+        return sign_bit_hiding(levels, delta_u, log2n, xp=xp)
+    lv_d = sign_bit_hiding(levels, delta_u, log2n, xp=xp,
+                           scan_type=T.SCAN_DIAG)
+    lv_h = sign_bit_hiding(levels, delta_u, log2n, xp=xp,
+                           scan_type=T.SCAN_HOR)
+    lv_v = sign_bit_hiding(levels, delta_u, log2n, xp=xp,
+                           scan_type=T.SCAN_VER)
+    m = modes
+    hor = (m >= 22) & (m <= 30)
+    ver = (m >= 6) & (m <= 14)
+    if is_intra is not None:
+        hor = hor & is_intra
+        ver = ver & is_intra
+    hor = hor[..., None, None]
+    ver = ver[..., None, None]
+    return xp.where(hor, lv_h, xp.where(ver, lv_v, lv_d))
