@@ -1616,8 +1616,8 @@ class VideoEncoderSession:
         else:
             qp = self._zone_qp(self.gop_display_base + poc, qp)
         # per-CU QP (AQ/cuTree): the PPS signals cu_qp_delta for the whole
-        # session, so EVERY slice must carry the delta syntax (uniform grid)
-        qp_map = None if self.max_depth else self._frame_qp_map(yp, qp)
+        # session, so EVERY slice must carry the delta syntax
+        qp_map = self._frame_qp_map(yp, qp)
         if idr:
             out = self.intra_sess.frame_encoder.encode_frame(
                 yp, up, vp,
@@ -1670,7 +1670,7 @@ class VideoEncoderSession:
         yp, up, vp = self._pad(y, u, v)
         qp = self.rc.frame_qp(True)
         qp = self._zone_qp(self.display_idx, qp)
-        qp_map = None if self.max_depth else self._frame_qp_map(yp, qp)
+        qp_map = self._frame_qp_map(yp, qp)
         out = self.intra_sess.frame_encoder.encode_frame(
             yp, up, vp, qp=qp_map.reshape(-1) if qp_map is not None else qp)
         if qp_map is not None:
@@ -1710,9 +1710,9 @@ class VideoEncoderSession:
         boff_ref, boff = getattr(self, "_b_qp_offsets", (1, 2))
         qp = min(self.rc.frame_qp(False) + (boff_ref if is_ref else boff), 51)
         qp = self._zone_qp(self.gop_display_base + poc, qp)
-        # per-CU QP (AQ/cuTree) on B frames: uniform grid only (the qt B
-        # writer takes frame QP this round)
-        qp_map = None if self.max_depth else self._frame_qp_map(yp, qp)
+        # per-CU QP (AQ/cuTree) on B frames; the qt writers carry the
+        # delta syntax per CTU
+        qp_map = self._frame_qp_map(yp, qp)
         out = self.bi_encoder.encode_frame(
             yp, up, vp, ref0[0], ref0[1], ref0[2],
             qp=qp_map.reshape(-1) if qp_map is not None else qp,

@@ -484,15 +484,30 @@ class InterFrameEncoder:
 
     # ------------------------------------------------------------------
     def _build_qt(self):
-        """Inter CTU32 wavefront with in-scan quadtree RD (depth 1 or 2:
-        CUs of 32/16 or 32/16/8), P or B.
+        """Inter CTU32 quadtree encoder — dense-decide + commit-scan.
 
-        Dense phase: full-search + subpel ME at every CU size (and both
-        lists + bi selection for B) — candidate depths/lists are batch
-        axes, the TPU formulation of the reference's recursive
-        compressInterCU (analysis.cpp:1146). Wavefront phase: per CTU,
-        bottom-up RD split selection with exact local reference
-        propagation through a CTU-local recon tile (qt_common.block_v).
+        TPU-first redesign (round 3): ALL decisions — motion vectors,
+        uni/bi list selection, intra modes, intra-vs-inter, quadtree
+        splits — are made in one dense fully-parallel phase:
+
+        * ME is a frame-level displacement sweep (ops/me.sad_sweep_multi)
+          producing every CU size's SAD hierarchically from ONE abs-diff
+          pass per displacement (the reference's per-PU pattern search,
+          motion.cpp:739, reformulated for the VPU), followed by half+
+          quarter-pel SATD refinement on pre-gathered local windows
+          (ops/interp.subpel_refine_win).
+        * Intra modes come from source-pixel neighbors (the reference's
+          fast-intra approximation) for all sizes as MXU mode batches.
+        * Mode and split decisions use SSE + lambda*bits RD over dense
+          per-leaf transform/quant results (analysis.cpp:1146 analog with
+          candidate depths as a batch axis).
+
+        The wavefront lax.scan then only COMMITS the decided tree: exact
+        recon + quantized levels for intra leaves (whose prediction needs
+        true neighbor recon); inter leaves are committed densely since
+        inter prediction never reads neighbors.  This shrinks the scan
+        body ~10x (XLA compile time) and removes the per-candidate window
+        materialisation that made the old path HBM-bound.
         """
         from .qt_common import block_v, QOFF
         cfg = self.cfg
@@ -512,6 +527,7 @@ class InterFrameEncoder:
         fill = 1 << (bd - 1)
         MODE_BITS = 7.0
         depth2 = cfg.max_depth >= 2
+        sizes = [n, h] + ([8] if depth2 else [])
 
         def to_blocks(plane, nn):
             hh, ww = plane.shape
@@ -522,17 +538,19 @@ class InterFrameEncoder:
             return (blocks.reshape(hh // nn, ww // nn, nn, nn)
                     .transpose(0, 2, 1, 3).reshape(hh, ww))
 
-        # block-grid geometry per size + CTU -> block-index maps (z-order)
+        # ---- static geometry -------------------------------------------
         g32r = np.arange(ncu, dtype=np.int32) // cols
         g32c = np.arange(ncu, dtype=np.int32) % cols
-        PX32 = jnp.asarray(g32c * n)
-        PY32 = jnp.asarray(g32r * n)
-        cols16 = cols * 2
-        PX16 = jnp.asarray((np.arange(n16, dtype=np.int32) % cols16) * h)
-        PY16 = jnp.asarray((np.arange(n16, dtype=np.int32) // cols16) * h)
-        cols8 = cols * 4
-        PX8 = jnp.asarray((np.arange(n8, dtype=np.int32) % cols8) * 8)
-        PY8 = jnp.asarray((np.arange(n8, dtype=np.int32) // cols8) * 8)
+        cols16, cols8 = cols * 2, cols * 4
+        PXPY = {}
+        CTU_OF = {}
+        for nn in (n, h, 8):
+            cn = W // nn
+            nb = (H // nn) * cn
+            bx = (np.arange(nb, dtype=np.int32) % cn) * nn
+            by = (np.arange(nb, dtype=np.int32) // cn) * nn
+            PXPY[nn] = (jnp.asarray(bx), jnp.asarray(by))
+            CTU_OF[nn] = jnp.asarray((by // n) * cols + (bx // n))
         map16 = np.zeros((ncu + 1, 4), np.int32)
         for q, (qy, qx) in enumerate(QOFF):
             map16[:ncu, q] = (g32r * 2 + qy) * cols16 + (g32c * 2 + qx)
@@ -545,54 +563,13 @@ class InterFrameEncoder:
                                      + (g32c * 4 + 2 * qx + sx))
         map8[ncu] = n8
         MAP8 = jnp.asarray(map8)
-
-        def search_size(yb, ref_y, px, py, nn, low=None):
-            center = None
-            if low is not None:
-                # HME: coarse half-res search recenters the fine window
-                # (reference --hme quarter/half-res pre-search, lowres.h:43)
-                low_ref, low_blocks = low
-                cmx, cmy, _ = me.full_search_sad(
-                    low_ref, low_blocks, px // 2, py // 2, nn // 2,
-                    cfg.hme_range, lambda_bits=2, xp=jnp)
-                center = (cmx * 2, cmy * 2)
-            mvx_i, mvy_i, _ = me.full_search_sad(
-                ref_y, yb, px, py, nn, R, lambda_bits=2, xp=jnp,
-                center=center)
-            mvx = mvx_i * 4
-            mvy = mvy_i * 4
-
-            def eval_mv(mx, my):
-                p = interp.mc_luma_qpel(ref_y, px, py, mx, my, nn, bd, xp=jnp)
-                return pixel.satd(yb, p, xp=jnp)
-
-            if cfg.subpel:
-                best = eval_mv(mvx, mvy)
-                for stepq in (2, 1):
-                    cand_best = best
-                    bx, by = mvx, mvy
-                    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1),
-                                   (-1, -1), (1, -1), (-1, 1), (1, 1)):
-                        mx = mvx + dx * stepq
-                        my = mvy + dy * stepq
-                        cc = eval_mv(mx, my)
-                        better = cc < cand_best
-                        bx = jnp.where(better, mx, bx)
-                        by = jnp.where(better, my, by)
-                        cand_best = jnp.minimum(cc, cand_best)
-                    mvx, mvy, best = bx, by, cand_best
-            else:
-                best = eval_mv(mvx, mvy)
-            return mvx, mvy, best
-
-        def mc_all(refs, mvx, mvy, px, py, nn):
-            ref_y, ref_u, ref_v = refs
-            p_y = interp.mc_luma_qpel(ref_y, px, py, mvx, mvy, nn, bd, xp=jnp)
-            p_u = interp.mc_chroma_qpel(ref_u, px // 2, py // 2, mvx, mvy,
-                                        nn // 2, bd, xp=jnp)
-            p_v = interp.mc_chroma_qpel(ref_v, px // 2, py // 2, mvx, mvy,
-                                        nn // 2, bd, xp=jnp)
-            return p_y, p_u, p_v
+        # 16-block -> its 4 8-block children (frame row-major indices)
+        r16 = np.arange(n16, dtype=np.int32) // cols16
+        c16 = np.arange(n16, dtype=np.int32) % cols16
+        CH8 = np.stack([(r16 * 2 + qy) * cols8 + (c16 * 2 + qx)
+                        for qy, qx in QOFF], axis=1)
+        CH8 = jnp.asarray(CH8)                     # [n16, 4]
+        # CTU -> its 4 16-block children in z-order == MAP16[:ncu]
 
         def tq(resid, qp, log2nn, luma=True, is_intra=None, modes=None):
             coef = transforms.forward_transform(resid, bd, xp=jnp)
@@ -604,8 +581,6 @@ class InterFrameEncoder:
                 levels, du = quant.quant(coef, qp, log2nn, bd, False, xp=jnp)
                 if cfg.sbh:
                     if modes is not None:
-                        # intra-in-P TUs <= 8x8 luma / 4x4 chroma use the
-                        # mode-dependent scan; SBH parity must match it
                         levels = quant.sign_bit_hiding_mdcs(
                             levels, du, log2nn, modes, luma, xp=jnp,
                             is_intra=is_intra)
@@ -621,6 +596,70 @@ class InterFrameEncoder:
             ay = jnp.abs(mvy).astype(jnp.float32)
             return 4.0 + 2.0 * jnp.log2(1.0 + ax) + 2.0 * jnp.log2(1.0 + ay)
 
+        def ssd(a, b):
+            d = (a - b).astype(jnp.float32)
+            return jnp.sum(d * d, axis=(-2, -1))
+
+        # ---- dense motion ----------------------------------------------
+        def sweep_list(y32, ref_y, low_y, low_ref, wts=None):
+            """Frame sweep + optional HME coarse candidate + subpel refine
+            for every size.  Returns {nn: (mvqx, mvqy, satd)}."""
+            search_plane = ref_y
+            if wts is not None:
+                (wy, oy) = wts[0]
+                search_plane = jnp.clip(
+                    jnp.right_shift(ref_y * wy + 32, 6) + oy, 0, maxv)
+            fine = me.sad_sweep_multi(search_plane, y32, tuple(sizes), R,
+                                      lambda_bits=2)
+            coarse = None
+            if cfg.hme and low_ref is not None:
+                lref = low_ref
+                if wts is not None:
+                    (wy, oy) = wts[0]
+                    lref = jnp.clip(
+                        jnp.right_shift(low_ref * wy + 32, 6) + oy, 0, maxv)
+                coarse = me.sad_sweep_multi(
+                    lref, low_y, tuple(nn // 2 for nn in sizes),
+                    cfg.hme_range, lambda_bits=2)
+            out = {}
+            for nn in sizes:
+                px, py = PXPY[nn]
+                yb = to_blocks(y32, nn)
+                fx, fy, fsad = fine[nn]
+                mvx_i, mvy_i = fx, fy
+                if coarse is not None:
+                    cx2 = coarse[nn // 2][0] * 2
+                    cy2 = coarse[nn // 2][1] * 2
+                    csad = me.sad_at_mv(search_plane, yb, px, py, cx2, cy2,
+                                        nn, xp=jnp)
+                    cost_f = fsad + 2 * (jnp.abs(fx) + jnp.abs(fy))
+                    cost_c = csad + 2 * (jnp.abs(cx2) + jnp.abs(cy2))
+                    use_c = cost_c < cost_f
+                    mvx_i = jnp.where(use_c, cx2, fx)
+                    mvy_i = jnp.where(use_c, cy2, fy)
+                if cfg.subpel:
+                    win = interp.gather_luma_window(search_plane, px, py,
+                                                    mvx_i, mvy_i, nn, xp=jnp)
+                    dqx, dqy, satd = interp.subpel_refine_win(
+                        win, yb, nn, bd, xp=jnp)
+                    out[nn] = (mvx_i * 4 + dqx, mvy_i * 4 + dqy, satd)
+                else:
+                    pred = interp.mc_luma_qpel(search_plane, px, py,
+                                               mvx_i * 4, mvy_i * 4, nn, bd,
+                                               xp=jnp)
+                    out[nn] = (mvx_i * 4, mvy_i * 4,
+                               pixel.satd(yb, pred, xp=jnp))
+            return out
+
+        def mc_all(refs, mvx, mvy, px, py, nn):
+            p_y = interp.mc_luma_qpel(refs[0], px, py, mvx, mvy, nn, bd,
+                                      xp=jnp)
+            p_u = interp.mc_chroma_qpel(refs[1], px // 2, py // 2, mvx, mvy,
+                                        nn // 2, bd, xp=jnp)
+            p_v = interp.mc_chroma_qpel(refs[2], px // 2, py // 2, mvx, mvy,
+                                        nn // 2, bd, xp=jnp)
+            return p_y, p_u, p_v
+
         def ps_all(refs, mvx, mvy, px, py, nn):
             return (interp.mc_luma_qpel_ps(refs[0], px, py, mvx, mvy, nn,
                                            bd, xp=jnp),
@@ -629,44 +668,33 @@ class InterFrameEncoder:
                     interp.mc_chroma_qpel_ps(refs[2], px // 2, py // 2,
                                              mvx, mvy, nn // 2, bd, xp=jnp))
 
-        def decide_motion(yb, refs0, refs1, px, py, nn, qp_s,
-                          low0=None, low1=None, wts=None):
-            """Per-block motion decision at one size (P: L0 only; B:
-            SATD + lambda*bits over L0/L1/BI, search.cpp analog). wts:
-            explicit weighted uni-prediction (P) — search over the
-            weight-transformed reference, predict through the normative
-            MC->weight pipeline."""
+        def wpred_all(refs, mvx, mvy, px, py, nn, wts):
+            (wy, oy), (wcb, ocb), (wcr, ocr) = wts
+            ps = ps_all(refs, mvx, mvy, px, py, nn)
+            return (interp.weight_uni(ps[0], wy, oy, 6, bd, xp=jnp),
+                    interp.weight_uni(ps[1], wcb, ocb, 6, bd, xp=jnp),
+                    interp.weight_uni(ps[2], wcr, ocr, 6, bd, xp=jnp))
+
+        def decide_motion_dense(nn, y32, refs0, refs1, mv0, mv1, qp_blk,
+                                wts=None):
+            """Per-block list decision at one size from sweep results.
+            Returns (pdir, mv0x, mv0y, mv1x, mv1y, pred3, satd_sel,
+            bits_sel)."""
+            px, py = PXPY[nn]
+            yb = to_blocks(y32, nn)
+            mv0x, mv0y, s0 = mv0
             if wts is not None:
-                (wy, oy), (wcb, ocb), (wcr, ocr) = wts
-                ref_w = jnp.clip(jnp.right_shift(refs0[0] * wy + 32, 6) + oy,
-                                 0, maxv)
-                mv0x, mv0y, s0 = search_size(yb, ref_w, px, py, nn, low0)
-                pred = (interp.weight_uni(
-                            interp.mc_luma_qpel_ps(refs0[0], px, py,
-                                                   mv0x, mv0y, nn, bd,
-                                                   xp=jnp),
-                            wy, oy, 6, bd, xp=jnp),
-                        interp.weight_uni(
-                            interp.mc_chroma_qpel_ps(refs0[1], px // 2,
-                                                     py // 2, mv0x, mv0y,
-                                                     nn // 2, bd, xp=jnp),
-                            wcb, ocb, 6, bd, xp=jnp),
-                        interp.weight_uni(
-                            interp.mc_chroma_qpel_ps(refs0[2], px // 2,
-                                                     py // 2, mv0x, mv0y,
-                                                     nn // 2, bd, xp=jnp),
-                            wcr, ocr, 6, bd, xp=jnp))
+                pred = wpred_all(refs0, mv0x, mv0y, px, py, nn, wts)
                 s0 = pixel.satd(yb, pred[0], xp=jnp)
                 bits = est_mv_bits_arr(mv0x, mv0y)
                 ones = jnp.ones_like(mv0x)
                 return (ones, mv0x, mv0y, mv0x * 0, mv0y * 0, pred, s0, bits)
-            mv0x, mv0y, s0 = search_size(yb, refs0[0], px, py, nn, low0)
             if refs1 is None:
                 pred = mc_all(refs0, mv0x, mv0y, px, py, nn)
                 bits = est_mv_bits_arr(mv0x, mv0y)
                 ones = jnp.ones_like(mv0x)
                 return (ones, mv0x, mv0y, mv0x * 0, mv0y * 0, pred, s0, bits)
-            mv1x, mv1y, s1 = search_size(yb, refs1[0], px, py, nn, low1)
+            mv1x, mv1y, s1 = mv1
             p0 = mc_all(refs0, mv0x, mv0y, px, py, nn)
             p1 = mc_all(refs1, mv1x, mv1y, px, py, nn)
             ps0 = ps_all(refs0, mv0x, mv0y, px, py, nn)
@@ -674,7 +702,7 @@ class InterFrameEncoder:
             pbi = tuple(interp.add_avg(a, b, bd, xp=jnp)
                         for a, b in zip(ps0, ps1))
             sbi = pixel.satd(yb, pbi[0], xp=jnp)
-            lam = 0.9 * jnp.exp2((qp_s.astype(jnp.float32) - 12.0) / 6.0)
+            lam = 0.9 * jnp.exp2((qp_blk.astype(jnp.float32) - 12.0) / 6.0)
             b0 = est_mv_bits_arr(mv0x, mv0y)
             b1 = est_mv_bits_arr(mv1x, mv1y)
             costs = jnp.stack([s0 + lam * b0, s1 + lam * (b1 + 1.0),
@@ -695,31 +723,151 @@ class InterFrameEncoder:
             return (pdir, mv0x * m0, mv0y * m0, mv1x * m1, mv1y * m1,
                     pred, satd_sel, bits_sel)
 
-        def intra_block(v_raw, av, src, qp, log2nn, luma, modes=None):
-            v = intra.substitute_references(v_raw, av, bd, xp=jnp)
-            nn = 1 << log2nn
-            preds = intra.predict_all_modes_matmul(v, nn, bd, luma=luma,
+        # ---- dense intra (source-neighbor modes, fast-intra analog) ----
+        def source_v(plane, nn):
+            """Boundary vectors [nblocks, 4nn+1] gathered from the
+            edge-replicated SOURCE plane for every aligned nn-block."""
+            hh, ww = plane.shape
+            p = jnp.pad(plane, 1, mode="edge")
+            cn = ww // nn
+            nb = (hh // nn) * cn
+            y0 = (np.arange(nb) // cn) * nn + 1
+            x0 = (np.arange(nb) % cn) * nn + 1
+            ar = np.arange(nn)
+            bl_rows = np.minimum(y0[:, None] + 2 * nn - 1 - ar[None, :], hh)
+            lf_rows = y0[:, None] + nn - 1 - ar[None, :]
+            top_cols = x0[:, None] + ar[None, :]
+            tr_cols = np.minimum(x0[:, None] + nn + ar[None, :], ww + 1)
+            coll = (x0 - 1)[:, None]
+            rowt = (y0 - 1)[:, None]
+            return jnp.concatenate([
+                p[jnp.asarray(bl_rows), jnp.asarray(coll)],
+                p[jnp.asarray(lf_rows), jnp.asarray(coll)],
+                p[jnp.asarray(rowt), jnp.asarray(coll)],
+                p[jnp.asarray(rowt), jnp.asarray(top_cols)],
+                p[jnp.asarray(rowt), jnp.asarray(tr_cols)],
+            ], axis=1)
+
+        def dense_intra(nn, y32, u32, v32):
+            """Fast-intra decision + approximate prediction at one size.
+            Returns (modes, pred_y, pred_u, pred_v)."""
+            vy = source_v(y32, nn)
+            preds = intra.predict_all_modes_matmul(vy, nn, bd, luma=True,
                                                    strong_smoothing=False,
                                                    xp=jnp)
-            if modes is None:
-                costs = pixel.satd(src[:, None], preds, xp=jnp)
-                modes = jnp.argmin(costs, axis=1).astype(jnp.int32)
-                best = jnp.min(costs, axis=1)
-            else:
-                best = None
-            pred = jnp.take_along_axis(
-                preds, modes[:, None, None, None].astype(jnp.int32),
-                axis=1)[:, 0]
-            return modes, best, pred
+            yb = to_blocks(y32, nn)
+            costs = pixel.satd(yb[:, None], preds, xp=jnp)
+            modes = jnp.argmin(costs, axis=1).astype(jnp.int32)
+            pred_y = jnp.take_along_axis(
+                preds, modes[:, None, None, None], axis=1)[:, 0]
+            hc = nn // 2
+            vu = source_v(u32, hc)
+            pred_u = intra.predict_mode_matmul(vu, modes, hc, bd, luma=False,
+                                               xp=jnp)
+            vv = source_v(v32, hc)
+            pred_v = intra.predict_mode_matmul(vv, modes, hc, bd, luma=False,
+                                               xp=jnp)
+            return modes, pred_y, pred_u, pred_v
 
-        def ssd(a, b):
-            d = (a - b).astype(jnp.float32)
-            return jnp.sum(d * d, axis=(-2, -1))
+        # ---- dense per-leaf RD -----------------------------------------
+        def dense_leaf_rd(nn, srcs3, ipred3, epred3, modes, qp_y, qp_c,
+                          lam2, ebits_mv):
+            """RD both candidates of every leaf at one size.  Returns
+            (use_intra, leaf_dist, leaf_bits, elv3, erec3): the chosen
+            flag, the chosen candidate's dist/bits, and the INTER
+            levels/recon (exact — committed densely)."""
+            sy, su, sv = srcs3
+            log2nn = nn.bit_length() - 1
+            fI = jnp.ones(modes.shape, bool)
+            fE = jnp.zeros(modes.shape, bool)
 
-        def make_step(srcs, ipreds, qp_y_pad, qp_c_pad, qp_sig_pad):
-            """ipreds: dict size -> (pred_y pad, pred_u pad, pred_v pad,
-            satd pad, mvbits pad, idx_map gather fn)."""
+            def rd_one(pred3, is_intra_f):
+                lv_y, rr_y = tq(sy - pred3[0], qp_y, log2nn,
+                                is_intra=is_intra_f, modes=modes)
+                lv_cb, rr_u = tq(su - pred3[1], qp_c, log2nn - 1, luma=False,
+                                 is_intra=is_intra_f, modes=modes)
+                lv_cr, rr_v = tq(sv - pred3[2], qp_c, log2nn - 1, luma=False,
+                                 is_intra=is_intra_f, modes=modes)
+                rec_y = jnp.clip(pred3[0] + rr_y, 0, maxv)
+                rec_u = jnp.clip(pred3[1] + rr_u, 0, maxv)
+                rec_v = jnp.clip(pred3[2] + rr_v, 0, maxv)
+                dist = ssd(sy, rec_y) + ssd(su, rec_u) + ssd(sv, rec_v)
+                if cfg.psy_rd > 0:
+                    dist = dist + cfg.psy_rd * jnp.abs(
+                        pixel.psy_energy(sy, xp=jnp)
+                        - pixel.psy_energy(rec_y, xp=jnp)).astype(jnp.float32)
+                bits = (quant.est_tu_bits(lv_y, xp=jnp)
+                        + quant.est_tu_bits(lv_cb, xp=jnp)
+                        + quant.est_tu_bits(lv_cr, xp=jnp))
+                return (lv_y, lv_cb, lv_cr), (rec_y, rec_u, rec_v), dist, bits
+
+            ilv, irec, idist, ibits = rd_one(ipred3, fI)
+            elv, erec, edist, ebits = rd_one(epred3, fE)
+            ci = idist + lam2 * (ibits + MODE_BITS) + cfg.intra_bias
+            ce = edist + lam2 * (ebits + ebits_mv)
+            ui = ci < ce
+            leaf_dist = jnp.where(ui, idist, edist)
+            leaf_bits = jnp.where(ui, ibits + MODE_BITS, ebits + ebits_mv)
+            return ui, leaf_dist, leaf_bits, elv, erec
+
+        # ---- commit scan -----------------------------------------------
+        def make_commit(srcs, init_tiles, head, qp_y_pad, qp_c_pad):
+            """srcs/init_tiles: CTU-blocked padded [ncu+1, ...] arrays;
+            head: dict of padded decided-tree arrays."""
             src_yb, src_ub, src_vb = srcs
+            ity, itu, itv, ily, ilcb, ilcr = init_tiles
+
+            def commit_intra(tiles, srcs_s, nb_y, nb_u, nb_v, flags, y0, x0,
+                             nn, modes, qp_y, qp_c):
+                """Exact intra recon+levels for the nn-leaf at (y0, x0)."""
+                ty, tu, tv = tiles
+                yc, xc = y0 // 2, x0 // 2
+                hc2 = nn // 2
+                sy_ = srcs_s[0][:, y0:y0 + nn, x0:x0 + nn]
+                su_ = srcs_s[1][:, yc:yc + hc2, xc:xc + hc2]
+                sv_ = srcs_s[2][:, yc:yc + hc2, xc:xc + hc2]
+                vy, ay = block_v(ty, *nb_y, *flags, y0, x0, nn)
+                vyl = intra.substitute_references(vy, ay, bd, xp=jnp)
+                p_y = intra.predict_mode_matmul(vyl, modes, nn, bd, luma=True,
+                                                xp=jnp)
+                vu, au = block_v(tu, *nb_u, *flags, yc, xc, hc2)
+                vul = intra.substitute_references(vu, au, bd, xp=jnp)
+                p_u = intra.predict_mode_matmul(vul, modes, hc2, bd,
+                                                luma=False, xp=jnp)
+                vv, av_ = block_v(tv, *nb_v, *flags, yc, xc, hc2)
+                vvl = intra.substitute_references(vv, av_, bd, xp=jnp)
+                p_v = intra.predict_mode_matmul(vvl, modes, hc2, bd,
+                                                luma=False, xp=jnp)
+                fI = jnp.ones(modes.shape, bool)
+                lv_y, rr_y = tq(sy_ - p_y, qp_y, nn.bit_length() - 1,
+                                is_intra=fI, modes=modes)
+                lv_cb, rr_u = tq(su_ - p_u, qp_c, hc2.bit_length() - 1,
+                                 luma=False, is_intra=fI, modes=modes)
+                lv_cr, rr_v = tq(sv_ - p_v, qp_c, hc2.bit_length() - 1,
+                                 luma=False, is_intra=fI, modes=modes)
+                rec_y = jnp.clip(p_y + rr_y, 0, maxv)
+                rec_u = jnp.clip(p_u + rr_u, 0, maxv)
+                rec_v = jnp.clip(p_v + rr_v, 0, maxv)
+                return (rec_y, rec_u, rec_v), (lv_y, lv_cb, lv_cr)
+
+            def put_masked(tiles, lvs, y0, x0, nn, rec3, lv3, active):
+                ty, tu, tv = tiles
+                ly, lcb, lcr = lvs
+                yc, xc = y0 // 2, x0 // 2
+                hc2 = nn // 2
+                a = active[:, None, None]
+
+                def sel(tile, a0, b0, k, new):
+                    old = tile[:, a0:a0 + k, b0:b0 + k]
+                    return tile.at[:, a0:a0 + k, b0:b0 + k].set(
+                        jnp.where(a, new, old))
+
+                return ((sel(ty, y0, x0, nn, rec3[0]),
+                         sel(tu, yc, xc, hc2, rec3[1]),
+                         sel(tv, yc, xc, hc2, rec3[2])),
+                        (sel(ly, y0, x0, nn, lv3[0]),
+                         sel(lcb, yc, xc, hc2, lv3[1]),
+                         sel(lcr, yc, xc, hc2, lv3[2])))
 
             def step(carry, xs):
                 (bry, rcy, bru, rcu_, brv, rcv) = carry
@@ -736,163 +884,69 @@ class InterFrameEncoder:
                 gt = jnp.where(at, cu - cols, pad)
                 gtr = jnp.where(atr, cu - cols + 1, pad)
                 gtl = jnp.where(atl, cu - cols - 1, pad)
-
-                src_y = jnp.take(src_yb, cu_s, axis=0)
-                src_u = jnp.take(src_ub, cu_s, axis=0)
-                src_v = jnp.take(src_vb, cu_s, axis=0)
-                qp_y = jnp.take(qp_y_pad, cu_s)
-                qp_c = jnp.take(qp_c_pad, cu_s)
-                qp_sig = jnp.take(qp_sig_pad, cu_s)
-                lam2 = 0.85 * jnp.exp2((qp_sig.astype(jnp.float32) - 12.0)
-                                       / 3.0)
-
+                flags = (al, at, atr, atl)
                 nb_y = (jnp.take(rcy, gl, axis=0), jnp.take(bry, gt, axis=0),
                         jnp.take(bry, gtr, axis=0), jnp.take(bry, gtl, axis=0))
                 nb_u = (jnp.take(rcu_, gl, axis=0), jnp.take(bru, gt, axis=0),
                         jnp.take(bru, gtr, axis=0), jnp.take(bru, gtl, axis=0))
                 nb_v = (jnp.take(rcv, gl, axis=0), jnp.take(brv, gt, axis=0),
                         jnp.take(brv, gtr, axis=0), jnp.take(brv, gtl, axis=0))
-                flags = (al, at, atr, atl)
 
-                def code_at(tiles, y0, x0, nn, blk_idx):
-                    """One inter/intra CU at (y0, x0), size nn. blk_idx: [S]
-                    index into the size's dense-phase arrays."""
-                    p_y, p_u, p_v, satd, mvbits = ipreds[nn]
-                    ty, tu, tv = tiles
-                    sy = src_y[:, y0:y0 + nn, x0:x0 + nn]
-                    yc, xc = y0 // 2, x0 // 2
-                    hc2 = nn // 2
-                    su = src_u[:, yc:yc + hc2, xc:xc + hc2]
-                    sv = src_v[:, yc:yc + hc2, xc:xc + hc2]
-                    vy, ay = block_v(ty, *nb_y, *flags, y0, x0, nn)
-                    imq, ibq, ip_y = intra_block(vy, ay, sy, qp_y,
-                                                 nn.bit_length() - 1, True)
-                    isq = jnp.take(satd, blk_idx)
-                    uiq = (ibq + cfg.intra_bias) < isq
-                    selq = uiq[:, None, None]
-                    pred_y = jnp.where(selq, ip_y, jnp.take(p_y, blk_idx,
-                                                            axis=0))
-                    vu, au = block_v(tu, *nb_u, *flags, yc, xc, hc2)
-                    _, _, ip_u = intra_block(vu, au, su, qp_c,
-                                             hc2.bit_length() - 1, False, imq)
-                    vv, av_ = block_v(tv, *nb_v, *flags, yc, xc, hc2)
-                    _, _, ip_v = intra_block(vv, av_, sv, qp_c,
-                                             hc2.bit_length() - 1, False, imq)
-                    pred_u = jnp.where(selq, ip_u, jnp.take(p_u, blk_idx,
-                                                            axis=0))
-                    pred_v = jnp.where(selq, ip_v, jnp.take(p_v, blk_idx,
-                                                            axis=0))
-                    lvq_y, rr_y = tq(sy - pred_y, qp_y, nn.bit_length() - 1,
-                                     is_intra=uiq, modes=imq)
-                    lvq_cb, rr_u = tq(su - pred_u, qp_c,
-                                      hc2.bit_length() - 1, luma=False,
-                                      is_intra=uiq, modes=imq)
-                    lvq_cr, rr_v = tq(sv - pred_v, qp_c,
-                                      hc2.bit_length() - 1, luma=False,
-                                      is_intra=uiq, modes=imq)
-                    rec_y = jnp.clip(pred_y + rr_y, 0, maxv)
-                    rec_u = jnp.clip(pred_u + rr_u, 0, maxv)
-                    rec_v = jnp.clip(pred_v + rr_v, 0, maxv)
-                    dist = ssd(sy, rec_y) + ssd(su, rec_u) + ssd(sv, rec_v)
-                    if cfg.psy_rd > 0:
-                        dist = dist + cfg.psy_rd * jnp.abs(
-                            pixel.psy_energy(sy, xp=jnp)
-                            - pixel.psy_energy(rec_y, xp=jnp)
-                        ).astype(jnp.float32)
-                    bits = (quant.est_tu_bits(lvq_y, xp=jnp)
-                            + quant.est_tu_bits(lvq_cb, xp=jnp)
-                            + quant.est_tu_bits(lvq_cr, xp=jnp)
-                            + jnp.where(uiq, MODE_BITS,
-                                        jnp.take(mvbits, blk_idx)))
-                    return (uiq, imq, lvq_y, rec_y, lvq_cb, rec_u,
-                            lvq_cr, rec_v, dist, bits)
+                srcs_s = (jnp.take(src_yb, cu_s, axis=0),
+                          jnp.take(src_ub, cu_s, axis=0),
+                          jnp.take(src_vb, cu_s, axis=0))
+                qp_y = jnp.take(qp_y_pad, cu_s)
+                qp_c = jnp.take(qp_c_pad, cu_s)
 
-                def put(tiles, lvs, y0, x0, nn, rec3, lv3):
-                    ty, tu, tv = tiles
-                    ly, lcb, lcr = lvs
-                    yc, xc = y0 // 2, x0 // 2
-                    hc2 = nn // 2
-                    return ((ty.at[:, y0:y0 + nn, x0:x0 + nn].set(rec3[0]),
-                             tu.at[:, yc:yc + hc2, xc:xc + hc2].set(rec3[1]),
-                             tv.at[:, yc:yc + hc2, xc:xc + hc2].set(rec3[2])),
-                            (ly.at[:, y0:y0 + nn, x0:x0 + nn].set(lv3[0]),
-                             lcb.at[:, yc:yc + hc2, xc:xc + hc2].set(lv3[1]),
-                             lcr.at[:, yc:yc + hc2, xc:xc + hc2].set(lv3[2])))
+                tiles = (jnp.take(ity, cu_s, axis=0),
+                         jnp.take(itu, cu_s, axis=0),
+                         jnp.take(itv, cu_s, axis=0))
+                lvs = (jnp.take(ily, cu_s, axis=0),
+                       jnp.take(ilcb, cu_s, axis=0),
+                       jnp.take(ilcr, cu_s, axis=0))
 
-                zt = (jnp.zeros((S, n, n), jnp.int32),
-                      jnp.zeros((S, nc, nc), jnp.int32),
-                      jnp.zeros((S, nc, nc), jnp.int32))
+                split = jnp.take(head["split"], cu_s)
+                uiA = jnp.take(head["uiA"], cu_s)
+                imA = jnp.take(head["imA"], cu_s)
+                ui16 = jnp.take(head["ui16"], cu_s, axis=0)    # [S, 4]
+                im16 = jnp.take(head["im16"], cu_s, axis=0)
+                if depth2:
+                    sp16 = jnp.take(head["split16"], cu_s, axis=0)
+                    ui8 = jnp.take(head["ui8"], cu_s, axis=0)  # [S, 4, 4]
+                    im8 = jnp.take(head["im8"], cu_s, axis=0)
 
-                # ---- variant A: one 32 CU ----
-                (uiA, imA, lvA_y, recA_y, lvA_cb, recA_u, lvA_cr, recA_v,
-                 distA, bitsA) = code_at(zt, 0, 0, n, cu_s)
-                bitsA = bitsA + 1.0
-
-                # ---- variant B: quadrants ----
-                tiles, lvs = zt, zt
-                ui16, im16, split16, ui8, im8 = [], [], [], [], []
-                distB = jnp.zeros((S,), jnp.float32)
-                bitsB = jnp.zeros((S,), jnp.float32)
+                # variant A: whole-CTU intra commit (neighbors only)
+                recA, lvA = commit_intra(tiles, srcs_s, nb_y, nb_u, nb_v,
+                                         flags, 0, 0, n, imA, qp_y, qp_c)
+                # variant B: z-order leaf commits over the growing tile
                 for q, (qy, qx) in enumerate(QOFF):
                     y0, x0 = qy * h, qx * h
-                    i16 = jnp.take(MAP16[:, q], cu_s)
-                    (u16, m16, l16y, r16y, l16cb, r16u, l16cr, r16v,
-                     d16, b16) = code_at(tiles, y0, x0, h, i16)
-                    ui16.append(u16)
-                    im16.append(m16)
+                    act16 = split & ui16[:, q]
+                    if depth2:
+                        act16 = act16 & ~sp16[:, q]
+                    rec16, lv16 = commit_intra(tiles, srcs_s, nb_y, nb_u,
+                                               nb_v, flags, y0, x0, h,
+                                               im16[:, q], qp_y, qp_c)
+                    tiles, lvs = put_masked(tiles, lvs, y0, x0, h,
+                                            rec16, lv16, act16)
                     if not depth2:
-                        tiles, lvs = put(tiles, lvs, y0, x0, h,
-                                         (r16y, r16u, r16v),
-                                         (l16y, l16cb, l16cr))
-                        distB = distB + d16
-                        bitsB = bitsB + b16
                         continue
-                    t8, lv8 = tiles, lvs
-                    u8q, m8q = [], []
-                    d8 = jnp.zeros((S,), jnp.float32)
-                    b8 = jnp.zeros((S,), jnp.float32)
-                    for sq, (sy_, sx_) in enumerate(QOFF):
-                        yy, xx = y0 + 8 * sy_, x0 + 8 * sx_
-                        i8 = jnp.take(MAP8[:, q, sq], cu_s)
-                        (u8, m8, l8y, r8y, l8cb, r8u, l8cr, r8v,
-                         dd, bb) = code_at(t8, yy, xx, 8, i8)
-                        t8, lv8 = put(t8, lv8, yy, xx, 8,
-                                      (r8y, r8u, r8v), (l8y, l8cb, l8cr))
-                        u8q.append(u8)
-                        m8q.append(m8)
-                        d8 = d8 + dd
-                        b8 = b8 + bb
-                    sp16 = (d8 + lam2 * (b8 + 1.0)) < (d16 + lam2 * (b16 + 1.0))
-                    sel = sp16[:, None, None]
-                    rec_sel = tuple(
-                        jnp.where(sel, t8[i][:, a:a + k, b:b + k],
-                                  (r16y, r16u, r16v)[i])
-                        for i, (a, b, k) in enumerate(
-                            ((y0, x0, h), (y0 // 2, x0 // 2, 8),
-                             (y0 // 2, x0 // 2, 8))))
-                    lv_sel = tuple(
-                        jnp.where(sel, lv8[i][:, a:a + k, b:b + k],
-                                  (l16y, l16cb, l16cr)[i])
-                        for i, (a, b, k) in enumerate(
-                            ((y0, x0, h), (y0 // 2, x0 // 2, 8),
-                             (y0 // 2, x0 // 2, 8))))
-                    tiles, lvs = put(tiles, lvs, y0, x0, h, rec_sel, lv_sel)
-                    split16.append(sp16)
-                    ui8.append(jnp.stack(u8q, 1))
-                    im8.append(jnp.stack(m8q, 1))
-                    distB = distB + jnp.where(sp16, d8, d16)
-                    bitsB = bitsB + jnp.where(sp16, b8 + 1.0, b16 + 1.0)
+                    for sq, (sy2, sx2) in enumerate(QOFF):
+                        yy, xx = y0 + 8 * sy2, x0 + 8 * sx2
+                        act8 = split & sp16[:, q] & ui8[:, q, sq]
+                        rec8, lv8 = commit_intra(tiles, srcs_s, nb_y, nb_u,
+                                                 nb_v, flags, yy, xx, 8,
+                                                 im8[:, q, sq], qp_y, qp_c)
+                        tiles, lvs = put_masked(tiles, lvs, yy, xx, 8,
+                                                rec8, lv8, act8)
 
-                bitsB = bitsB + 1.0
-                split = (distB + lam2 * bitsB) < (distA + lam2 * bitsA)
-
-                sel = split[:, None, None]
-                rec_y = jnp.where(sel, tiles[0], recA_y)
-                rec_u = jnp.where(sel, tiles[1], recA_u)
-                rec_v = jnp.where(sel, tiles[2], recA_v)
-                lv_y = jnp.where(sel, lvs[0], lvA_y)
-                lv_cb = jnp.where(sel, lvs[1], lvA_cb)
-                lv_cr = jnp.where(sel, lvs[2], lvA_cr)
+                selA = (~split & uiA)[:, None, None]
+                rec_y = jnp.where(selA, recA[0], tiles[0])
+                rec_u = jnp.where(selA, recA[1], tiles[1])
+                rec_v = jnp.where(selA, recA[2], tiles[2])
+                lv_y = jnp.where(selA, lvA[0], lvs[0])
+                lv_cb = jnp.where(selA, lvA[1], lvs[1])
+                lv_cr = jnp.where(selA, lvA[2], lvs[2])
 
                 bry = bry.at[cu_s].set(rec_y[:, n - 1, :], mode="drop")
                 rcy = rcy.at[cu_s].set(rec_y[:, :, n - 1], mode="drop")
@@ -901,14 +955,9 @@ class InterFrameEncoder:
                 brv = brv.at[cu_s].set(rec_v[:, nc - 1, :], mode="drop")
                 rcv = rcv.at[cu_s].set(rec_v[:, :, nc - 1], mode="drop")
 
-                ys = [cu_s, split, uiA, imA,
-                      jnp.stack(ui16, 1), jnp.stack(im16, 1),
-                      lv_y, lv_cb, lv_cr, rec_y, rec_u, rec_v]
-                if depth2:
-                    ys.insert(6, jnp.stack(split16, 1))       # [S, 4]
-                    ys.insert(7, jnp.stack(ui8, 1))           # [S, 4, 4]
-                    ys.insert(8, jnp.stack(im8, 1))           # [S, 4, 4]
-                return (bry, rcy, bru, rcu_, brv, rcv), tuple(ys)
+                ys = (cu_s, lv_y, lv_cb, lv_cr, rec_y, rec_u, rec_v)
+                return (bry, rcy, bru, rcu_, brv, rcv), ys
+
             return step
 
         def encode(y, u, v, ref_y, ref_u, ref_v, *rest):
@@ -927,7 +976,6 @@ class InterFrameEncoder:
                                 jnp.clip(qp_cu, 0, 57)) + 6 * (bd - 8)
             qp_y_pad = jnp.concatenate([qp_y_map, qp_y_map[:1]])
             qp_c_pad = jnp.concatenate([qp_c_map, qp_c_map[:1]])
-            qp_sig_pad = jnp.concatenate([qp_cu, qp_cu[:1]])
             y32 = y.astype(jnp.int32)
             u32 = u.astype(jnp.int32)
             v32 = v.astype(jnp.int32)
@@ -937,61 +985,135 @@ class InterFrameEncoder:
             if cfg.bi:
                 refs1 = (ref1_y.astype(jnp.int32), ref1_u.astype(jnp.int32),
                          ref1_v.astype(jnp.int32))
-            qp_max = jnp.max(qp_sig) if qp_sig.ndim else qp_sig
 
-            sizes = [(n, PX32, PY32), (h, PX16, PY16)]
-            if depth2:
-                sizes.append((8, PX8, PY8))
-            low_y = low0_ref = low1_ref = None
+            low_y = low0 = low1 = None
             if cfg.hme:
                 from .lookahead import downscale_half
                 low_y = downscale_half(y32, xp=jnp)
-                low0_ref = downscale_half(refs[0], xp=jnp)
+                low0 = downscale_half(refs[0], xp=jnp)
                 if refs1 is not None:
-                    low1_ref = downscale_half(refs1[0], xp=jnp)
-            dense = {}
-            for nn, px, py in sizes:
-                yb = to_blocks(y32, nn)
-                l0 = l1 = None
-                if cfg.hme:
-                    lb = (low_y.reshape(H // 2 // (nn // 2), nn // 2,
-                                        W // 2 // (nn // 2), nn // 2)
-                          .transpose(0, 2, 1, 3).reshape(-1, nn // 2, nn // 2))
-                    l0 = (low0_ref, lb)
-                    if low1_ref is not None:
-                        l1 = (low1_ref, lb)
-                dense[nn] = decide_motion(yb, refs, refs1, px, py, nn, qp_max,
-                                          l0, l1, wts)
+                    low1 = downscale_half(refs1[0], xp=jnp)
 
+            mv_l0 = sweep_list(y32, refs[0], low_y, low0, wts)
+            mv_l1 = sweep_list(y32, refs1[0], low_y, low1) if cfg.bi else None
+
+            dense = {}
+            leaf = {}
+            for nn in sizes:
+                qp_blk = jnp.take(qp_cu, CTU_OF[nn])
+                qpy_blk = jnp.take(qp_y_map, CTU_OF[nn])
+                qpc_blk = jnp.take(qp_c_map, CTU_OF[nn])
+                lam2 = 0.85 * jnp.exp2((qp_blk.astype(jnp.float32) - 12.0)
+                                       / 3.0)
+                d = decide_motion_dense(nn, y32, refs, refs1, mv_l0[nn],
+                                        None if mv_l1 is None else mv_l1[nn],
+                                        qp_blk, wts)
+                (pdir, m0x, m0y, m1x, m1y, epred, esatd, ebits_mv) = d
+                imodes, ip_y, ip_u, ip_v = dense_intra(nn, y32, u32, v32)
+                hc = nn // 2
+                srcs3 = (to_blocks(y32, nn), to_blocks(u32, hc),
+                         to_blocks(v32, hc))
+                ui, ldist, lbits, elv, erec = dense_leaf_rd(
+                    nn, srcs3, (ip_y, ip_u, ip_v), epred, imodes,
+                    qpy_blk, qpc_blk, lam2, ebits_mv)
+                dense[nn] = (pdir, m0x, m0y, m1x, m1y)
+                leaf[nn] = {"ui": ui, "modes": imodes, "dist": ldist,
+                            "bits": lbits, "elv": elv, "erec": erec,
+                            "lam2": lam2}
+
+            # ---- dense split decisions (bottom-up RD) -------------------
+            lam2_ctu = 0.85 * jnp.exp2((qp_cu.astype(jnp.float32) - 12.0)
+                                       / 3.0)
+            lam2_16 = leaf[h]["lam2"]
+            d16, b16 = leaf[h]["dist"], leaf[h]["bits"]
+            if depth2:
+                d8sum = jnp.take(leaf[8]["dist"], CH8).sum(1)
+                b8sum = jnp.take(leaf[8]["bits"], CH8).sum(1)
+                split16 = (d8sum + lam2_16 * (b8sum + 1.0)) \
+                    < (d16 + lam2_16 * (b16 + 1.0))
+                t16d = jnp.where(split16, d8sum, d16)
+                t16b = jnp.where(split16, b8sum + 1.0, b16 + 1.0)
+            else:
+                t16d, t16b = d16, b16
+            q16 = MAP16[:ncu]                       # [ncu, 4]
+            dB = jnp.take(t16d, q16).sum(1)
+            bB = jnp.take(t16b, q16).sum(1) + 1.0
+            dA = leaf[n]["dist"]
+            bA = leaf[n]["bits"] + 1.0
+            split = (dB + lam2_ctu * bB) < (dA + lam2_ctu * bA)
+
+            # ---- assemble decided inter planes --------------------------
+            base = 8 if depth2 else h
+            hb, wb = H // base, W // base
+            split_up = jnp.repeat(jnp.repeat(
+                split.reshape(rows, cols), n // base, 0), n // base, 1)
+            if depth2:
+                sp16_up = jnp.repeat(jnp.repeat(
+                    split16.reshape(rows * 2, cols * 2), 2, 0), 2, 1)
+                lvl = jnp.where(split_up, jnp.where(sp16_up, 2, 1), 0)
+            else:
+                lvl = split_up.astype(jnp.int32)
+
+            def sel_plane(p32, p16, p8, cell):
+                l_up = jnp.repeat(jnp.repeat(lvl, cell, 0), cell, 1)
+                if p8 is None:
+                    return jnp.where(l_up >= 1, p16, p32)
+                return jnp.where(l_up == 2, p8,
+                                 jnp.where(l_up == 1, p16, p32))
+
+            def build_sel(key, sub):
+                hh = H if sub == 0 else H // 2
+                ww = W if sub == 0 else W // 2
+                f = 1 if sub == 0 else 2
+                p32 = from_blocks(leaf[n][key][sub], n // f, hh, ww)
+                p16 = from_blocks(leaf[h][key][sub], h // f, hh, ww)
+                p8 = None
+                if depth2:
+                    p8 = from_blocks(leaf[8][key][sub], 8 // f, hh, ww)
+                return sel_plane(p32, p16, p8, base // f)
+
+            dec_rec = [build_sel("erec", i) for i in range(3)]
+            dec_lv = [build_sel("elv", i) for i in range(3)]
+
+            # ---- commit scan -------------------------------------------
             def padded(a, shape):
-                return jnp.concatenate([a, jnp.zeros((1,) + shape, a.dtype)], 0)
+                return jnp.concatenate(
+                    [a, jnp.zeros((1,) + shape, a.dtype)], 0)
 
             def pad1(a):
                 return jnp.concatenate([a, jnp.zeros((1,), a.dtype)])
 
-            ipreds = {}
-            for nn, _, _ in sizes:
-                (_, _, _, _, _, pred, satd, mvbits) = dense[nn]
-                ipreds[nn] = (padded(pred[0], (nn, nn)),
-                              padded(pred[1], (nn // 2, nn // 2)),
-                              padded(pred[2], (nn // 2, nn // 2)),
-                              pad1(satd), pad1(mvbits))
-
             srcs = (padded(to_blocks(y32, n), (n, n)),
                     padded(to_blocks(u32, nc), (nc, nc)),
                     padded(to_blocks(v32, nc), (nc, nc)))
-            step = make_step(srcs, ipreds, qp_y_pad, qp_c_pad, qp_sig_pad)
+            init_tiles = (
+                padded(to_blocks(dec_rec[0], n), (n, n)),
+                padded(to_blocks(dec_rec[1], nc), (nc, nc)),
+                padded(to_blocks(dec_rec[2], nc), (nc, nc)),
+                padded(to_blocks(dec_lv[0], n), (n, n)),
+                padded(to_blocks(dec_lv[1], nc), (nc, nc)),
+                padded(to_blocks(dec_lv[2], nc), (nc, nc)))
+            ui16_ctu = jnp.take(leaf[h]["ui"], q16)              # [ncu, 4]
+            im16_ctu = jnp.take(leaf[h]["modes"], q16)
+            head = {
+                "split": pad1(split),
+                "uiA": pad1(leaf[n]["ui"]),
+                "imA": pad1(leaf[n]["modes"]),
+                "ui16": padded(ui16_ctu, (4,)),
+                "im16": padded(im16_ctu, (4,)),
+            }
+            if depth2:
+                q8 = MAP8[:ncu]
+                head["split16"] = padded(jnp.take(split16, q16), (4,))
+                head["ui8"] = padded(jnp.take(leaf[8]["ui"], q8), (4, 4))
+                head["im8"] = padded(jnp.take(leaf[8]["modes"], q8), (4, 4))
+
+            step = make_commit(srcs, init_tiles, head, qp_y_pad, qp_c_pad)
             z0 = y.reshape(-1)[0].astype(jnp.int32) * 0
             init = tuple(jnp.full((ncu + 1, k), fill, jnp.int32) + z0
                          for k in (n, n, nc, nc, nc, nc))
             _, ys = jax.lax.scan(step, init, (rc_all, valid_all))
-            if depth2:
-                (cu_s, split_s, uiA_s, imA_s, ui16_s, im16_s, split16_s,
-                 ui8_s, im8_s, lv_y_s, lv_cb_s, lv_cr_s,
-                 rec_y_s, rec_u_s, rec_v_s) = ys
-            else:
-                (cu_s, split_s, uiA_s, imA_s, ui16_s, im16_s,
-                 lv_y_s, lv_cb_s, lv_cr_s, rec_y_s, rec_u_s, rec_v_s) = ys
+            (cu_s, lv_y_s, lv_cb_s, lv_cr_s, rec_y_s, rec_u_s, rec_v_s) = ys
             flat_cu = cu_s.reshape(-1)
 
             def collect(x, shape, dtype=None):
@@ -1001,11 +1123,6 @@ class InterFrameEncoder:
                     x.reshape((-1,) + shape).astype(acc.dtype), mode="drop")
                 return acc[:ncu]
 
-            split = collect(split_s, (), jnp.uint8)
-            uiA = collect(uiA_s, (), jnp.uint8)
-            imA = collect(imA_s, ())
-            ui16 = collect(ui16_s, (4,), jnp.uint8)
-            im16 = collect(im16_s, (4,))
             lv_y = collect(lv_y_s, (n, n))
             lv_cb = collect(lv_cb_s, (nc, nc))
             lv_cr = collect(lv_cr_s, (nc, nc))
@@ -1013,7 +1130,6 @@ class InterFrameEncoder:
             rec_u = collect(rec_u_s, (nc, nc))
             rec_v = collect(rec_v_s, (nc, nc))
 
-            q16 = MAP16[:ncu]
             gq16 = lambda a: jnp.take(a, q16.reshape(-1), axis=0)
             rec_cat = jnp.concatenate([
                 from_blocks(rec_y, n, H, W).reshape(-1),
@@ -1025,19 +1141,22 @@ class InterFrameEncoder:
                     rec_cat.astype(jnp.int16), jnp.uint8).reshape(-1)
             else:
                 recon8 = rec_cat.astype(jnp.uint8)
-            head_parts = [split, uiA, imA.astype(jnp.uint8),
-                          ui16.reshape(-1), im16.astype(jnp.uint8).reshape(-1)]
-            (pdirA, mvA0x, mvA0y, mvA1x, mvA1y, _, _, _) = dense[n]
-            (pdirB, mvB0x, mvB0y, mvB1x, mvB1y, _, _, _) = dense[h]
+            head_parts = [split.astype(jnp.uint8),
+                          leaf[n]["ui"].astype(jnp.uint8),
+                          leaf[n]["modes"].astype(jnp.uint8),
+                          ui16_ctu.astype(jnp.uint8).reshape(-1),
+                          im16_ctu.astype(jnp.uint8).reshape(-1)]
+            (pdirA, mvA0x, mvA0y, mvA1x, mvA1y) = dense[n]
+            (pdirB, mvB0x, mvB0y, mvB1x, mvB1y) = dense[h]
             if depth2:
-                split16 = collect(split16_s, (4,), jnp.uint8)
-                ui8 = collect(ui8_s, (4, 4), jnp.uint8)
-                im8 = collect(im8_s, (4, 4))
-                head_parts += [split16.reshape(-1), ui8.reshape(-1),
-                               im8.astype(jnp.uint8).reshape(-1)]
-                q8 = MAP8[:ncu]
-                gq8 = lambda a: jnp.take(a, q8.reshape(-1), axis=0)
-                (pdirC, mvC0x, mvC0y, mvC1x, mvC1y, _, _, _) = dense[8]
+                gq8 = lambda a: jnp.take(a, MAP8[:ncu].reshape(-1), axis=0)
+                head_parts += [
+                    jnp.take(split16, q16).astype(jnp.uint8).reshape(-1),
+                    jnp.take(leaf[8]["ui"], MAP8[:ncu]).astype(
+                        jnp.uint8).reshape(-1),
+                    jnp.take(leaf[8]["modes"], MAP8[:ncu]).astype(
+                        jnp.uint8).reshape(-1)]
+                (pdirC, mvC0x, mvC0y, mvC1x, mvC1y) = dense[8]
             if cfg.bi:
                 head_parts += [pdirA.astype(jnp.uint8),
                                gq16(pdirB).astype(jnp.uint8)]
@@ -1056,7 +1175,8 @@ class InterFrameEncoder:
             levels16 = jnp.concatenate([
                 lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)
             ]).astype(jnp.int16)
-            levels8 = jax.lax.bitcast_convert_type(levels16, jnp.uint8).reshape(-1)
+            levels8 = jax.lax.bitcast_convert_type(levels16,
+                                                   jnp.uint8).reshape(-1)
             return jnp.concatenate([recon8, head8, mv8, levels8])
 
         return encode

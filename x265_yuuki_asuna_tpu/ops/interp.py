@@ -87,6 +87,104 @@ def mc_block_batch(ref_plane, px, py, mv_int_x, mv_int_y, frac_x, frac_y,
     return xp.clip(out, 0, (1 << bit_depth) - 1)
 
 
+def gather_luma_window(ref_plane, px, py, mv_int_x, mv_int_y, n: int, xp=np):
+    """Gather one [B, n+8, n+8] reference window per block, centered so that
+    win[:, 4, 4] is the sample at the integer MV. One gather serves every
+    qpel offset in [-3, 3]^2 — subpel refinement then runs on local slices
+    instead of re-gathering the full plane per candidate (the compile-time
+    and HBM hot spot of the old per-eval path)."""
+    H, W = ref_plane.shape
+    ext = n + 8
+    rows = (py + mv_int_y)[:, None] + (xp.arange(ext) - 4)[None, :]
+    cols = (px + mv_int_x)[:, None] + (xp.arange(ext) - 4)[None, :]
+    rows = xp.clip(rows, 0, H - 1)
+    cols = xp.clip(cols, 0, W - 1)
+    win = xp.take(ref_plane.reshape(-1),
+                  rows[:, :, None] * W + cols[:, None, :], axis=0)
+    return win.astype(xp.int32)
+
+
+def subpel_refine_win(win, src_blocks, n: int, bit_depth: int = 8, xp=np,
+                      satd_fn=None):
+    """Half- then quarter-pel SATD refinement on a pre-gathered window
+    (gather_luma_window). Returns (dqx, dqy, best_satd) with dq* in
+    [-3, 3] qpel relative to the window's integer center.
+
+    Reference behavior: motion.cpp subpel iterations (2 rounds of 8
+    neighbors, SATD-costed); here the half-pel round uses static offsets
+    and the quarter-pel round per-block dynamic offsets, all on the same
+    local window."""
+    from . import pixel as _pixel
+    if satd_fn is None:
+        satd_fn = lambda a, b: _pixel.satd(a, b, xp=xp)
+    filters = xp.asarray(LUMA_FILTERS) if xp is not np else LUMA_FILTERS
+    B = win.shape[0]
+    headroom = 14 - bit_depth
+    shift1 = 6 - headroom
+    shift2 = 6 + headroom
+    offset2 = (1 << (shift2 - 1)) + (IF_INTERNAL_OFFS << 6)
+    maxv = (1 << bit_depth) - 1
+    src = src_blocks.astype(xp.int32)
+
+    def filt(sub, cfx, cfy):
+        # sub: [B, n+7, n+7] local window; cf*: [B, 8] per-block taps
+        acc = xp.zeros((B, n + 7, n), xp.int32)
+        for k in range(8):
+            acc = acc + cfx[:, k, None, None] * sub[:, :, k:k + n]
+        if shift1 >= 0:
+            mid = xp.right_shift(acc - (IF_INTERNAL_OFFS << shift1), shift1) \
+                if shift1 else acc - IF_INTERNAL_OFFS
+        else:
+            mid = xp.left_shift(acc, -shift1) - IF_INTERNAL_OFFS
+        acc2 = xp.zeros((B, n, n), xp.int32)
+        for k in range(8):
+            acc2 = acc2 + cfy[:, k, None, None] * mid[:, k:k + n, :]
+        out = xp.right_shift(acc2 + offset2, shift2)
+        return xp.clip(out, 0, maxv)
+
+    def eval_static(dx: int, dy: int):
+        ox, oy = dx >> 2, dy >> 2
+        sub = win[:, oy + 1:oy + 1 + n + 7, ox + 1:ox + 1 + n + 7]
+        cfx = xp.broadcast_to(filters[dx & 3][None], (B, 8))
+        cfy = xp.broadcast_to(filters[dy & 3][None], (B, 8))
+        return satd_fn(src, filt(sub, cfx, cfy))
+
+    def eval_dyn(dx, dy):
+        ox, oy = xp.right_shift(dx, 2), xp.right_shift(dy, 2)
+        ar7 = xp.arange(n + 7)
+        t = xp.take_along_axis(win, (oy[:, None] + 1 + ar7[None])[:, :, None],
+                               axis=1)
+        sub = xp.take_along_axis(t, (ox[:, None] + 1 + ar7[None])[:, None, :],
+                                 axis=2)
+        return satd_fn(src, filt(sub, filters[dx & 3], filters[dy & 3]))
+
+    NBR = ((-1, 0), (1, 0), (0, -1), (0, 1),
+           (-1, -1), (1, -1), (-1, 1), (1, 1))
+    best = eval_static(0, 0)
+    bx = xp.zeros((B,), xp.int32)
+    by = xp.zeros((B,), xp.int32)
+    # half-pel round: static offsets
+    cand_best, nbx, nby = best, bx, by
+    for ddx, ddy in NBR:
+        c = eval_static(2 * ddx, 2 * ddy)
+        better = c < cand_best
+        nbx = xp.where(better, 2 * ddx, nbx)
+        nby = xp.where(better, 2 * ddy, nby)
+        cand_best = xp.minimum(c, cand_best)
+    bx, by, best = nbx, nby, cand_best
+    # quarter-pel round: per-block dynamic offsets
+    cand_best, nbx, nby = best, bx, by
+    for ddx, ddy in NBR:
+        dx = bx + ddx
+        dy = by + ddy
+        c = eval_dyn(dx, dy)
+        better = c < cand_best
+        nbx = xp.where(better, dx, nbx)
+        nby = xp.where(better, dy, nby)
+        cand_best = xp.minimum(c, cand_best)
+    return nbx, nby, cand_best
+
+
 def mc_luma_qpel(ref_plane, px, py, mv_qpel_x, mv_qpel_y, n: int,
                  bit_depth: int = 8, xp=np):
     """Luma MC with quarter-pel MVs [B]."""

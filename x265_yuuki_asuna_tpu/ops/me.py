@@ -12,6 +12,92 @@ from __future__ import annotations
 import numpy as np
 
 
+def sad_sweep_multi(ref_plane, src_plane, sizes, srange: int,
+                    lambda_bits: int = 1):
+    """Frame-level full-search ME for ALL aligned block sizes in one pass.
+
+    TPU-first formulation of motion.cpp:739's per-PU pattern search: instead
+    of gathering per-block candidate windows (which materialises a
+    [B, (2R+1)^2, n, n] tensor), sweep the (2R+1)^2 global displacements of
+    the whole reference plane. For each displacement the |ref(x+d) - src(x)|
+    plane is reduced hierarchically: 8x8 block sums, then 2x2 sums of those
+    for 16x16, then 32x32 — so the SADs for every size come from ONE abs-diff
+    pass. dy is a lax.scan (33 steps at R=16); dx is vectorised.
+
+    Cost = SAD + lambda_bits * (|dx| + |dy|), tie-break = smallest dy then
+    smallest dx (identical to full_search_sad's flattened argmin).
+
+    ref/src: [H, W] integer planes (H, W multiples of max(sizes)).
+    Returns {n: (mvx, mvy, sad)} with flat row-major block arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    H, W = src_plane.shape
+    R = srange
+    D = 2 * R + 1
+    sizes = sorted(sizes)
+    base = sizes[0]
+    src16 = src_plane.astype(jnp.int16)
+    ref_pad = jnp.pad(ref_plane.astype(jnp.int16), R, mode="edge")
+    dxs = jnp.arange(D, dtype=jnp.int32)
+    bias_dx = lambda_bits * jnp.abs(dxs - R)            # [D]
+
+    def block_sums(d_abs):
+        """[D, H, W] -> {n: [D, H/n, W/n]} hierarchical block sums."""
+        out = {}
+        s = (d_abs.reshape(D, H // base, base, W // base, base)
+             .astype(jnp.int32).sum(axis=(2, 4)))
+        out[base] = s
+        for n in sizes[1:]:
+            hh, ww = H // n, W // n
+            s = s.reshape(D, hh, 2, ww, 2).sum(axis=(2, 4))
+            out[n] = s
+        return out
+
+    def body(carry, dy):
+        rows = jax.lax.dynamic_slice(ref_pad, (dy, 0), (H, W + 2 * R))
+        winds = jax.vmap(
+            lambda dx: jax.lax.dynamic_slice(rows, (0, dx), (H, W)))(dxs)
+        d_abs = jnp.abs(winds - src16[None])
+        sums = block_sums(d_abs)
+        bias_dy = lambda_bits * jnp.abs(dy - R)
+        new_carry = []
+        for n, (bc, bx, by, bs) in zip(sizes, carry):
+            cost = sums[n] + (bias_dx + bias_dy)[:, None, None]
+            a = jnp.argmin(cost, axis=0)                 # [hn, wn] first-min dx
+            c = jnp.take_along_axis(cost, a[None], axis=0)[0]
+            s = jnp.take_along_axis(sums[n], a[None], axis=0)[0]
+            upd = c < bc                                 # strict: first dy wins
+            new_carry.append((jnp.where(upd, c, bc),
+                              jnp.where(upd, a.astype(jnp.int32) - R, bx),
+                              jnp.where(upd, dy - R, by),
+                              jnp.where(upd, s, bs)))
+        return tuple(new_carry), None
+
+    init = tuple((jnp.full((H // n, W // n), 2 ** 30, jnp.int32),
+                  jnp.zeros((H // n, W // n), jnp.int32),
+                  jnp.zeros((H // n, W // n), jnp.int32),
+                  jnp.zeros((H // n, W // n), jnp.int32)) for n in sizes)
+    final, _ = jax.lax.scan(body, init, jnp.arange(D, dtype=jnp.int32))
+    return {n: (bx.reshape(-1), by.reshape(-1), bs.reshape(-1))
+            for n, (bc, bx, by, bs) in zip(sizes, final)}
+
+
+def sad_at_mv(ref_plane, src_blocks, px, py, mvx, mvy, n: int, xp=np):
+    """SAD of each block against the reference at a given integer MV
+    (border-clamped) — used to score a handful of extra candidates (e.g.
+    the upscaled coarse-HME vector) without a full sweep."""
+    H, W = ref_plane.shape
+    ar = xp.arange(n)
+    rows = xp.clip((py + mvy)[:, None] + ar[None, :], 0, H - 1)
+    cols = xp.clip((px + mvx)[:, None] + ar[None, :], 0, W - 1)
+    win = xp.take(ref_plane.reshape(-1),
+                  rows[:, :, None] * W + cols[:, None, :], axis=0)
+    d = xp.abs(win.astype(xp.int32) - src_blocks.astype(xp.int32))
+    return xp.sum(d, axis=(-2, -1))
+
+
 def full_search_sad(ref_plane, src_blocks, px, py, n: int, srange: int,
                     lambda_bits: int = 1, xp=np, center=None):
     """Integer full search: for each block b at (px, py) with source
