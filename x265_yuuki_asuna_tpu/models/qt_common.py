@@ -113,3 +113,30 @@ def block_v(tile, lrc, tbr, trbr, tlbr, al, at, atr, atl,
 
 # z-order offsets of the 4 quadrants of any block
 QOFF = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+def source_v(plane, nn: int):
+    """Boundary vectors [nblocks, 4nn+1] gathered from the edge-replicated
+    SOURCE plane for every aligned nn-block — the fast-intra analog: mode
+    decisions from source neighbors in one dense batch (no wavefront), with
+    the exact recon produced later by the commit scan."""
+    hh, ww = plane.shape
+    p = jnp.pad(plane, 1, mode="edge")
+    cn = ww // nn
+    nb = (hh // nn) * cn
+    y0 = (np.arange(nb) // cn) * nn + 1
+    x0 = (np.arange(nb) % cn) * nn + 1
+    ar = np.arange(nn)
+    bl_rows = np.minimum(y0[:, None] + 2 * nn - 1 - ar[None, :], hh)
+    lf_rows = y0[:, None] + nn - 1 - ar[None, :]
+    top_cols = x0[:, None] + ar[None, :]
+    tr_cols = np.minimum(x0[:, None] + nn + ar[None, :], ww + 1)
+    coll = (x0 - 1)[:, None]
+    rowt = (y0 - 1)[:, None]
+    return jnp.concatenate([
+        p[jnp.asarray(bl_rows), jnp.asarray(coll)],
+        p[jnp.asarray(lf_rows), jnp.asarray(coll)],
+        p[jnp.asarray(rowt), jnp.asarray(coll)],
+        p[jnp.asarray(rowt), jnp.asarray(top_cols)],
+        p[jnp.asarray(rowt), jnp.asarray(tr_cols)],
+    ], axis=1)

@@ -304,13 +304,31 @@ def est_tu_bits_ctx(levels, log2n: int, is_luma: bool, states, xp=np,
     # 8 significants). Carry that flag down the CG scan with a short
     # unrolled chain (ncg <= 64).
     had_gt1 = xp.any(g1val * g1_coded > 0, axis=-1)   # [B, ncg]
-    prev_flag = xp.zeros((B,), xp.int32)
-    prev_cols = []
-    for j in range(ncg - 1, -1, -1):
-        prev_cols.append(prev_flag)
-        sel = cg_nz[:, j]
-        prev_flag = xp.where(sel, had_gt1[:, j].astype(xp.int32), prev_flag)
-    prev_gt1_cg = xp.stack(prev_cols[::-1], axis=-1)  # [B, ncg]
+    if xp is np or ncg <= 4:
+        prev_flag = xp.zeros((B,), xp.int32)
+        prev_cols = []
+        for j in range(ncg - 1, -1, -1):
+            prev_cols.append(prev_flag)
+            sel = cg_nz[:, j]
+            prev_flag = xp.where(sel, had_gt1[:, j].astype(xp.int32),
+                                 prev_flag)
+        prev_gt1_cg = xp.stack(prev_cols[::-1], axis=-1)  # [B, ncg]
+    else:
+        # "last had_gt1 among later coded CGs" = associative selection scan
+        # over the reversed CG axis (keeps the traced graph O(log ncg)
+        # instead of an ncg-step unrolled chain — XLA compile size)
+        import jax
+        vals = xp.where(cg_nz[:, ::-1], had_gt1[:, ::-1].astype(xp.int32),
+                        -1)
+
+        def comb(a, b):
+            return xp.where(b >= 0, b, a)
+
+        run = jax.lax.associative_scan(comb, vals, axis=-1)
+        # exclusive: shift right by one (no "later CG" for the last CG)
+        run = xp.concatenate(
+            [xp.full((B, 1), -1, xp.int32), run[:, :-1]], axis=-1)
+        prev_gt1_cg = xp.maximum(run, 0)[:, ::-1]
     ctx_set = ((2 if is_luma else 0) * (cg_idx[None, :] > 0).astype(xp.int32)
                + xp.where(prev_gt1_cg > 0, 0, 1))
     one_bank = CTX["one"] + (0 if is_luma else 16)

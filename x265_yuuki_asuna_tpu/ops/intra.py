@@ -430,28 +430,34 @@ def predict_all_modes_matmul(v, n: int, bit_depth: int = 8, luma: bool = True,
 def predict_mode_matmul(v, modes, n: int, bit_depth: int = 8,
                         luma: bool = True, strong_smoothing: bool = False,
                         chroma444: bool = False, xp=np):
-    """Single-mode variant of predict_all_modes_matmul: computes ONLY each
-    sample's chosen mode via a per-sample gathered weight matrix — 35x fewer
-    MXU FLOPs when the mode is already decided (chroma DM, fast-intra).
-    v: [B, 4n+1]; modes: [B] int32. Bit-exact with the all-modes path."""
+    """Single-mode variant of predict_all_modes_matmul. v: [B, 4n+1];
+    modes: [B] int32. Bit-exact with the all-modes path.
+
+    Device (jnp) formulation: ONE dense [B, 2L] x [2L, 35*n*n] MXU matmul
+    followed by take_along_axis on the mode axis. MXU FLOPs are cheap on
+    TPU; the per-sample gathered-weights alternative (take(Wm, modes) ->
+    [B, n*n, 2L] then a batched matvec) moves 7-60x more bytes through HBM
+    and runs on gathers instead of the systolic array — it profiled as the
+    dominant cost of the 1080p commit scan (round-3 finding). numpy keeps
+    the gathered form (no MXU to feed, memory is cheaper than FLOPs)."""
     W, T = allangs_matrix(n, luma or chroma444)
     vi = v.astype(xp.int32)
     B = vi.shape[0]
     two_n = 2 * n
+    if xp is not np:
+        allp = predict_all_modes_matmul(v, n, bit_depth, luma=luma,
+                                        strong_smoothing=strong_smoothing,
+                                        chroma444=chroma444, xp=xp)
+        return xp.take_along_axis(
+            allp, modes.astype(xp.int32)[:, None, None, None], axis=1)[:, 0]
     if (luma or chroma444) and n > 4:
         vf = filter_references(vi, n, bit_depth, strong_smoothing, xp=xp)
     else:
         vf = vi
     vcat = xp.concatenate([vi, vf], axis=-1).astype(xp.float32)   # [B, 2L]
     Wm = W.reshape(35, n * n, -1)
-    if xp is not np:
-        import jax
-        Wsel = xp.take(xp.asarray(Wm, xp.float32), modes, axis=0)  # [B,p,2L]
-        acc = jax.numpy.einsum("bl,bpl->bp", vcat, Wsel,
-                               precision=jax.lax.Precision.HIGHEST)
-    else:
-        Wsel = Wm[np.asarray(modes)]
-        acc = np.einsum("bl,bpl->bp", vcat, Wsel)
+    Wsel = Wm[np.asarray(modes)]
+    acc = np.einsum("bl,bpl->bp", vcat, Wsel)
     acc = acc.astype(xp.int32)
     pred = xp.right_shift(acc + (1 << (T - 1)), T).reshape(B, n, n)
 

@@ -13,7 +13,7 @@ import numpy as np
 
 
 def sad_sweep_multi(ref_plane, src_plane, sizes, srange: int,
-                    lambda_bits: int = 1):
+                    lambda_bits: int = 1, use_pallas: bool = None):
     """Frame-level full-search ME for ALL aligned block sizes in one pass.
 
     TPU-first formulation of motion.cpp:739's per-PU pattern search: instead
@@ -30,8 +30,20 @@ def sad_sweep_multi(ref_plane, src_plane, sizes, srange: int,
     ref/src: [H, W] integer planes (H, W multiples of max(sizes)).
     Returns {n: (mvx, mvy, sad)} with flat row-major block arrays.
     """
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    if use_pallas is None:
+        use_pallas = os.environ.get("ASUNA_PALLAS") == "1"
+    if use_pallas and min(sizes) >= 8:
+        # Pallas K1 kernel (ops/pallas/me_sad) — bit-exact drop-in; opt-in
+        # because the tunnel backend may not lower Pallas (gate + canary in
+        # bench.py)
+        from .pallas.me_sad import sad_sweep_multi_pallas
+        return sad_sweep_multi_pallas(ref_plane, src_plane, sizes, srange,
+                                      lambda_bits)
 
     H, W = src_plane.shape
     R = srange
@@ -75,10 +87,13 @@ def sad_sweep_multi(ref_plane, src_plane, sizes, srange: int,
                               jnp.where(upd, s, bs)))
         return tuple(new_carry), None
 
-    init = tuple((jnp.full((H // n, W // n), 2 ** 30, jnp.int32),
-                  jnp.zeros((H // n, W // n), jnp.int32),
-                  jnp.zeros((H // n, W // n), jnp.int32),
-                  jnp.zeros((H // n, W // n), jnp.int32)) for n in sizes)
+    # derive the init from a traced input so the carry inherits the same
+    # varying-axes type under shard_map (pvary/pcast requirement)
+    z = (src16[0, 0] * 0).astype(jnp.int32)
+    init = tuple((jnp.full((H // n, W // n), 2 ** 30, jnp.int32) + z,
+                  jnp.zeros((H // n, W // n), jnp.int32) + z,
+                  jnp.zeros((H // n, W // n), jnp.int32) + z,
+                  jnp.zeros((H // n, W // n), jnp.int32) + z) for n in sizes)
     final, _ = jax.lax.scan(body, init, jnp.arange(D, dtype=jnp.int32))
     return {n: (bx.reshape(-1), by.reshape(-1), bs.reshape(-1))
             for n, (bc, bx, by, bs) in zip(sizes, final)}

@@ -26,30 +26,30 @@ EO_NEIGHBORS = {
 }
 
 
-def eo_category(plane: np.ndarray, eo_class: int) -> np.ndarray:
+def eo_category(plane, eo_class: int, xp=np):
     """Per-pixel EO category (0 = unfiltered/flat, 1..4) with picture-border
-    pixels (missing neighbor) forced to category 0."""
+    pixels (missing neighbor) forced to category 0. xp-generic (K11 device
+    form uses jnp: pad+slice shifts fuse into the stats reduction)."""
     H, W = plane.shape
-    p = plane.astype(np.int32)
+    p = plane.astype(xp.int32)
     (dy0, dx0), (dy1, dx1) = EO_NEIGHBORS[eo_class]
+    sent = xp.int32(1 << 30)
+    pp = xp.pad(p, ((1, 1), (1, 1)), mode="constant",
+                constant_values=1 << 30)
 
     def shifted(dy, dx):
-        out = np.full((H, W), 1 << 30, np.int32)   # sentinel: unavailable
-        ys = slice(max(dy, 0), H + min(dy, 0))
-        xs = slice(max(dx, 0), W + min(dx, 0))
-        yd = slice(max(-dy, 0), H + min(-dy, 0))
-        xd = slice(max(-dx, 0), W + min(-dx, 0))
-        out[yd, xd] = p[ys, xs]
-        return out
+        return pp[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
 
     n0 = shifted(dy0, dx0)
     n1 = shifted(dy1, dx1)
-    valid = (n0 != (1 << 30)) & (n1 != (1 << 30))
-    raw = 2 + np.sign(p - np.where(valid, n0, p)) + \
-        np.sign(p - np.where(valid, n1, p))
-    cat = np.select([raw == 0, raw == 1, raw == 2, raw == 3, raw == 4],
-                    [1, 2, 0, 3, 4])
-    return np.where(valid, cat, 0).astype(np.int32)
+    valid = (n0 != sent) & (n1 != sent)
+    raw = 2 + xp.sign(p - xp.where(valid, n0, p)) + \
+        xp.sign(p - xp.where(valid, n1, p))
+    cat = xp.where(raw == 0, 1,
+                   xp.where(raw == 1, 2,
+                            xp.where(raw == 2, 0,
+                                     xp.where(raw == 3, 3, 4))))
+    return xp.where(valid, cat, 0).astype(xp.int32)
 
 
 def bo_band(plane: np.ndarray, bit_depth: int = 8) -> np.ndarray:
@@ -184,6 +184,281 @@ def apply_sao_component(recon: np.ndarray, params, n: int, bit_depth: int = 8):
                 out[ys, xs] = np.clip(recon[ys, xs].astype(np.int32)
                                       + lut[band], 0, maxv)
     return out
+
+
+_STATS_JIT = {}
+_STATS3_JIT = {}
+
+
+def _stats_fn(H, W, n, bit_depth):
+    """Build the per-plane stats body (shared by the 1- and 3-plane jits)."""
+    import jax.numpy as jnp
+    rows, cols = H // n, W // n
+
+    def tile_sum(x):
+        return x.reshape(rows, n, cols, n).sum(axis=(1, 3))
+
+    def f(rec, sr):
+        rec32 = rec.astype(jnp.int32)
+        d = sr.astype(jnp.float32) - rec32.astype(jnp.float32)
+        eo_s = []
+        eo_c = []
+        for cls in range(4):
+            cat = eo_category(rec32, cls, xp=jnp)
+            ss = []
+            cc = []
+            for k in range(5):
+                m = (cat == k).astype(jnp.float32)
+                ss.append(tile_sum(m * d))
+                cc.append(tile_sum(m))
+            eo_s.append(jnp.stack(ss))
+            eo_c.append(jnp.stack(cc))
+        bands = jnp.right_shift(rec32, bit_depth - 5)
+        bs = []
+        bc = []
+        for b in range(32):
+            m = (bands == b).astype(jnp.float32)
+            bs.append(tile_sum(m * d))
+            bc.append(tile_sum(m))
+        return (jnp.stack(eo_s), jnp.stack(eo_c),
+                jnp.stack(bs), jnp.stack(bc))
+
+    return f
+
+
+def _to_stats_dict(eo_s, eo_c, bo_s, bo_c):
+    eo = np.zeros(eo_s.shape + (2,), np.int64)
+    eo[..., 0] = np.rint(eo_s).astype(np.int64)
+    eo[..., 1] = np.rint(eo_c).astype(np.int64)
+    bo = np.zeros(bo_s.shape + (2,), np.int64)
+    bo[..., 0] = np.rint(bo_s).astype(np.int64)
+    bo[..., 1] = np.rint(bo_c).astype(np.int64)
+    return {"eo": eo, "bo": bo}
+
+
+def sao_stats_dev3(rec3, src3, n: int, bit_depth: int = 8):
+    """All three planes' SAO statistics in ONE device dispatch (one tunnel
+    round trip instead of three) with minimal-dtype uploads."""
+    import jax
+    import jax.numpy as jnp
+    pdt = np.uint16 if bit_depth > 8 else np.uint8
+    Hy, Wy = rec3[0].shape
+    Hc, Wc = rec3[1].shape
+    nc = n // 2
+    key = (Hy, Wy, n, bit_depth)
+    if key not in _STATS3_JIT:
+        fy = _stats_fn(Hy, Wy, n, bit_depth)
+        fc = _stats_fn(Hc, Wc, nc, bit_depth)
+
+        def f3(ry, sy, ru, su, rv, sv):
+            return fy(ry, sy), fc(ru, su), fc(rv, sv)
+
+        _STATS3_JIT[key] = jax.jit(f3)
+    args = []
+    for r, s in zip(rec3, src3):
+        args += [jnp_arr(np.asarray(r).astype(pdt)),
+                 jnp_arr(np.asarray(s).astype(pdt))]
+    outs = _STATS3_JIT[key](*args)
+    return tuple(_to_stats_dict(*(np.asarray(a) for a in o)) for o in outs)
+
+
+def sao_stats_dev(recon, src, n: int, bit_depth: int = 8):
+    """K11 device form of sao_stats: per-CTU (sum, count) for every EO
+    class/category and BO band, computed as fused mask+tile reductions in
+    ONE jitted program (no host full-resolution pass — the round-2
+    host-numpy bincount ran per frame on the flagship path).
+
+    Sums fit f32 exactly: |diff| <= 1023, tile count <= 64^2."""
+    import jax
+    import jax.numpy as jnp
+    H, W = recon.shape
+    key = (H, W, n, bit_depth)
+    if key not in _STATS_JIT:
+        rows, cols = H // n, W // n
+
+        def tile_sum(x):
+            return x.reshape(rows, n, cols, n).sum(axis=(1, 3))
+
+        def f(rec, sr):
+            rec32 = rec.astype(jnp.int32)
+            d = sr.astype(jnp.float32) - rec32.astype(jnp.float32)
+            eo_s = []
+            eo_c = []
+            for cls in range(4):
+                cat = eo_category(rec32, cls, xp=jnp)
+                ss = []
+                cc = []
+                for k in range(5):
+                    m = (cat == k).astype(jnp.float32)
+                    ss.append(tile_sum(m * d))
+                    cc.append(tile_sum(m))
+                eo_s.append(jnp.stack(ss))
+                eo_c.append(jnp.stack(cc))
+            bands = jnp.right_shift(rec32, bit_depth - 5)
+            bs = []
+            bc = []
+            for b in range(32):
+                m = (bands == b).astype(jnp.float32)
+                bs.append(tile_sum(m * d))
+                bc.append(tile_sum(m))
+            return (jnp.stack(eo_s), jnp.stack(eo_c),
+                    jnp.stack(bs), jnp.stack(bc))
+
+        _STATS_JIT[key] = jax.jit(f)
+    eo_s, eo_c, bo_s, bo_c = (np.asarray(a) for a in _STATS_JIT[key](
+        jnp_arr(recon), jnp_arr(src)))
+    rows, cols = H // n, W // n
+    eo = np.zeros((4, 5, rows, cols, 2), np.int64)
+    eo[..., 0] = np.rint(eo_s).astype(np.int64)
+    eo[..., 1] = np.rint(eo_c).astype(np.int64)
+    bo = np.zeros((32, rows, cols, 2), np.int64)
+    bo[..., 0] = np.rint(bo_s).astype(np.int64)
+    bo[..., 1] = np.rint(bo_c).astype(np.int64)
+    return {"eo": eo, "bo": bo}
+
+
+def jnp_arr(x):
+    import jax.numpy as jnp
+    return jnp.asarray(np.ascontiguousarray(x))
+
+
+def _best_offsets_vec(s, c, max_abs: int, sign=None):
+    """Vectorized _best_offset over arbitrary leading axes.
+    sign: None | 'pos' | 'neg' (EO category sign rule).
+    Returns (h, delta_d) with delta_d <= 0."""
+    s = s.astype(np.float64)
+    c = c.astype(np.float64)
+    h0 = np.rint(np.divide(s, np.maximum(c, 1.0)))
+    h0 = np.clip(h0, -max_abs, max_abs)
+    if sign == "pos":
+        h0 = np.maximum(h0, 0)
+    elif sign == "neg":
+        h0 = np.minimum(h0, 0)
+    sgn = np.sign(h0)
+    mag = np.abs(h0)
+    cands = np.arange(max_abs + 1, dtype=np.float64)
+    d = (c[..., None] * cands * cands
+         - 2.0 * cands * (s * sgn)[..., None])
+    d = np.where(cands <= mag[..., None], d, 0.0)
+    k = np.argmin(d, axis=-1)
+    best_d = np.take_along_axis(d, k[..., None], -1)[..., 0]
+    return (k * sgn).astype(np.int32), best_d
+
+
+def decide_sao_luma_all(stats, bit_depth: int = 8,
+                        lambda_bits: float = 60.0):
+    """Vectorized decide_sao_ctu over the whole CTU grid.
+    Returns (t [r,c], aux [r,c], offs [r,c,4])."""
+    max_abs = (1 << (min(bit_depth, 10) - 5)) - 1
+    s = stats["eo"][:, 1:5, :, :, 0]
+    c = stats["eo"][:, 1:5, :, :, 1]
+    h_pos, d_pos = _best_offsets_vec(s, c, max_abs, "pos")
+    h_neg, d_neg = _best_offsets_vec(s, c, max_abs, "neg")
+    sel_pos = np.arange(4)[None, :, None, None] < 2
+    h = np.where(sel_pos, h_pos, h_neg)            # [4, 4, r, c]
+    d = np.where(sel_pos, d_pos, d_neg)
+    dtot = d.sum(axis=1)                           # [4, r, c]
+    cls = np.argmin(dtot, axis=0)                  # [r, c]
+    eo_d = np.take_along_axis(dtot, cls[None], 0)[0]
+    eo_offs = np.take_along_axis(
+        h, cls[None, None], 0)[0].transpose(1, 2, 0)   # [r, c, 4]
+
+    hb, db = _best_offsets_vec(stats["bo"][..., 0], stats["bo"][..., 1],
+                               max_abs)            # [32, r, c]
+    wins = np.stack([db[b:b + 4].sum(axis=0) for b in range(29)])
+    wb = np.argmin(wins, axis=0)                   # [r, c]
+    bo_d = np.take_along_axis(wins, wb[None], 0)[0]
+    bi = wb[None] + np.arange(4)[:, None, None]
+    bo_offs = np.take_along_axis(hb, bi, 0).transpose(1, 2, 0)
+
+    eo_cost = eo_d + lambda_bits
+    bo_cost = bo_d + lambda_bits
+    use_eo = (eo_cost < 0) & (eo_cost <= bo_cost)
+    use_bo = (bo_cost < 0) & ~use_eo
+    t = np.where(use_eo, SAO_EO, np.where(use_bo, SAO_BO, SAO_OFF))
+    aux = np.where(use_eo, cls, wb).astype(np.int32)
+    offs = np.where(use_eo[..., None], eo_offs,
+                    np.where(use_bo[..., None], bo_offs, 0)).astype(np.int32)
+    return t.astype(np.int32), aux, offs
+
+
+def decide_sao_chroma_all(stats_cb, stats_cr, bit_depth: int = 8,
+                          lambda_bits: float = 60.0):
+    """Vectorized decide_sao_chroma: cb/cr share the type and EO class.
+    Returns (t, aux_cb, aux_cr, offs_cb, offs_cr)."""
+    max_abs = (1 << (min(bit_depth, 10) - 5)) - 1
+    hs, ds = [], []
+    for st in (stats_cb, stats_cr):
+        s = st["eo"][:, 1:5, :, :, 0]
+        c = st["eo"][:, 1:5, :, :, 1]
+        h_pos, d_pos = _best_offsets_vec(s, c, max_abs, "pos")
+        h_neg, d_neg = _best_offsets_vec(s, c, max_abs, "neg")
+        sel_pos = np.arange(4)[None, :, None, None] < 2
+        hs.append(np.where(sel_pos, h_pos, h_neg))
+        ds.append(np.where(sel_pos, d_pos, d_neg))
+    dtot = ds[0].sum(axis=1) + ds[1].sum(axis=1)   # [4, r, c]
+    cls = np.argmin(dtot, axis=0)
+    eo_d = np.take_along_axis(dtot, cls[None], 0)[0]
+    eo_offs = [np.take_along_axis(h, cls[None, None], 0)[0]
+               .transpose(1, 2, 0) for h in hs]
+
+    bo_d = 0.0
+    wbs, bo_offs = [], []
+    for st in (stats_cb, stats_cr):
+        hb, db = _best_offsets_vec(st["bo"][..., 0], st["bo"][..., 1],
+                                   max_abs)
+        wins = np.stack([db[b:b + 4].sum(axis=0) for b in range(29)])
+        wb = np.argmin(wins, axis=0)
+        bo_d = bo_d + np.take_along_axis(wins, wb[None], 0)[0]
+        bi = wb[None] + np.arange(4)[:, None, None]
+        wbs.append(wb.astype(np.int32))
+        bo_offs.append(np.take_along_axis(hb, bi, 0).transpose(1, 2, 0))
+
+    eo_cost = eo_d + lambda_bits
+    bo_cost = bo_d + lambda_bits
+    use_eo = (eo_cost < 0) & (eo_cost <= bo_cost)
+    use_bo = (bo_cost < 0) & ~use_eo
+    t = np.where(use_eo, SAO_EO, np.where(use_bo, SAO_BO, SAO_OFF))
+    aux_cb = np.where(use_eo, cls, wbs[0]).astype(np.int32)
+    aux_cr = np.where(use_eo, cls, wbs[1]).astype(np.int32)
+    z = np.zeros_like(eo_offs[0])
+    offs_cb = np.where(use_eo[..., None], eo_offs[0],
+                       np.where(use_bo[..., None], bo_offs[0], z))
+    offs_cr = np.where(use_eo[..., None], eo_offs[1],
+                       np.where(use_bo[..., None], bo_offs[1], z))
+    return (t.astype(np.int32), aux_cb, aux_cr,
+            offs_cb.astype(np.int32), offs_cr.astype(np.int32))
+
+
+def apply_sao_component_vec(recon, t, aux, offs, n: int,
+                            bit_depth: int = 8):
+    """Vectorized apply: whole-plane gathers instead of per-CTU loops.
+    t/aux: [rows, cols]; offs: [rows, cols, 4]."""
+    H, W = recon.shape
+    rows, cols = H // n, W // n
+    rec32 = recon.astype(np.int32)
+    out = rec32.copy()
+    maxv = (1 << bit_depth) - 1
+    tr = np.arange(H) // n
+    tc = np.arange(W) // n
+    TR, TC = tr[:, None], tc[None, :]
+    for cls in range(4):
+        m = (t == SAO_EO) & (aux == cls)
+        if not m.any():
+            continue
+        cat = eo_category(recon, cls)
+        lut = np.zeros((rows, cols, 5), np.int32)
+        lut[..., 1:] = np.where(m[..., None], offs, 0)
+        out = out + lut[TR, TC, cat]
+    mbo = (t == SAO_BO)
+    if mbo.any():
+        bands = bo_band(recon, bit_depth)
+        lut32 = np.zeros((rows, cols, 32), np.int32)
+        ii = (aux[..., None] + np.arange(4)) % 32
+        np.put_along_axis(lut32, ii,
+                          np.where(mbo[..., None], offs, 0), axis=-1)
+        out = out + lut32[TR, TC, bands]
+    return np.clip(out, 0, maxv)
 
 
 def decide_sao_chroma(stats_cb, stats_cr, r, c, bit_depth: int = 8,
