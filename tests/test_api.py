@@ -78,3 +78,36 @@ def test_dither_image():
     # identity case
     p8 = (p10 >> 2).astype(np.uint16)
     assert np.array_equal(api.dither_image(p8, 8, 8), p8.astype(np.uint8))
+
+
+def test_api_reconfig_whitelist():
+    """x265_encoder_reconfig analog: runtime scalars (rc targets, keyint,
+    scenecut) reconfigure mid-stream; program/header-affecting changes are
+    rejected with -1 (encoder.cpp:2467 whitelist behavior)."""
+    p = api.param_default()
+    p.source_width, p.source_height = 64, 48
+    p.keyframe_max = 100
+    p.max_cu_size = 16
+    p.min_cu_size = 16
+    p.bframes = 0
+    enc = api.encoder_open(p)
+    frames = _frames(4, 64, 48)
+    for f in frames[:2]:
+        pic = api.Picture(planes=f)
+        enc.encode(pic)
+    # accepted: QP change via CQP reconfig
+    import copy
+    p2 = copy.deepcopy(p)
+    p2.rc.qp = 40
+    assert api.encoder_reconfig(enc, p2) == 0
+    r = enc.encode(api.Picture(planes=frames[2]))
+    assert r
+    # rejected: resolution change
+    p3 = copy.deepcopy(p2)
+    p3.source_width = 128
+    assert api.encoder_reconfig(enc, p3) == -1
+    # rejected: CTU change
+    p4 = copy.deepcopy(p2)
+    p4.max_cu_size = 32
+    assert api.encoder_reconfig(enc, p4) == -1
+    api.encoder_close(enc)

@@ -113,7 +113,8 @@ def test_rc_lookahead_offsets_shape_on_fade():
     # predicted frames -> its per-CU QP map must dip below the frame QP
     assert results, "window should have popped at least one frame"
     qp0 = results[0].qp
-    assert sess._cutree_window is not None or True
+    assert sess._cutree_window is not None, \
+        "windowed path must record the propagation window it used"
     # re-derive the offsets the same way the encoder did
     win_sess = VideoEncoderSession(64, 48, qp=35, cu_size=16, keyint=100,
                                    hash_sei=False, cutree=True,
@@ -125,3 +126,48 @@ def test_rc_lookahead_offsets_shape_on_fade():
     off = slicetype.cutree_propagate(window, strength=2.0)
     assert off.min() < 0, "static scene must propagate cost backwards"
     sess.flush_la()
+
+
+def test_rc_lookahead_b_session_windowed():
+    """Round 3: the window also underlies B mini-GOP sessions (the round-2
+    gate `cutree and not bframes` is gone). --rc-lookahead N must (a) delay
+    output by N display frames, (b) propagate real future costs into every
+    encoded frame's QP map (static clip -> B/P QP maps dip below frame QP),
+    and (c) still produce a decodable stream identical in frame count."""
+    rng = np.random.default_rng(11)
+    base_y = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    base_u = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    base_v = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    frames = [(base_y.copy(), base_u.copy(), base_v.copy())
+              for _ in range(10)]
+
+    def run(la):
+        sess = VideoEncoderSession(64, 48, qp=35, cu_size=16, keyint=100,
+                                   hash_sei=False, cutree=True, bframes=2,
+                                   b_adapt=0, rc_lookahead=la)
+        hdr = sess.headers()
+        res = []
+        ingested_before_first = None
+        for i, f in enumerate(frames):
+            out = sess.push_frame(*f)
+            if out and ingested_before_first is None:
+                ingested_before_first = i + 1
+            res += out
+        res += sess.flush()
+        return sess, hdr, res, ingested_before_first
+
+    sess0, hdr0, res0, lat0 = run(0)
+    sessN, hdrN, resN, latN = run(4)
+    assert len(res0) == len(resN) == len(frames)
+    # (a) the window delays the first output
+    assert latN > lat0
+    # (b) the windowed session recorded a real multi-frame window
+    assert sessN._cutree_window is not None
+    assert len(sessN._cutree_window) >= 1
+    # (c) both streams decode with the right frame count
+    dec = decode_hevc(hdrN + b"".join(r.nals for r in resN), 64, 48)
+    assert len(dec) == len(frames)
+    # rc-lookahead changes B-session output (future costs reach QP maps)
+    bits0 = b"".join(r.nals for r in res0)
+    bitsN = b"".join(r.nals for r in resN)
+    assert bits0 != bitsN

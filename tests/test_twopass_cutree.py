@@ -28,9 +28,17 @@ def test_twopass_cutree_offsets(tmp_path):
     for f in frames:
         s1.encode_frame(*f)
     s1.stats_writer.close()
-    import json
-    recs = [json.loads(l) for l in open(stats)]
-    assert any("cuoff" in r for r in recs[1:])
+    # round 3: the stat file is the reference's x265_2pass.log text format
+    # with a .cutree fix8 sidecar (ratecontrol.cpp:2998,3050)
+    import os
+    text = open(stats).read()
+    assert text.startswith("#options:")
+    assert " in:0 out:0 type:I ".replace(" in", "in") in text or \
+        "in:0 out:0 type:I" in text
+    assert os.path.exists(stats + ".cutree")
+    from x265_yuuki_asuna_tpu.models.ratecontrol import TwoPassRC
+    tp = TwoPassRC(stats, 300, 25.0)
+    assert any(r.get("cuoff") is not None for r in tp.records)
     s2 = VideoEncoderSession(W, H, qp=32, cu_size=16, keyint=N + 1,
                              hash_sei=False, rc_mode="abr",
                              bitrate_kbps=300, stats_read=stats)

@@ -144,6 +144,10 @@ class Encoder:
                 aq_mode=2 if p.rc.aq_mode else 0,
                 aq_strength=p.rc.aq_strength,
                 cutree=bool(p.rc.cu_tree),
+                n_refs=(min(p.max_num_references, 2)
+                        if not (bframes or qt_depth or weightp) else 1),
+                tmvp=bool(getattr(p, "b_enable_temporal_mvp", 0))
+                and not bframes and not qt_depth,
                 max_depth=qt_depth, psy_rd=p.psy_rd)
             self._video = True
         self._use_b = getattr(self._sess, "bframes", 0) > 0
@@ -187,20 +191,63 @@ class Encoder:
         self._stats.elapsed_seconds = time.time() - self._t0
         return self._stats
 
-    # -- x265_encoder_reconfig (zone-style subset: rate/qp changes) --
+    # -- x265_encoder_reconfig --
     def reconfig(self, p: Param) -> int:
-        if self._video and p.rc.rate_control_mode == RC_CQP:
-            self._sess.qp = int(p.rc.qp)
-            self._sess.rc.cfg.qp = int(p.rc.qp)
-            return 0
-        return -1
+        """Runtime reconfiguration (reference whitelist at encoder.cpp:2467:
+        rate control, scenecut, keyint and other runtime scalars apply
+        mid-stream; anything baked into the compiled programs or the signaled
+        headers is rejected). Returns 0 on success, -1 when the change needs
+        a new session (the reference returns failure the same way)."""
+        if not self._video:
+            return -1
+        old = self.param
+        # program/header-affecting fields cannot change mid-session
+        if (p.source_width != old.source_width
+                or p.source_height != old.source_height
+                or p.max_cu_size != old.max_cu_size
+                or p.min_cu_size != old.min_cu_size
+                or p.bframes != old.bframes
+                or p.internal_bit_depth != old.internal_bit_depth
+                or bool(p.b_enable_sao) != bool(old.b_enable_sao)
+                or bool(p.b_enable_loop_filter)
+                != bool(old.b_enable_loop_filter)
+                or bool(p.rc.aq_mode) and not bool(old.rc.aq_mode)):
+            return -1
+        sess = self._sess
+        # rate control: mode + targets are runtime scalars
+        rc_mode = {RC_CQP: "cqp", RC_CRF: "crf", RC_ABR: "abr"}[
+            p.rc.rate_control_mode]
+        sess.rc.cfg.mode = rc_mode
+        sess.rc.cfg.qp = int(p.rc.qp)
+        sess.qp = int(p.rc.qp)
+        sess.rc.cfg.crf = p.rc.rf_constant
+        if rc_mode == "crf":
+            base_cplx = (old.source_width * old.source_height) / 256.0 * 120.0
+            sess.rc.rate_factor = (base_cplx ** (1 - sess.rc.cfg.q_compress)) \
+                / (0.85 * 2.0 ** ((p.rc.rf_constant - 12.0) / 6.0))
+        # GOP / lookahead scalars
+        sess.keyint = max(p.keyframe_max, 1)
+        sess.scenecut_enabled = p.scenecut_threshold > 0
+        if hasattr(sess, "b_adapt"):
+            sess.b_adapt = p.b_frame_adaptive
+        # AQ strength (mode stays; turning AQ ON needs PPS cu_qp_delta)
+        if old.rc.aq_mode:
+            sess.aq_strength = p.rc.aq_strength
+            sess.aq_mode = p.rc.aq_mode if p.rc.aq_mode else sess.aq_mode
+        self.param = p
+        return 0
 
     # -- x265_encoder_intra_refresh --
     def intra_refresh(self) -> int:
+        """x265_encoder_intra_refresh (x265.h:2161): force a recovery point
+        at the next frame. Video sessions arm a forced IDR (consumed by the
+        next push/encode); on an all-intra session every picture is already
+        a recovery point, so success-without-action IS the correct
+        behavior, matching the reference's no-op when bIntraRefresh
+        pictures are already intra."""
         if hasattr(self._sess, "intra_refresh"):
             self._sess.intra_refresh()
-            return 0
-        return 0      # all-intra session: every frame is already a refresh
+        return 0
 
     # -- x265_encoder_close --
     def close(self):

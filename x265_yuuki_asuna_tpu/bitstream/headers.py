@@ -303,7 +303,8 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
                        deblocking_disabled: Optional[bool] = None,
                        weights: Optional[dict] = None,
                        entry_point_offsets: Optional[List[int]] = None,
-                       rps: Optional[Tuple] = None) -> BitWriter:
+                       rps: Optional[Tuple] = None,
+                       num_ref_l0: int = 1) -> BitWriter:
     """Returns a BitWriter positioned after byte_alignment() — ready for the
     caller to append CABAC slice data. slice_type: 0=B 1=P 2=I."""
     bw = BitWriter()
@@ -344,9 +345,18 @@ def write_slice_header(sps: SPSInfo, pps: PPSInfo, slice_type: int,
         if sps.chroma_format_idc != 0:
             bw.write_flag(sao_chroma)
     if slice_type != 2:                      # P/B
-        bw.write_flag(0)                     # num_ref_idx_active_override_flag
+        if num_ref_l0 != 1:
+            bw.write_flag(1)                 # num_ref_idx_active_override_flag
+            bw.write_ue(num_ref_l0 - 1)      # num_ref_idx_l0_active_minus1
+            if slice_type == 0:
+                bw.write_ue(0)               # num_ref_idx_l1_active_minus1
+        else:
+            bw.write_flag(0)                 # num_ref_idx_active_override_flag
         if slice_type == 0:                  # B
             bw.write_flag(0)                 # mvd_l1_zero_flag
+        if sps.temporal_mvp and num_ref_l0 > 1:
+            # collocated_from_l0 inferred 1 for P; ref idx 0 = nearest ref
+            bw.write_ue(0)                   # collocated_ref_idx
         if pps.weighted_pred and slice_type == 1:
             _write_pred_weight_table(bw, weights or {})
         bw.write_ue(5 - max_merge)           # five_minus_max_num_merge_cand

@@ -37,30 +37,68 @@ class CUInfo:
     mv: Tuple[int, int] = (0, 0)       # quarter-pel, L0
     intra_mode: int = DC_MODE
     skip: bool = False
+    ref: int = 0                       # L0 reference index
 
 
 def merge_candidates(grid: List[List[Optional[CUInfo]]], r: int, c: int,
-                     max_cands: int) -> List[Tuple[int, int]]:
+                     max_cands: int, n_refs: int = 1
+                     ) -> List[Tuple[int, int]]:
     """Merge candidate MV list for CU (r, c) of a uniform 2Nx2N grid
     (spec 8.5.3.2.3 specialised: A1=left, B1=above, B0=above-right,
     A0=below-left (never decoded yet -> absent), B2=above-left; then
     zero-MV fill. Single L0 reference."""
+    return [mv for mv, _ in merge_candidates_ref(grid, r, c, max_cands,
+                                                n_refs)]
+
+
+def temporal_candidate(col, r: int, c: int, target_tb: int
+                       ) -> Optional[Tuple[int, int]]:
+    """TMVP candidate (spec 8.5.3.2.5 specialised to the uniform CTU==CU
+    16-grid): with CtbLog2SizeY == 4 the bottom-right position always
+    falls into the next CTU row and is unavailable, so the CENTER position
+    applies — the co-located block itself. HEVC stores collocated motion on
+    a 16x16 grid, which IS this grid, so no compression step is needed.
+
+    col: collocated picture's motion field
+    {mvx, mvy, ref, intra: [rows][cols], ref_deltas: [int]} or None.
+    Returns the mv scaled to the target reference distance, or None."""
+    if col is None:
+        return None
+    if col["intra"][r][c]:
+        return None
+    mv = (int(col["mvx"][r][c]), int(col["mvy"][r][c]))
+    ref = int(col["ref"][r][c]) if col.get("ref") is not None else 0
+    td = col["ref_deltas"][ref]
+    if td == target_tb:
+        return mv
+    return _scale_mv(mv, target_tb, td)
+
+
+def merge_candidates_ref(grid: List[List[Optional[CUInfo]]], r: int, c: int,
+                         max_cands: int, n_refs: int = 1, col=None,
+                         ref_deltas=None
+                         ) -> List[Tuple[Tuple[int, int], int]]:
+    """Merge candidates as (mv, refIdx) pairs (spec 8.5.3.2.3): spatial
+    candidates inherit the neighbor's reference; pruning compares full
+    motion (mv AND ref); then the TEMPORAL candidate (refIdx 0, appended
+    without pruning, 8.5.3.2.1); zero fill walks refIdx 0..n_refs-1 then 0
+    (8.5.3.2.4 zeroIdx behavior)."""
     rows = len(grid)
     cols = len(grid[0])
 
-    def inter_mv(rr, cc):
+    def inter_mi(rr, cc):
         if 0 <= rr < rows and 0 <= cc < cols:
             cu = grid[rr][cc]
             if cu is not None and not cu.is_intra:
-                return cu.mv
+                return (cu.mv, cu.ref)
         return None
 
-    a1 = inter_mv(r, c - 1)
-    b1 = inter_mv(r - 1, c)
-    b0 = inter_mv(r - 1, c + 1)
-    b2 = inter_mv(r - 1, c - 1)
+    a1 = inter_mi(r, c - 1)
+    b1 = inter_mi(r - 1, c)
+    b0 = inter_mi(r - 1, c + 1)
+    b2 = inter_mi(r - 1, c - 1)
 
-    cands: List[Tuple[int, int]] = []
+    cands: List[Tuple[Tuple[int, int], int]] = []
     if a1 is not None:
         cands.append(a1)
     if b1 is not None and b1 != a1:
@@ -70,41 +108,117 @@ def merge_candidates(grid: List[List[Optional[CUInfo]]], r: int, c: int,
     # A0 is below-left: not yet decoded in raster order -> unavailable
     if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
         cands.append(b2)
+    if col is not None and len(cands) < max_cands:
+        tb = (ref_deltas or [1])[0]
+        t = temporal_candidate(col, r, c, tb)
+        if t is not None:
+            cands.append((t, 0))     # appended WITHOUT pruning (8.5.3.2.1)
+    zero_idx = 0
     while len(cands) < max_cands:
-        cands.append((0, 0))
+        ref = zero_idx if zero_idx < n_refs else 0
+        cands.append(((0, 0), ref))
+        zero_idx += 1
     return cands[:max_cands]
 
 
-def amvp_candidates(grid: List[List[Optional[CUInfo]]], r: int, c: int
+def amvp_candidates(grid: List[List[Optional[CUInfo]]], r: int, c: int,
+                    target_ref: int = 0, ref_deltas=None, col=None
                     ) -> List[Tuple[int, int]]:
-    """AMVP predictor list (2 entries) — spec 8.5.3.2.6 specialised to one
-    reference (no scaling): left candidate (A1; A0 undecoded), then above
-    (B0, B1, B2 first available), dedupe, zero-fill."""
+    """AMVP predictor list (2 entries) — spec 8.5.3.2.6 specialised to the
+    uniform raster grid (A0 undecoded, no temporal candidate).
+
+    ref_deltas: POC distances of the L0 references from the current
+    picture (e.g. [1, 2]); None = single reference (no scaling paths).
+
+    Derivation order (8.5.3.2.7): A = left (A1) — same-ref first, else
+    scaled; isScaledFlag = left PU exists and is inter. B = first of
+    B0/B1/B2 with the SAME reference; when isScaledFlag is 0, A takes B's
+    value and B is re-derived over B0/B1/B2 with scaling. Prune equal
+    pair, zero-fill to 2."""
     rows = len(grid)
     cols = len(grid[0])
 
-    def inter_mv(rr, cc):
+    def inter_mi(rr, cc):
         if 0 <= rr < rows and 0 <= cc < cols:
             cu = grid[rr][cc]
             if cu is not None and not cu.is_intra:
-                return cu.mv
+                return (cu.mv, cu.ref)
         return None
 
-    cand_a = inter_mv(r, c - 1)
+    if ref_deltas is None:
+        ref_deltas = [1]
+    tb = ref_deltas[target_ref]
+
+    a = inter_mi(r, c - 1)
+    is_scaled = a is not None
+    cand_a = None
+    if a is not None:
+        if a[1] == target_ref:
+            cand_a = a[0]
+        else:
+            cand_a = _scale_mv(a[0], tb, ref_deltas[a[1]])
+
+    bs = [inter_mi(rr, cc) for rr, cc in
+          ((r - 1, c + 1), (r - 1, c), (r - 1, c - 1))]
     cand_b = None
-    for rr, cc in ((r - 1, c + 1), (r - 1, c), (r - 1, c - 1)):
-        mv = inter_mv(rr, cc)
-        if mv is not None:
-            cand_b = mv
+    for mi in bs:
+        if mi is not None and mi[1] == target_ref:
+            cand_b = mi[0]
             break
+    if not is_scaled:
+        # A inherits B's same-ref candidate; B re-derives with scaling
+        cand_a = cand_b
+        cand_b = None
+        for mi in bs:
+            if mi is not None:
+                cand_b = (mi[0] if mi[1] == target_ref
+                          else _scale_mv(mi[0], tb, ref_deltas[mi[1]]))
+                break
+
     out: List[Tuple[int, int]] = []
     if cand_a is not None:
         out.append(cand_a)
     if cand_b is not None and cand_b != cand_a:
         out.append(cand_b)
+    if len(out) < 2 and col is not None:
+        # temporal AMVP candidate, scaled to the target reference
+        # (8.5.3.2.6: appended when fewer than 2 spatial candidates,
+        # no pruning against them)
+        t = temporal_candidate(col, r, c, tb)
+        if t is not None:
+            out.append(t)
     while len(out) < 2:
         out.append((0, 0))
     return out[:2]
+
+
+def encode_ref_idx(enc: CabacEncoder, ref: int, n_refs: int):
+    """ref_idx_l0 (spec 9.3.3.x truncated-rice): first two bins
+    context-coded (CTX ref_idx +0, +1), rest bypass."""
+    if n_refs <= 1:
+        return
+    enc.encode_bin(1 if ref > 0 else 0, CTX["ref_idx"])
+    if ref > 0 and n_refs > 2:
+        enc.encode_bin(1 if ref > 1 else 0, CTX["ref_idx"] + 1)
+        for i in range(2, ref):
+            enc.encode_bin_ep(1)
+        if 2 <= ref < n_refs - 1:
+            enc.encode_bin_ep(0)
+
+
+def decode_ref_idx(dec: CabacDecoder, n_refs: int) -> int:
+    if n_refs <= 1:
+        return 0
+    if not dec.decode_bin(CTX["ref_idx"]):
+        return 0
+    if n_refs == 2:
+        return 1
+    if not dec.decode_bin(CTX["ref_idx"] + 1):
+        return 1
+    ref = 2
+    while ref < n_refs - 1 and dec.decode_bin_ep():
+        ref += 1
+    return ref
 
 
 # ---------------------------------------------------------------------------
@@ -196,6 +310,7 @@ class InterCTUDecision:
     merge_idx: int = -1            # >= 0: merge mode with this index
     mvp_flag: int = 0              # AMVP predictor choice when not merge
     mvd: Tuple[int, int] = (0, 0)
+    ref: int = 0                   # L0 reference index
     luma_levels: Optional[np.ndarray] = None
     cb_levels: Optional[np.ndarray] = None
     cr_levels: Optional[np.ndarray] = None
@@ -216,14 +331,17 @@ def skip_ctx(grid: List[List[Optional[CUInfo]]], r: int, c: int) -> int:
 def encode_inter_ctu(enc: CabacEncoder, d: InterCTUDecision,
                      grid: List[List[Optional[CUInfo]]], r: int, c: int,
                      log2_cu: int, max_merge: int, sign_hiding: bool = False,
-                     cu_qp_delta=None):
+                     cu_qp_delta=None, n_refs: int = 1, col=None,
+                     ref_deltas=None):
     """coding_unit() for a P slice, uniform 2Nx2N grid. cu_qp_delta: int to
-    signal (only coded when the CU has a coded cbf — spec transform_unit)."""
+    signal (only coded when the CU has a coded cbf — spec transform_unit).
+    n_refs: active L0 references (ref_idx coded when > 1); col: collocated
+    motion field when TMVP is enabled."""
     is_skip = (not d.is_intra and d.merge_idx >= 0 and not d.has_residual)
     enc.encode_bin(1 if is_skip else 0, CTX["skip"] + skip_ctx(grid, r, c))
     if is_skip:
         encode_merge_idx(enc, d.merge_idx, max_merge)
-        grid[r][c] = CUInfo(False, d.mv, skip=True)
+        grid[r][c] = CUInfo(False, d.mv, skip=True, ref=d.ref)
         return
     enc.encode_bin(0 if not d.is_intra else 1, CTX["pred_mode"])
     if d.is_intra:
@@ -265,7 +383,8 @@ def encode_inter_ctu(enc: CabacEncoder, d: InterCTUDecision,
         assert d.has_residual, "2Nx2N merge without residual must be skip"
     else:
         enc.encode_bin(0, CTX["merge_flag"])
-        # P slice: no inter_pred_idc, single ref -> no ref_idx
+        # P slice: no inter_pred_idc; ref_idx_l0 coded when active refs > 1
+        encode_ref_idx(enc, d.ref, n_refs)
         encode_mvd(enc, d.mvd[0], d.mvd[1])
         enc.encode_bin(d.mvp_flag, CTX["mvp_idx"])
         rqt_root_cbf = 1 if d.has_residual else 0
@@ -288,22 +407,22 @@ def encode_inter_ctu(enc: CabacEncoder, d: InterCTUDecision,
             encode_residual(enc, d.cb_levels, log2_cu - 1, False, -1, sign_hiding)
         if cbf_cr:
             encode_residual(enc, d.cr_levels, log2_cu - 1, False, -1, sign_hiding)
-    grid[r][c] = CUInfo(False, d.mv, skip=False)
+    grid[r][c] = CUInfo(False, d.mv, skip=False, ref=d.ref)
 
 
 def decode_inter_ctu(dec: CabacDecoder, grid: List[List[Optional[CUInfo]]],
                      r: int, c: int, log2_cu: int, max_merge: int,
-                     sign_hiding: bool = False):
+                     sign_hiding: bool = False, n_refs: int = 1,
+                     ref_deltas=None, col=None):
     """Decoder mirror; returns (CUInfo, luma, cb, cr level arrays)."""
     n = 1 << log2_cu
     nc = n // 2
     z = lambda k: np.zeros((k, k), np.int32)
     if dec.decode_bin(CTX["skip"] + skip_ctx(grid, r, c)):
         idx = decode_merge_idx(dec, max_merge)
-        cands = merge_candidates(
-            [[grid[rr][cc] for cc in range(len(grid[0]))] for rr in range(len(grid))],
-            r, c, max_merge)
-        cu = CUInfo(False, cands[idx], skip=True)
+        cands = merge_candidates_ref(grid, r, c, max_merge, n_refs,
+                                     col=col, ref_deltas=ref_deltas)
+        cu = CUInfo(False, cands[idx][0], skip=True, ref=cands[idx][1])
         grid[r][c] = cu
         return cu, z(n), z(nc), z(nc)
     if dec.decode_bin(CTX["pred_mode"]):
@@ -328,13 +447,16 @@ def decode_inter_ctu(dec: CabacDecoder, grid: List[List[Optional[CUInfo]]],
     assert part == 1
     if dec.decode_bin(CTX["merge_flag"]):
         idx = decode_merge_idx(dec, max_merge)
-        cands = merge_candidates(grid, r, c, max_merge)
-        mv = cands[idx]
+        cands = merge_candidates_ref(grid, r, c, max_merge, n_refs,
+                                     col=col, ref_deltas=ref_deltas)
+        mv, ref = cands[idx]
         rqt_root_cbf = 1           # inferred for 2Nx2N merge
     else:
+        ref = decode_ref_idx(dec, n_refs)
         mvd = decode_mvd(dec)
         mvp = dec.decode_bin(CTX["mvp_idx"])
-        preds = amvp_candidates(grid, r, c)
+        preds = amvp_candidates(grid, r, c, target_ref=ref,
+                                ref_deltas=ref_deltas, col=col)
         mv = (preds[mvp][0] + mvd[0], preds[mvp][1] + mvd[1])
         rqt_root_cbf = dec.decode_bin(CTX["qt_root_cbf"])
     ly, cb, cr = z(n), z(nc), z(nc)
@@ -348,7 +470,7 @@ def decode_inter_ctu(dec: CabacDecoder, grid: List[List[Optional[CUInfo]]],
             cb = decode_residual(dec, log2_cu - 1, False, -1, sign_hiding)
         if cbf_cr:
             cr = decode_residual(dec, log2_cu - 1, False, -1, sign_hiding)
-    cu = CUInfo(False, mv, skip=False)
+    cu = CUInfo(False, mv, skip=False, ref=ref)
     grid[r][c] = cu
     return cu, ly, cb, cr
 

@@ -59,6 +59,11 @@ def main(argv=None):
     ap.add_argument("--keyint", type=int, default=None,
                     help="GOP length: 0/1 = all-intra, N>1 = IPPP with IDR every N")
     ap.add_argument("--merange", type=int, default=16, help="ME search range")
+    ap.add_argument("--ref", type=int, default=1, choices=[1, 2],
+                    help="L0 references (2: multi-ref IPPP sessions)")
+    ap.add_argument("--tmvp", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="temporal MVP (uniform IPPP sessions)")
     ap.add_argument("--qpmin", type=int, default=4,
                     help="rate-control QP floor")
     ap.add_argument("--qpmax", type=int, default=51,
@@ -113,6 +118,10 @@ def main(argv=None):
                          "pass (cross-resolution reuse)")
     ap.add_argument("--zones", default=None,
                     help="per-range overrides: start,end,q=N|b=M[/...]")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="pipelined multi-device encode: P-chains across N "
+                         "JAX devices with ICI recon handoff (CQP, CTU16, "
+                         "no loop filters)")
     ap.add_argument("--ladder", default=None,
                     help="ABR ladder: WxH:kbps[,WxH:kbps...] -> per-rung "
                          "outputs suffixed _WxH")
@@ -177,6 +186,9 @@ def main(argv=None):
 
     if args.ladder:
         return _run_ladder(args, reader)
+
+    if args.devices and args.devices >= 2:
+        return _run_pipeline(args, reader)
 
     from .utils.param import CSP_I420, CSP_I444
     if info.csp not in (CSP_I420, CSP_I444):
@@ -257,6 +269,11 @@ def main(argv=None):
                                    cu_size=ctu,
                                    bit_depth=info.bit_depth,
                                    max_depth=qt_depth,
+                                   n_refs=(args.ref
+                                           if not (bframes or qt_depth
+                                                   or weightp)
+                                           else 1),
+                                   tmvp=args.tmvp,
                                    hme=hme,
                                    hme_range=min(max(args.merange // 2, 16),
                                                  32),
@@ -531,6 +548,43 @@ def main(argv=None):
             f.write("\n".join(csv_lines) + "\n")
     if getattr(sess, "stats_writer", None) is not None:
         sess.stats_writer.close()
+    return 0
+
+
+def _run_pipeline(args, reader):
+    """--devices N: frame-pipelined encode across a device mesh
+    (parallel/session.PipelinedEncoder — the reference's frame-parallelism
+    as ICI recon handoff). Pipeline-compatible feature subset: CQP (or
+    per-chain ABR), CTU16 uniform grid, no loop filters."""
+    import time as _time
+    from .parallel.session import PipelinedEncoder
+    from .utils import io as IO
+    info = reader.info
+    qp = args.qp if args.qp is not None else 32
+    enc = PipelinedEncoder(
+        info.width, info.height, qp=qp, n_devices=args.devices,
+        fps=(info.fps_num, info.fps_denom),
+        rc_mode="abr" if args.bitrate else "cqp",
+        bitrate_kbps=args.bitrate or 0)
+    frames = []
+    for i, (y, u, v) in enumerate(reader):
+        frames.append((y, u, v))
+        if args.frames and len(frames) >= args.frames:
+            break
+    t0 = _time.time()
+    results = enc.encode_clip(frames)
+    out = IO.RawBitstreamWriter(args.output)
+    out.write(enc.headers())
+    total_bits = 0
+    for fr in results:
+        out.write(fr.nals)
+        total_bits += fr.bits
+    out.close()
+    el = _time.time() - t0
+    print(f"\nencoded {len(results)} frames on {enc.n} devices in "
+          f"{el:.2f}s ({len(results) / max(el, 1e-9):.2f} fps), "
+          f"{total_bits * info.fps_num / max(len(results) * info.fps_denom, 1) / 1000:.2f} kb/s",
+          file=sys.stderr)
     return 0
 
 

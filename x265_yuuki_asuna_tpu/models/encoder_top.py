@@ -22,6 +22,7 @@ from ..bitstream import ctu_syntax as CS
 from ..bitstream import native
 from ..utils import geometry as G
 from ..utils.param import Param, RC_CQP
+from ..utils.profiling import PROF
 from .intra_encoder import IntraFrameEncoder, IntraFrameConfig, chroma_qp_from_luma
 from ..ops import deblock as DB
 
@@ -833,29 +834,34 @@ class IntraEncoderSession:
 
     # ------------------------------------------------------------------
     def _sao_decide(self, out: dict, yp, up, vp):
-        """Per-CTU SAO decision + recon update (decoder-exact application)."""
+        """Per-CTU SAO decision + recon update (decoder-exact application).
+
+        K11 device form: statistics run as one jitted program of fused
+        mask+tile reductions (sao.sao_stats_dev — the reference's
+        calcSaoStatsCTU, sao.cpp:735); decisions and application are
+        vectorized over the whole CTU grid (rdoSaoUnitCu analog,
+        sao.cpp:1225)."""
         from ..ops import sao as SAO
         bd = self.bit_depth
         n, nc = self.cu, self.cu // 2
-        st_y = SAO.sao_stats(out["recon_y"], yp, n, bd)
-        st_cb = SAO.sao_stats(out["recon_u"], up, nc, bd)
-        st_cr = SAO.sao_stats(out["recon_v"], vp, nc, bd)
-        params = []
-        for r in range(self.rows):
-            row = []
-            for c in range(self.cols):
-                ty, ay, oy, _ = SAO.decide_sao_ctu(st_y, r, c, bd)
-                tc, acb, acr, ocb, ocr = SAO.decide_sao_chroma(
-                    st_cb, st_cr, r, c, bd)
-                row.append({"luma": (ty, ay, oy),
-                            "cb": (tc, acb, ocb), "cr": (tc, acr, ocr)})
-            params.append(row)
-        out["recon_y"] = SAO.apply_sao_component(
-            out["recon_y"], [[p["luma"] for p in row] for row in params], n, bd)
-        out["recon_u"] = SAO.apply_sao_component(
-            out["recon_u"], [[p["cb"] for p in row] for row in params], nc, bd)
-        out["recon_v"] = SAO.apply_sao_component(
-            out["recon_v"], [[p["cr"] for p in row] for row in params], nc, bd)
+        st_y, st_cb, st_cr = SAO.sao_stats_dev3(
+            (out["recon_y"], out["recon_u"], out["recon_v"]),
+            (yp, up, vp), n, bd)
+        ty, ay, oy = SAO.decide_sao_luma_all(st_y, bd)
+        tc, acb, acr, ocb, ocr = SAO.decide_sao_chroma_all(st_cb, st_cr, bd)
+        params = [[{"luma": (int(ty[r, c]), int(ay[r, c]),
+                             oy[r, c].tolist()),
+                    "cb": (int(tc[r, c]), int(acb[r, c]),
+                           ocb[r, c].tolist()),
+                    "cr": (int(tc[r, c]), int(acr[r, c]),
+                           ocr[r, c].tolist())}
+                   for c in range(self.cols)] for r in range(self.rows)]
+        out["recon_y"] = SAO.apply_sao_component_vec(
+            out["recon_y"], ty, ay, oy, n, bd)
+        out["recon_u"] = SAO.apply_sao_component_vec(
+            out["recon_u"], tc, acb, ocb, nc, bd)
+        out["recon_v"] = SAO.apply_sao_component_vec(
+            out["recon_v"], tc, acr, ocr, nc, bd)
         return params
 
     # ------------------------------------------------------------------
@@ -940,9 +946,23 @@ class VideoEncoderSession:
                  psy_rdoq: float = 0.0, open_gop: bool = False,
                  scale_factor: int = 1, analysis_share=None,
                  qp_min: int = 4, qp_max: int = 51,
-                 rc_lookahead: int = 0):
+                 rc_lookahead: int = 0, n_refs: int = 1,
+                 tmvp: bool = False, wpp: bool = False):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
+        # multi-ref (reference --ref): 2 L0 references on the uniform IPPP
+        # path (round 3); quadtree/bframes keep 1 ref per list for now
+        self.n_refs = max(1, min(n_refs, 2))
+        # TMVP (reference --tmvp, cudata.cpp temporal candidate): uniform
+        # IPPP sessions; the python serializer derives the temporal
+        # candidates, so the native writer is bypassed when enabled
+        self.tmvp = bool(tmvp) and not bframes and not max_depth
+        self.col_field = None
+        self._last_ref_deltas = [1]
+        if self.n_refs > 1:
+            assert not (bframes or max_depth or weightp or analysis_load
+                        or analysis_save or analysis_share), \
+                "multi-ref: uniform IPPP sessions (v1)"
         if max_depth:
             cu_size = 32
             assert not analysis_load and not analysis_save, \
@@ -951,6 +971,13 @@ class VideoEncoderSession:
         self.aq_mode = aq_mode
         self.aq_strength = aq_strength
         self.cutree = cutree
+        # WPP bitstreams (round 3: P/B substreams too — the r2 intra-only
+        # gate is gone); per-CU QP is off under WPP (qPY_PREV resets per
+        # row, spec 8.6.1 — matching v1 writer scope)
+        self.wpp = bool(wpp) and not max_depth
+        if self.wpp:
+            assert not (aq_mode or cutree), \
+                "WPP inter sessions: no per-CU QP (v1)"
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
                                               hash_sei=False, deblock=deblock,
                                               sao=sao, rdoq=rdoq, sbh=sbh,
@@ -958,11 +985,14 @@ class VideoEncoderSession:
                                               psy_rd=psy_rd,
                                               bit_depth=bit_depth,
                                               hash_type=hash_type,
+                                              wpp=self.wpp,
                                               psy_rdoq=psy_rdoq)
         self.bit_depth = bit_depth
         self.sbh = self.intra_sess.sbh
         if aq_mode or cutree:
             self.intra_sess.pps.cu_qp_delta = 1
+        if self.tmvp:
+            self.intra_sess.sps.temporal_mvp = 1
         self.deblock = deblock
         self.sao = sao
         # share geometry/headers with the intra session but fix DPB size
@@ -1010,6 +1040,7 @@ class VideoEncoderSession:
             search_range=search_range, rdoq=rdoq, weightp=weightp,
             sbh=self.sbh, analysis_load=self.analysis_data is not None
             or isinstance(analysis_share, list),
+            n_refs=self.n_refs,
             max_depth=max_depth, bit_depth=bit_depth,
             psy_rd=psy_rd if max_depth else 0.0,
             psy_rdoq=psy_rdoq if rdoq else 0.0,
@@ -1017,6 +1048,7 @@ class VideoEncoderSession:
         self.frame_idx = 0
         self.poc = 0
         self.ref = None   # (y, u, v) padded recon planes
+        self.ref2 = None  # second L0 reference (n_refs == 2)
         self.rc = RateControl(RCConfig(
             mode=rc_mode, qp=qp, crf=crf, bitrate_kbps=bitrate_kbps,
             fps=fps[0] / max(fps[1], 1), width=width, height=height,
@@ -1027,7 +1059,18 @@ class VideoEncoderSession:
         self.lookahead = Lookahead(self.coded_w, self.coded_h)
         self.scenecut_enabled = True
         from .ratecontrol import StatsWriter, TwoPassRC
-        self.stats_writer = StatsWriter(stats_write) if stats_write else None
+        # pass-1 #options header: the fields x265's --pass 2 parser
+        # validates (ratecontrol.cpp:463-532)
+        opts = (f"input-res={width}x{height} fps={fps[0]}/{fps[1]} "
+                f"bitdepth={bit_depth} weightp={int(bool(weightp))} "
+                f"bframes={max(0, bframes)} b-pyramid={int(bool(b_pyramid))} "
+                f"open-gop={int(bool(open_gop))} keyint={keyint} "
+                f"scenecut=40 intra-refresh=0 frame-dup=0 "
+                f"b-adapt={b_adapt} rc-lookahead={rc_lookahead} "
+                f"vbv-maxrate={vbv_maxrate_kbps} "
+                f"vbv-bufsize={vbv_bufsize_kbps} ctu={cu_size} ref=1")
+        self.stats_writer = (StatsWriter(stats_write, options=opts)
+                             if stats_write else None)
         self.two_pass = TwoPassRC(stats_read, bitrate_kbps,
                                   fps[0] / max(fps[1], 1)) if stats_read else None
         # pass-1 cuTree offsets present -> signal cu_qp_delta and emit a QP
@@ -1076,10 +1119,14 @@ class VideoEncoderSession:
         # slicetypeAnalyse over a sliding window): frames are delayed by
         # la_depth display frames so cuTree can propagate REAL future costs
         # backwards (models/slicetype.py) instead of the causal EWMA.
-        # Driven through push_la()/flush_la(); bframes keep their own
-        # mini-GOP buffering (EWMA path) this round.
-        self.la_depth = max(0, rc_lookahead) if (cutree and not bframes) else 0
+        # P-only sessions drive it through push_la()/flush_la(); B sessions
+        # (round 3) layer the window UNDER push_frame(): frames enter the
+        # mini-GOP machinery only after la_depth future frames have been
+        # analysed, and every encode's cuTree offsets propagate from its
+        # own future-window snapshot (pending_windows).
+        self.la_depth = max(0, rc_lookahead) if cutree else 0
         self.la_queue = []          # (y, u, v, icost, pcost, scenecut, detail, didx)
+        self.pending_windows = []   # per-pending-frame future-window snapshots
         self._cutree_window = None  # details list while encoding a delayed frame
         # --- zones (reference --zones start,end,q=N|b=M[/...]) ------------
         self.zones = []
@@ -1177,7 +1224,9 @@ class VideoEncoderSession:
             if off is not None and off.size == self.rows * self.cols:
                 self._tp_cuoff = off.reshape(self.rows, self.cols)
         else:
-            qp = self.rc.frame_qp(is_idr, lookahead_cost=la_cost)
+            qp = self.rc.frame_qp(
+                is_idr, lookahead_cost=la_cost,
+                future_costs=[q[4] for q in self.la_queue])
         qp = self._zone_qp(didx, qp)
         if _la is None:
             self._cutree_update()
@@ -1211,17 +1260,35 @@ class VideoEncoderSession:
                     ncu = self.rows * self.cols
                     hx = rec.get("mvx", np.zeros(ncu, np.int32)).reshape(-1)
                     hy = rec.get("mvy", np.zeros(ncu, np.int32)).reshape(-1)
-                out = self.inter_encoder.encode_frame(
-                    yp, up, vp, self.ref[0], self.ref[1], self.ref[2],
-                    qp=qp_map.reshape(-1) if qp_map is not None else qp,
-                    weights=weights, hint_mvx=hx, hint_mvy=hy)
+                kw = {}
+                n_active = 1
+                if self.n_refs > 1:
+                    r2 = self.ref2 if self.ref2 is not None else self.ref
+                    kw = dict(ref1_y=r2[0], ref1_u=r2[1], ref1_v=r2[2])
+                    n_active = 2 if self.ref2 is not None else 1
+                with PROF("device_p"):
+                    out = self.inter_encoder.encode_frame(
+                        yp, up, vp, self.ref[0], self.ref[1], self.ref[2],
+                        qp=qp_map.reshape(-1) if qp_map is not None else qp,
+                        weights=weights, hint_mvx=hx, hint_mvy=hy, **kw)
                 if qp_map is not None:
                     out["qp_map"] = qp_map
-                self._deblock_frame(out, qp, is_idr=False)
-                sao_params = self._sao_frame(out, yp, up, vp)
-                nals = self._assemble_p_slice(out, qp,
-                                              sao_params=sao_params,
-                                              weights=weights, qp_map=qp_map)
+                if n_active == 1 and out.get("ref") is not None:
+                    out["ref"] = np.zeros_like(out["ref"])
+                with PROF("deblock"):
+                    self._deblock_frame(out, qp, is_idr=False)
+                with PROF("sao"):
+                    sao_params = self._sao_frame(out, yp, up, vp)
+                with PROF("serialize"):
+                    rps = None
+                    if n_active == 2:
+                        rps = ([(1, 1), (2, 1)], [])
+                    self._last_ref_deltas = list(range(1, n_active + 1))
+                    nals = self._assemble_p_slice(out, qp,
+                                                  sao_params=sao_params,
+                                                  weights=weights,
+                                                  qp_map=qp_map, rps=rps,
+                                                  n_refs=n_active)
             return out, nals
 
         if is_idr:
@@ -1253,9 +1320,32 @@ class VideoEncoderSession:
             if self.shared_analysis is not None:
                 self.shared_analysis.append(rec)
         self.analysis_idx += 1
+        self.ref2 = None if is_idr else self.ref
         self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+        if self.tmvp:
+            # collocated motion field for the NEXT frame's TMVP (HEVC
+            # stores col MVs on a 16x16 grid == this CU grid)
+            if is_idr:
+                self.col_field = {
+                    "intra": np.ones((self.rows, self.cols), bool),
+                    "mvx": np.zeros((self.rows, self.cols), np.int32),
+                    "mvy": np.zeros((self.rows, self.cols), np.int32),
+                    "ref": np.zeros((self.rows, self.cols), np.int32),
+                    "ref_deltas": [1]}
+            else:
+                nref = out.get("ref")
+                self.col_field = {
+                    "intra": np.asarray(out["use_intra"], bool),
+                    "mvx": np.asarray(out["mvx"], np.int32),
+                    "mvy": np.asarray(out["mvy"], np.int32),
+                    "ref": (np.zeros((self.rows, self.cols), np.int32)
+                            if nref is None else np.asarray(nref, np.int32)),
+                    "ref_deltas": self._last_ref_deltas}
         self.frame_idx += 1
-        self.rc.frame_done(qp, len(nals) * 8)
+        self.rc.frame_done(qp, len(nals) * 8,
+                           slice_type="I" if is_idr else "P")
+        if self.two_pass is not None:
+            self.two_pass.frame_done(len(nals) * 8)
         if self.stats_writer is not None:
             co = None
             if self.cutree and self._cutree_window:
@@ -1460,24 +1550,50 @@ class VideoEncoderSession:
     # ------------------------------------------------------------------
 
     def push_frame(self, y, u, v) -> List["FrameResult"]:
+        """Ingest one display-order frame. With rc_lookahead > 0 the frame
+        first sits in the analysis window (lookahead costs computed at
+        ingest); it reaches the mini-GOP machinery la_depth frames later
+        with a snapshot of its decided future window for cuTree."""
         assert self.bframes, "push_frame requires push/flush (bframes > 0)"
-        results: List[FrameResult] = []
         yp0 = G.pad_plane(y, self.coded_h, self.coded_w)
         icost, pcost, scenecut = self.lookahead.push(yp0)
+        det = dict(self.lookahead.last_detail)
+        det["scenecut"] = scenecut
+        cur_lowres = np.asarray(self.lookahead.prev_lowres)
+        if self.la_depth > 0:
+            self.la_queue.append((y, u, v, icost, pcost, scenecut, det,
+                                  cur_lowres))
+            if len(self.la_queue) > self.la_depth:
+                return self._pop_la_b()
+            return []
+        return self._push_frame_now(y, u, v, icost, pcost, scenecut, det,
+                                    cur_lowres)
+
+    def _pop_la_b(self) -> List["FrameResult"]:
+        (y, u, v, icost, pcost, scenecut, det, cur_lowres) = \
+            self.la_queue.pop(0)
+        window = [det] + [q[6] for q in self.la_queue]
+        return self._push_frame_now(y, u, v, icost, pcost, scenecut, det,
+                                    cur_lowres, window=window)
+
+    def _push_frame_now(self, y, u, v, icost, pcost, scenecut, det,
+                        cur_lowres, window=None) -> List["FrameResult"]:
+        results: List[FrameResult] = []
         idr_due = (self.display_idx % self.keyint == 0) \
             or self.anchor is None \
             or (self.scenecut_enabled and scenecut)
-        cur_lowres = np.asarray(self.lookahead.prev_lowres)
         if idr_due:
             if self.open_gop and self.anchor is not None:
                 results += self._encode_cra_gop(y, u, v)
             else:
-                results += self.flush()
+                results += self._flush_minigop()
+                self._cutree_window = window
                 results.append(self._encode_anchor(y, u, v, idr=True))
             self.anchor_lowres = cur_lowres
         else:
             self.pending.append((y, u, v))
             self.pending_lowres.append(cur_lowres)
+            self.pending_windows.append(window)
             if self.b_adapt >= 2:
                 # full b-adapt (reference slicetypePath trellis,
                 # slicetype.cpp:2378): once the window is full, score every
@@ -1501,9 +1617,9 @@ class VideoEncoderSession:
                         # are cheaper at equal predicted cost)
                         if best_cost is None or cost < best_cost:
                             best_k, best_cost = k, cost
-                    results += self.flush(best_k + 1)
+                    results += self._flush_minigop(best_k + 1)
                 elif len(self.pending) == self.bframes + 1:
-                    results += self.flush()
+                    results += self._flush_minigop()
             else:
                 # fast b-adapt: close the mini-GOP early when this frame
                 # predicts poorly — distance-1 cost vs intra, then a
@@ -1517,11 +1633,24 @@ class VideoEncoderSession:
                                                    cur_lowres)
                     poorly_predicted = far > 0.65 * max(icost, 1)
                 if len(self.pending) == self.bframes + 1 or poorly_predicted:
-                    results += self.flush()
+                    results += self._flush_minigop()
         self.display_idx += 1
         return results
 
     def flush(self, count: int = None) -> List["FrameResult"]:
+        """End-of-stream drain: empty the lookahead window (each frame runs
+        through the mini-GOP machinery with its remaining future window),
+        then close the open mini-GOP. flush(count) keeps the historical
+        mini-GOP-close behavior for direct callers."""
+        if count is not None:
+            return self._flush_minigop(count)
+        out: List[FrameResult] = []
+        while self.la_queue:
+            out += self._pop_la_b()
+        out += self._flush_minigop()
+        return out
+
+    def _flush_minigop(self, count: int = None) -> List["FrameResult"]:
         """Close the open mini-GOP: last pending frame (or pending[count-1]
         when count is given) becomes the P anchor, earlier pending frames
         encode as B against (prev anchor, new anchor). With b_pyramid and
@@ -1533,6 +1662,10 @@ class VideoEncoderSession:
             count = len(self.pending)
         frames = self.pending[:count]
         self.pending = self.pending[count:]
+        windows = self.pending_windows[:count]
+        self.pending_windows = self.pending_windows[count:]
+        if len(windows) < len(frames):
+            windows = windows + [None] * (len(frames) - len(windows))
         if self.pending_lowres:
             self.anchor_lowres = self.pending_lowres[count - 1]
             self.pending_lowres = self.pending_lowres[count:]
@@ -1540,6 +1673,7 @@ class VideoEncoderSession:
         out: List[FrameResult] = []
         anchor_poc = prev_poc + len(frames)
         y, u, v = frames[-1]
+        self._cutree_window = windows[-1]
         out.append(self._encode_anchor(y, u, v, idr=False,
                                        poc=anchor_poc,
                                        ref_delta=anchor_poc - prev_poc))
@@ -1549,6 +1683,7 @@ class VideoEncoderSession:
             m = nb // 2
             bref_poc = prev_poc + 1 + m
             y, u, v = frames[m]
+            self._cutree_window = windows[m]
             # Bref retains both anchors; nothing else is in the DPB yet
             fr, bref = self._encode_b(
                 y, u, v, bref_poc, prev_anchor, prev_poc, new_anchor,
@@ -1558,6 +1693,7 @@ class VideoEncoderSession:
                 if i == m:
                     continue
                 poc = prev_poc + 1 + i
+                self._cutree_window = windows[i]
                 if i < m:
                     # refs (prev anchor, Bref); later Bs still need the next
                     # anchor -> keep it in the RPS, unused by this picture
@@ -1573,6 +1709,7 @@ class VideoEncoderSession:
         else:
             for i, (y, u, v) in enumerate(frames[:-1]):
                 poc = prev_poc + 1 + i
+                self._cutree_window = windows[i]
                 fr, _ = self._encode_b(y, u, v, poc, prev_anchor, prev_poc,
                                        new_anchor, anchor_poc)
                 out.append(fr)
@@ -1617,40 +1754,50 @@ class VideoEncoderSession:
             qp = self._zone_qp(self.gop_display_base + poc, qp)
         # per-CU QP (AQ/cuTree): the PPS signals cu_qp_delta for the whole
         # session, so EVERY slice must carry the delta syntax
-        qp_map = self._frame_qp_map(yp, qp)
+        with PROF("qp_map"):
+            qp_map = self._frame_qp_map(yp, qp)
         if idr:
-            out = self.intra_sess.frame_encoder.encode_frame(
-                yp, up, vp,
-                qp=qp_map.reshape(-1) if qp_map is not None else qp)
+            with PROF("device_intra"):
+                out = self.intra_sess.frame_encoder.encode_frame(
+                    yp, up, vp,
+                    qp=qp_map.reshape(-1) if qp_map is not None else qp)
             if qp_map is not None:
                 out["qp_map"] = qp_map
-            self._deblock_frame(out, qp, is_idr=True)
-            sao_params = self._sao_frame(out, yp, up, vp)
-            nals = self.intra_sess._assemble_slice(out, qp=qp,
-                                                   sao_params=sao_params)
+            with PROF("deblock"):
+                self._deblock_frame(out, qp, is_idr=True)
+            with PROF("sao"):
+                sao_params = self._sao_frame(out, yp, up, vp)
+            with PROF("serialize"):
+                nals = self.intra_sess._assemble_slice(out, qp=qp,
+                                                       sao_params=sao_params)
             poc = 0
         else:
             weights = self._decide_weights(yp, up, vp, self.anchor[0])
-            out = self.inter_encoder.encode_frame(
-                yp, up, vp, self.anchor[0][0], self.anchor[0][1],
-                self.anchor[0][2],
-                qp=qp_map.reshape(-1) if qp_map is not None else qp,
-                weights=weights)
+            with PROF("device_p"):
+                out = self.inter_encoder.encode_frame(
+                    yp, up, vp, self.anchor[0][0], self.anchor[0][1],
+                    self.anchor[0][2],
+                    qp=qp_map.reshape(-1) if qp_map is not None else qp,
+                    weights=weights)
             if qp_map is not None:
                 out["qp_map"] = qp_map
-            self._deblock_frame(out, qp, is_idr=False)
-            sao_params = self._sao_frame(out, yp, up, vp)
-            nals = self._assemble_p_slice(out, qp, poc=poc,
-                                          ref_delta=ref_delta,
-                                          sao_params=sao_params,
-                                          weights=weights,
-                                          qp_map=qp_map)
+            with PROF("deblock"):
+                self._deblock_frame(out, qp, is_idr=False)
+            with PROF("sao"):
+                sao_params = self._sao_frame(out, yp, up, vp)
+            with PROF("serialize"):
+                nals = self._assemble_p_slice(out, qp, poc=poc,
+                                              ref_delta=ref_delta,
+                                              sao_params=sao_params,
+                                              weights=weights,
+                                              qp_map=qp_map)
         if self.sei_provider is not None:
             nals = self.sei_provider(self.gop_display_base + poc) + nals
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
         self.anchor = ((out["recon_y"], out["recon_u"], out["recon_v"]), poc)
-        self.rc.frame_done(qp, len(nals) * 8)
+        self.rc.frame_done(qp, len(nals) * 8,
+                           slice_type="I" if idr else "P")
         self._cur_src_uv = (u, v)
         self._cur_src_uv = (u, v)
         return self._result(out, nals, qp, poc, src_y=y,
@@ -1664,7 +1811,8 @@ class VideoEncoderSession:
         prev_anchor, prev_poc = self.anchor
         pending = self.pending
         pending_lowres = self.pending_lowres
-        self.pending, self.pending_lowres = [], []
+        pending_windows = self.pending_windows
+        self.pending, self.pending_lowres, self.pending_windows = [], [], []
         cra_poc = prev_poc + len(pending) + 1
 
         yp, up, vp = self._pad(y, u, v)
@@ -1695,6 +1843,8 @@ class VideoEncoderSession:
         from ..bitstream.bitio import NAL_RASL_N
         for i, (by, bu, bv) in enumerate(pending):
             poc = prev_poc + 1 + i
+            self._cutree_window = (pending_windows[i]
+                                   if i < len(pending_windows) else None)
             fr, _ = self._encode_b(by, bu, bv, poc, prev_anchor, prev_poc,
                                    cra_recon, cra_poc, nal_type=NAL_RASL_N)
             results.append(fr)
@@ -1712,27 +1862,145 @@ class VideoEncoderSession:
         qp = self._zone_qp(self.gop_display_base + poc, qp)
         # per-CU QP (AQ/cuTree) on B frames; the qt writers carry the
         # delta syntax per CTU
-        qp_map = self._frame_qp_map(yp, qp)
-        out = self.bi_encoder.encode_frame(
-            yp, up, vp, ref0[0], ref0[1], ref0[2],
-            qp=qp_map.reshape(-1) if qp_map is not None else qp,
-            ref1_y=ref1[0], ref1_u=ref1[1], ref1_v=ref1[2])
+        with PROF("qp_map"):
+            qp_map = self._frame_qp_map(yp, qp)
+        with PROF("device_b"):
+            out = self.bi_encoder.encode_frame(
+                yp, up, vp, ref0[0], ref0[1], ref0[2],
+                qp=qp_map.reshape(-1) if qp_map is not None else qp,
+                ref1_y=ref1[0], ref1_u=ref1[1], ref1_v=ref1[2])
         if qp_map is not None:
             out["qp_map"] = qp_map
-        self._deblock_frame(out, qp, is_idr=False)
-        sao_params = self._sao_frame(out, yp, up, vp)
-        nals = self._assemble_b_slice(out, qp, poc, poc0, poc1,
-                                      sao_params=sao_params, is_ref=is_ref,
-                                      rps=rps, nal_type=nal_type)
+        with PROF("deblock"):
+            self._deblock_frame(out, qp, is_idr=False)
+        with PROF("sao"):
+            sao_params = self._sao_frame(out, yp, up, vp)
+        with PROF("serialize"):
+            nals = self._assemble_b_slice(out, qp, poc, poc0, poc1,
+                                          sao_params=sao_params,
+                                          is_ref=is_ref,
+                                          rps=rps, nal_type=nal_type)
         if self.sei_provider is not None:
             nals = self.sei_provider(self.gop_display_base + poc) + nals
         if self.hash_sei:
             nals += self.intra_sess._hash_sei(out)
-        self.rc.frame_done(qp, len(nals) * 8)
+        self.rc.frame_done(qp, len(nals) * 8, slice_type="B")
         recon = (out["recon_y"], out["recon_u"], out["recon_v"])
         self._cur_src_uv = (u, v)
         return self._result(out, nals, qp, poc, src_y=y,
                             frame_type="B" if is_ref else "b"), recon
+
+    def _wpp_substreams(self, init_type: int, qp: int, code_ctu):
+        """Per-CTU-row CABAC substreams with spec 9.3.1 entropy sync
+        (context load from CTU 2 of the row above) — the WPP bitstream
+        form for P/B slices (round 3; the reference emits these from
+        frameencoder.cpp:1035-1062). code_ctu(enc, r, c) codes one CTU.
+        Returns (blobs, entry_point_offsets)."""
+        sync_c = 1 if self.cols > 1 else None
+        last_r = self.rows - 1
+        blobs = []
+        saved = None
+        for r in range(self.rows):
+            enc = CabacEncoder()
+            if r == 0 or saved is None:
+                enc.init_contexts(init_type, qp)
+            else:
+                enc.ctx = saved.copy()
+            for c in range(self.cols):
+                code_ctu(enc, r, c)
+                if c == sync_c:
+                    saved = enc.ctx.copy()
+                is_last = (r == last_r and c == self.cols - 1)
+                enc.encode_bin_trm(1 if is_last else 0)
+            if r < last_r:
+                enc.encode_bin_trm(1)            # end_of_subset_one_bit
+            data, tail, tail_bits = enc.finish()
+            sub = BitWriter()
+            for b in data:
+                sub.write_byte(b)
+            sub.write_bits(tail, tail_bits)
+            sub.write_bits(1, 1)                 # stop bit
+            sub.write_align_zero()               # byte_alignment()
+            blobs.append(sub.get_bytes())
+        return blobs, [len(b) for b in blobs[:-1]]
+
+    def _assemble_p_slice_wpp(self, out: dict, qp: int, poc=None,
+                              ref_delta: int = 1, sao_params=None,
+                              rps=None, n_refs: int = 1) -> bytes:
+        """P slice with WPP substreams (uniform grid; no per-CU QP —
+        qPY_PREV would reset per CTU row, spec 8.6.1)."""
+        from ..bitstream import inter_syntax as IS
+        from ..bitstream.bitio import NAL_TRAIL_R
+        sess = self.intra_sess
+        log2cu = self.cu.bit_length() - 1
+        grid = [[None] * self.cols for _ in range(self.rows)]
+
+        def code_ctu(enc, r, c):
+            if sao_params is not None:
+                CS.encode_sao_ctu(
+                    enc, sao_params[r][c],
+                    sao_params[r][c - 1] if c > 0 else None,
+                    sao_params[r - 1][c] if r > 0 else None,
+                    True, True, sess.bit_depth)
+            d = self._decide_cu(out, grid, r, c, n_refs=n_refs,
+                                col=self.col_field if self.tmvp else None)
+            IS.encode_inter_ctu(enc, d, grid, r, c, log2cu,
+                                self.max_merge, sign_hiding=self.sbh,
+                                n_refs=n_refs)
+
+        blobs, offsets = self._wpp_substreams(1, qp, code_ctu)
+        bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=1,
+                                    slice_qp=qp, nal_type=NAL_TRAIL_R,
+                                    poc=self.poc if poc is None else poc,
+                                    ref_poc_delta=ref_delta,
+                                    max_merge=self.max_merge,
+                                    sao_luma=1 if sao_params else 0,
+                                    sao_chroma=1 if sao_params else 0,
+                                    rps=rps, num_ref_l0=n_refs,
+                                    entry_point_offsets=offsets)
+        for blob in blobs:
+            for b in blob:
+                bw.write_byte(b)
+        return wrap_nal(NAL_TRAIL_R, bw.get_bytes())
+
+    def _assemble_b_slice_wpp(self, out: dict, qp: int, poc: int, poc0: int,
+                              poc1: int, sao_params=None,
+                              is_ref: bool = False, rps=None,
+                              nal_type=None) -> bytes:
+        """B slice with WPP substreams (uniform grid, no per-CU QP)."""
+        from ..bitstream import inter_syntax as IS
+        from ..bitstream.bitio import NAL_TRAIL_N, NAL_TRAIL_R
+        sess = self.intra_sess
+        log2cu = self.cu.bit_length() - 1
+        if nal_type is None:
+            nal_type = NAL_TRAIL_R if is_ref else NAL_TRAIL_N
+        grid = [[None] * self.cols for _ in range(self.rows)]
+
+        def code_ctu(enc, r, c):
+            if sao_params is not None:
+                CS.encode_sao_ctu(
+                    enc, sao_params[r][c],
+                    sao_params[r][c - 1] if c > 0 else None,
+                    sao_params[r - 1][c] if r > 0 else None,
+                    True, True, sess.bit_depth)
+            d = self._decide_cu_b(out, grid, r, c, poc, poc0, poc1)
+            IS.encode_b_ctu(enc, d, grid, r, c, log2cu,
+                            self.max_merge, sign_hiding=self.sbh)
+
+        blobs, offsets = self._wpp_substreams(0, qp, code_ctu)
+        bw = HDR.write_slice_header(sess.sps, sess.pps, slice_type=0,
+                                    slice_qp=qp, nal_type=nal_type,
+                                    poc=poc, max_merge=self.max_merge,
+                                    ref_poc_delta=poc - poc0,
+                                    pos_poc_delta=poc1 - poc,
+                                    rps=rps,
+                                    sao_luma=1 if sao_params else 0,
+                                    sao_chroma=1 if sao_params else 0,
+                                    entry_point_offsets=offsets)
+        for blob in blobs:
+            for b in blob:
+                bw.write_byte(b)
+        return wrap_nal(nal_type, bw.get_bytes())
 
     def _assemble_b_slice(self, out: dict, qp: int, poc: int, poc0: int,
                           poc1: int, sao_params=None, is_ref: bool = False,
@@ -1743,6 +2011,10 @@ class VideoEncoderSession:
             return self._assemble_b_slice_qt(out, qp, poc, poc0, poc1,
                                              sao_params, is_ref, rps,
                                              nal_type=nal_type)
+        if self.wpp:
+            return self._assemble_b_slice_wpp(out, qp, poc, poc0, poc1,
+                                              sao_params, is_ref, rps,
+                                              nal_type)
         sess = self.intra_sess
         log2cu = self.cu.bit_length() - 1
         if nal_type is None:
@@ -1987,7 +2259,8 @@ class VideoEncoderSession:
 
     def _assemble_p_slice(self, out: dict, qp: int = None, poc: int = None,
                           ref_delta: int = 1, sao_params=None,
-                          weights=None, qp_map=None) -> bytes:
+                          weights=None, qp_map=None, rps=None,
+                          n_refs: int = 1) -> bytes:
         from ..bitstream import inter_syntax as IS
         from ..bitstream.bitio import NAL_TRAIL_R
         qp = self.qp if qp is None else qp
@@ -2003,12 +2276,18 @@ class VideoEncoderSession:
                                     max_merge=self.max_merge,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0,
-                                    weights=weights)
-        res = native.encode_p_slice(
-            out["use_intra"], out["modes"], out["mvx"], out["mvy"],
-            out["levels_y"], out["levels_cb"], out["levels_cr"],
-            log2cu, qp, self.max_merge, sign_hiding=self.sbh,
-            sao=sao_params, qp_map=qp_map, bit_depth=self.bit_depth)
+                                    weights=weights, rps=rps,
+                                    num_ref_l0=n_refs)
+        if self.wpp:
+            return self._assemble_p_slice_wpp(out, qp, poc, ref_delta,
+                                              sao_params, rps, n_refs)
+        res = None
+        if n_refs == 1 and not self.tmvp:
+            res = native.encode_p_slice(
+                out["use_intra"], out["modes"], out["mvx"], out["mvy"],
+                out["levels_y"], out["levels_cb"], out["levels_cr"],
+                log2cu, qp, self.max_merge, sign_hiding=self.sbh,
+                sao=sao_params, qp_map=qp_map, bit_depth=self.bit_depth)
         if res is not None:       # production path: C++ CABAC runtime
             data, tail, tail_bits = res
         else:                     # Python reference fallback
@@ -2025,14 +2304,16 @@ class VideoEncoderSession:
                             sao_params[r][c - 1] if c > 0 else None,
                             sao_params[r - 1][c] if r > 0 else None,
                             True, True, sess.bit_depth)
-                    d = self._decide_cu(out, grid, r, c)
+                    d = self._decide_cu(out, grid, r, c, n_refs=n_refs,
+                                        col=self.col_field
+                                        if self.tmvp else None)
                     delta = None
                     if qp_map is not None and d.has_residual:
                         delta = int(qp_map[r, c]) - qp_prev
                         qp_prev = int(qp_map[r, c])
                     IS.encode_inter_ctu(enc, d, grid, r, c, log2cu,
                                         self.max_merge, sign_hiding=self.sbh,
-                                        cu_qp_delta=delta)
+                                        cu_qp_delta=delta, n_refs=n_refs)
                     enc.encode_bin_trm(1 if r * self.cols + c == last else 0)
             data, tail, tail_bits = enc.finish()
         for b in data:
@@ -2176,7 +2457,7 @@ class VideoEncoderSession:
             is_intra=False, mv=mv, merge_idx=-1, mvp_flag=flag, mvd=mvd,
             luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)
 
-    def _decide_cu(self, out, grid, r, c):
+    def _decide_cu(self, out, grid, r, c, n_refs: int = 1, col=None):
         """Map device decisions to signaling (merge/AMVP selection against
         the decoder-exact candidate lists)."""
         from ..bitstream import inter_syntax as IS
@@ -2188,15 +2469,23 @@ class VideoEncoderSession:
                 is_intra=True, intra_mode=int(out["modes"][r, c]),
                 luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)
         mv = (int(out["mvx"][r, c]), int(out["mvy"][r, c]))   # quarter-pel
-        cands = IS.merge_candidates(grid, r, c, self.max_merge)
-        if mv in cands:
+        ref = int(out["ref"][r, c]) if (n_refs > 1
+                                        and out.get("ref") is not None) else 0
+        ref_deltas = list(range(1, n_refs + 1))
+        cands = IS.merge_candidates_ref(grid, r, c, self.max_merge,
+                                        n_refs=n_refs, col=col,
+                                        ref_deltas=ref_deltas)
+        if (mv, ref) in cands:
             return IS.InterCTUDecision(
-                is_intra=False, mv=mv, merge_idx=cands.index(mv),
+                is_intra=False, mv=mv, ref=ref,
+                merge_idx=cands.index((mv, ref)),
                 luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)
-        preds = IS.amvp_candidates(grid, r, c)
+        preds = IS.amvp_candidates(grid, r, c, target_ref=ref,
+                                   ref_deltas=ref_deltas, col=col)
         costs = [abs(mv[0] - p[0]) + abs(mv[1] - p[1]) for p in preds]
         flag = 0 if costs[0] <= costs[1] else 1
         mvd = (mv[0] - preds[flag][0], mv[1] - preds[flag][1])
         return IS.InterCTUDecision(
-            is_intra=False, mv=mv, merge_idx=-1, mvp_flag=flag, mvd=mvd,
+            is_intra=False, mv=mv, ref=ref, merge_idx=-1, mvp_flag=flag,
+            mvd=mvd,
             luma_levels=lv_y, cb_levels=lv_cb, cr_levels=lv_cr)

@@ -46,6 +46,9 @@ class InterFrameConfig:
     hme: bool = False             # hierarchical ME: half-res coarse search
     hme_range: int = 16           # coarse range (half-res pels); effective
                                   # full-res reach = 2*hme_range + search_range
+    n_refs: int = 1               # L0 references (2: multi-ref P, the
+                                  # reference's --ref / pme ref axis —
+                                  # uniform-grid path, round 3)
 
     @property
     def rows(self):
@@ -85,7 +88,7 @@ class InterFrameEncoder:
         qp = self.cfg.qp if qp is None else qp
         pdt = jnp.uint16 if self.cfg.bit_depth > 8 else jnp.uint8
         a = lambda x: jnp.asarray(x, pdt)
-        if self.cfg.bi:
+        if self.cfg.bi or self.cfg.n_refs > 1:
             buf = np.asarray(self._encode(
                 a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
                 a(ref1_y), a(ref1_u), a(ref1_v), jnp.asarray(qp, jnp.int32)))
@@ -213,6 +216,37 @@ class InterFrameEncoder:
                     xp=jnp)
             inter_satd = pixel.satd(yb32, pred_y, xp=jnp)
             return mvx, mvy, pred_y, pred_u, pred_v, inter_satd
+
+        def motion_phase_2ref(src_y, refs0, refs1, qp):
+            """Multi-ref P (reference --ref N / pme ref axis,
+            search.cpp:2181 per-(list,ref) searches): full search + subpel
+            against BOTH L0 references; per-CU selection by SATD +
+            lambda * (mvd bits + ref_idx bit). Returns (ref_sel, mvx, mvy,
+            pred3, satd)."""
+            yb32 = to_blocks(src_y, n)
+            mv0x, mv0y = search_ref(yb32, refs0[0])
+            mv1x, mv1y = search_ref(yb32, refs1[0])
+            p0 = uni_pred(refs0, mv0x, mv0y)
+            p1 = uni_pred(refs1, mv1x, mv1y)
+            s0 = pixel.satd(yb32, p0[0], xp=jnp)
+            s1 = pixel.satd(yb32, p1[0], xp=jnp)
+            lam = 0.9 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 6.0)
+
+            def mvbits(mx, my):
+                return (4.0 + 2.0 * jnp.log2(1.0 + jnp.abs(mx).astype(jnp.float32))
+                        + 2.0 * jnp.log2(1.0 + jnp.abs(my).astype(jnp.float32)))
+
+            c0 = s0 + lam * (mvbits(mv0x, mv0y) + 1.0)
+            c1 = s1 + lam * (mvbits(mv1x, mv1y) + 1.0)
+            sel = (c1 < c0).astype(jnp.int32)            # ties keep ref 0
+            pick = lambda a, b: jnp.where(sel[:, None, None] == 1, b, a)
+            pred_y = pick(p0[0], p1[0])
+            pred_u = pick(p0[1], p1[1])
+            pred_v = pick(p0[2], p1[2])
+            mvx = jnp.where(sel == 1, mv1x, mv0x)
+            mvy = jnp.where(sel == 1, mv1y, mv0y)
+            satd = jnp.where(sel == 1, s1, s0)
+            return sel, mvx, mvy, pred_y, pred_u, pred_v, satd
 
         def motion_phase_b(src_y, refs0, refs1, qp):
             """Two-list ME + uni/uni/bi decision. Bi prediction uses the
@@ -384,7 +418,7 @@ class InterFrameEncoder:
 
         def encode(y, u, v, ref_y, ref_u, ref_v, *rest):
             wts = hint = None
-            if cfg.bi:
+            if cfg.bi or cfg.n_refs > 1:
                 ref1_y, ref1_u, ref1_v, qp = rest
             elif cfg.weightp:
                 qp, wy, oy, wcb, ocb, wcr, ocr = rest
@@ -413,6 +447,13 @@ class InterFrameEncoder:
             if cfg.bi:
                 (pdir, mvx, mvy, mv1x, mv1y, pred_y, pred_u, pred_v,
                  inter_satd) = motion_phase_b(
+                    y32, (refy32, refu32, refv32),
+                    (ref1_y.astype(jnp.int32), ref1_u.astype(jnp.int32),
+                     ref1_v.astype(jnp.int32)),
+                    jnp.max(qp_sig) if qp_sig.ndim else qp_sig)
+            elif cfg.n_refs > 1:
+                (ref_sel, mvx, mvy, pred_y, pred_u, pred_v,
+                 inter_satd) = motion_phase_2ref(
                     y32, (refy32, refu32, refv32),
                     (ref1_y.astype(jnp.int32), ref1_u.astype(jnp.int32),
                      ref1_v.astype(jnp.int32)),
@@ -468,6 +509,8 @@ class InterFrameEncoder:
             head_parts = [use_intra, imode.astype(jnp.uint8)]
             if cfg.bi:
                 head_parts.append(pdir.astype(jnp.uint8))
+            if cfg.n_refs > 1:
+                head_parts.append(ref_sel.astype(jnp.uint8))
             head8 = jnp.concatenate(head_parts).astype(jnp.uint8)
             mv_parts = [mvx.astype(jnp.int16), mvy.astype(jnp.int16)]
             if cfg.bi:
@@ -510,6 +553,7 @@ class InterFrameEncoder:
         materialisation that made the old path HBM-bound.
         """
         from .qt_common import block_v, QOFF
+        from ..ops import bitcost as BC
         cfg = self.cfg
         n = cfg.cu_size            # 32
         h = 16
@@ -591,10 +635,15 @@ class InterFrameEncoder:
             rr = transforms.inverse_transform(dq, bd, xp=jnp)
             return levels, rr
 
-        def est_mv_bits_arr(mvx, mvy):
-            ax = jnp.abs(mvx).astype(jnp.float32)
-            ay = jnp.abs(mvy).astype(jnp.float32)
-            return 4.0 + 2.0 * jnp.log2(1.0 + ax) + 2.0 * jnp.log2(1.0 + ay)
+        def make_mv_bits(states):
+            """K9 wiring: MVD signaling cost from the frozen-context CABAC
+            model (ops/bitcost.mvd_bits — the reference's bitcost.h:87 MV
+            cost table analog) + ~2 bits of mvp/merge flag overhead. The
+            dense path has no MVP yet, so |mv| stands in for |mvd|."""
+            def est_mv_bits_arr(mvx, mvy):
+                return (BC.mvd_bits(mvx, states, xp=jnp)
+                        + BC.mvd_bits(mvy, states, xp=jnp) + 2.0)
+            return est_mv_bits_arr
 
         def ssd(a, b):
             d = (a - b).astype(jnp.float32)
@@ -676,7 +725,7 @@ class InterFrameEncoder:
                     interp.weight_uni(ps[2], wcr, ocr, 6, bd, xp=jnp))
 
         def decide_motion_dense(nn, y32, refs0, refs1, mv0, mv1, qp_blk,
-                                wts=None):
+                                est_mv_bits_arr, wts=None):
             """Per-block list decision at one size from sweep results.
             Returns (pdir, mv0x, mv0y, mv1x, mv1y, pred3, satd_sel,
             bits_sel)."""
@@ -771,7 +820,7 @@ class InterFrameEncoder:
 
         # ---- dense per-leaf RD -----------------------------------------
         def dense_leaf_rd(nn, srcs3, ipred3, epred3, modes, qp_y, qp_c,
-                          lam2, ebits_mv):
+                          lam2, ebits_mv, states):
             """RD both candidates of every leaf at one size.  Returns
             (use_intra, leaf_dist, leaf_bits, elv3, erec3): the chosen
             flag, the chosen candidate's dist/bits, and the INTER
@@ -796,9 +845,17 @@ class InterFrameEncoder:
                     dist = dist + cfg.psy_rd * jnp.abs(
                         pixel.psy_energy(sy, xp=jnp)
                         - pixel.psy_energy(rec_y, xp=jnp)).astype(jnp.float32)
-                bits = (quant.est_tu_bits(lv_y, xp=jnp)
-                        + quant.est_tu_bits(lv_cb, xp=jnp)
-                        + quant.est_tu_bits(lv_cr, xp=jnp))
+                # K9 wiring: TU bits from the frozen-context CABAC model
+                # (ops/bitcost — quant.cpp:610 estBits analog), replacing
+                # the static per-level estimates
+                bits = (BC.est_tu_bits_ctx(lv_y, log2nn, True, states,
+                                           xp=jnp, sign_hiding=cfg.sbh)
+                        + BC.est_tu_bits_ctx(lv_cb, log2nn - 1, False,
+                                             states, xp=jnp,
+                                             sign_hiding=cfg.sbh)
+                        + BC.est_tu_bits_ctx(lv_cr, log2nn - 1, False,
+                                             states, xp=jnp,
+                                             sign_hiding=cfg.sbh))
                 return (lv_y, lv_cb, lv_cr), (rec_y, rec_u, rec_v), dist, bits
 
             ilv, irec, idist, ibits = rd_one(ipred3, fI)
@@ -997,6 +1054,11 @@ class InterFrameEncoder:
             mv_l0 = sweep_list(y32, refs[0], low_y, low0, wts)
             mv_l1 = sweep_list(y32, refs1[0], low_y, low1) if cfg.bi else None
 
+            # K9 contexts: frozen at slice-init state (spec 9.3.2.2) for
+            # the base QP; slice type 0=B, 1=P (x265 enum)
+            states = BC.init_states_dev(0 if cfg.bi else 1, qp_cu[0], xp=jnp)
+            est_mv_bits_arr = make_mv_bits(states)
+
             dense = {}
             leaf = {}
             for nn in sizes:
@@ -1007,7 +1069,7 @@ class InterFrameEncoder:
                                        / 3.0)
                 d = decide_motion_dense(nn, y32, refs, refs1, mv_l0[nn],
                                         None if mv_l1 is None else mv_l1[nn],
-                                        qp_blk, wts)
+                                        qp_blk, est_mv_bits_arr, wts)
                 (pdir, m0x, m0y, m1x, m1y, epred, esatd, ebits_mv) = d
                 imodes, ip_y, ip_u, ip_v = dense_intra(nn, y32, u32, v32)
                 hc = nn // 2
@@ -1015,7 +1077,7 @@ class InterFrameEncoder:
                          to_blocks(v32, hc))
                 ui, ldist, lbits, elv, erec = dense_leaf_rd(
                     nn, srcs3, (ip_y, ip_u, ip_v), epred, imodes,
-                    qpy_blk, qpc_blk, lam2, ebits_mv)
+                    qpy_blk, qpc_blk, lam2, ebits_mv, states)
                 dense[nn] = (pdir, m0x, m0y, m1x, m1y)
                 leaf[nn] = {"ui": ui, "modes": imodes, "dist": ldist,
                             "bits": lbits, "elv": elv, "erec": erec,
@@ -1290,6 +1352,10 @@ class InterFrameEncoder:
         pdir = None
         if cfg.bi:
             pdir = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
+        ref_sel = None
+        if cfg.n_refs > 1:
+            ref_sel = buf[o:o + ncu].astype(np.int32).reshape(rows, cols)
+            o += ncu
         nmv = 8 * ncu if cfg.bi else 4 * ncu
         mv = buf[o:o + nmv].view(np.int16); o += nmv
         mvx = mv[:ncu].astype(np.int32).reshape(rows, cols)
@@ -1303,7 +1369,7 @@ class InterFrameEncoder:
         return {
             "use_intra": use_intra,
             "modes": imode,
-            "mvx": mvx, "mvy": mvy,
+            "mvx": mvx, "mvy": mvy, "ref": ref_sel,
             "pdir": pdir, "mv1x": mv1x, "mv1y": mv1y,
             "levels_y": lv[:sy].astype(np.int32).reshape(rows, cols, n, n),
             "levels_cb": lv[sy:sy + sc].astype(np.int32).reshape(rows, cols, nc, nc),
