@@ -138,20 +138,22 @@ def main():
         bits += r.bits
     log("warmup done (all programs compiled)", compile_total=round(time.time() - T0, 1))
 
-    # timed pass: fresh session, full clip (compiles are cached); per-stage
-    # timing via the profiler (frameencoder.h:175-187 timing-columns analog)
+    # timed passes REUSE the warm session: a fresh session re-loads the
+    # ~126 MB cached executables through the tunnel (~7 min), which would
+    # measure deserialization, not encoding. Rate-control state carries
+    # across passes (CRF: negligible drift); per-stage timing via the
+    # profiler (frameencoder.h:175-187 timing-columns analog).
     from x265_yuuki_asuna_tpu.utils.profiling import PROF
 
     def timed_pass():
-        s = make_session()
         PROF.reset()
         PROF.enabled = True
         t0 = time.time()
         nbits = 0
         for f in frames:
-            for r in s.push_frame(*f):
+            for r in sess.push_frame(*f):
                 nbits += r.bits
-        for r in s.flush():
+        for r in sess.flush():
             nbits += r.bits
         PROF.enabled = False
         return len(frames) / (time.time() - t0), nbits, PROF.report()
