@@ -54,3 +54,27 @@ def test_wpp_b_session_conformance():
         res += sess.push_frame(*f)
     res += sess.flush()
     _check(sess, res, frames)
+
+
+def test_wpp_intra_quadtree_conformance():
+    """Round 3: quadtree x WPP (the r1 'quadtree + wpp unsupported' assert
+    is gone) — QT intra slices with per-row substreams decode bit-exactly,
+    including per-CU QP (AQ) with the per-row qPY_PREV reset."""
+    from x265_yuuki_asuna_tpu.models.encoder_top import IntraEncoderSession
+    rng = np.random.default_rng(5)
+    w, h = 96, 64
+    frames = [(rng.integers(0, 256, (h, w)).astype(np.uint8),
+               rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+               rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8))
+              for _ in range(2)]
+    sess = IntraEncoderSession(w, h, qp=30, max_depth=2, wpp=True,
+                               aq_mode=2, hash_sei=False)
+    res = [sess.encode_frame(*f) for f in frames]
+    stream = sess.headers() + b"".join(r.nals for r in res)
+    dec = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(dec) == len(frames)
+    for i, (d, r) in enumerate(zip(dec, res)):
+        for p in range(3):
+            assert np.array_equal(
+                d[p][:r.recon[p].shape[0], :r.recon[p].shape[1]]
+                .astype(np.uint8), r.recon[p]), f"frame {i} plane {p}"

@@ -59,6 +59,10 @@ class SPSInfo:
     # (9, 16, 9) = BT.2020 / PQ / BT.2020nc for HDR10
     chroma_loc: Optional[int] = None    # chroma_sample_loc_type (0..5)
     timing_info: Optional[Tuple[int, int]] = None  # (num_units_in_tick, time_scale)
+    # HRD (spec E.2.2 hrd_parameters + E.3 semantics; reference --hrd,
+    # sei.cpp buffering period / pic timing): (max_bitrate_bps,
+    # cpb_size_bits, cbr_flag) - requires timing_info
+    hrd: Optional[Tuple[int, int, int]] = None
 
     @property
     def ctb_log2(self) -> int:
@@ -244,10 +248,49 @@ def _write_vui(bw: BitWriter, sps: SPSInfo):
         bw.write_bits(sps.timing_info[0], 32)
         bw.write_bits(sps.timing_info[1], 32)
         bw.write_flag(0)         # poc_proportional_to_timing_flag
-        bw.write_flag(0)         # vui_hrd_parameters_present_flag
+        if sps.hrd:
+            bw.write_flag(1)     # vui_hrd_parameters_present_flag
+            _write_hrd(bw, sps)
+        else:
+            bw.write_flag(0)     # vui_hrd_parameters_present_flag
     else:
         bw.write_flag(0)
     bw.write_flag(0)             # bitstream_restriction_flag
+
+
+# scale exponents per spec E.2.2: value = (v + 1) << (6|4 + scale)
+HRD_BITRATE_SCALE = 4            # bitrate units of 2^(6+4) = 1024 bps
+HRD_CPB_SCALE = 6                # cpb units of 2^(4+6) = 1024 bits
+
+
+def hrd_units(sps):
+    # (bit_rate_value_minus1, cpb_size_value_minus1, cbr) from the
+    # configured rates, rounded UP to the unit granularity
+    maxrate_bps, cpb_bits, cbr = sps.hrd
+    br = max(-(-maxrate_bps // (1 << (6 + HRD_BITRATE_SCALE))), 1)
+    cpb = max(-(-cpb_bits // (1 << (4 + HRD_CPB_SCALE))), 1)
+    return br - 1, cpb - 1, cbr
+
+
+def _write_hrd(bw: BitWriter, sps):
+    # hrd_parameters(1, 0), spec E.2.2: NAL HRD only, one sub-layer,
+    # one CPB, no sub-pic timing; 24-bit delay fields
+    br_m1, cpb_m1, cbr = hrd_units(sps)
+    bw.write_flag(1)             # nal_hrd_parameters_present_flag
+    bw.write_flag(0)             # vcl_hrd_parameters_present_flag
+    bw.write_flag(0)             # sub_pic_hrd_params_present_flag
+    bw.write_bits(HRD_BITRATE_SCALE, 4)
+    bw.write_bits(HRD_CPB_SCALE, 4)
+    bw.write_bits(23, 5)         # initial_cpb_removal_delay_length_minus1
+    bw.write_bits(23, 5)         # au_cpb_removal_delay_length_minus1
+    bw.write_bits(23, 5)         # dpb_output_delay_length_minus1
+    bw.write_flag(0)             # fixed_pic_rate_general_flag[0]
+    bw.write_flag(0)             # fixed_pic_rate_within_cvs_flag[0]
+    bw.write_flag(0)             # low_delay_hrd_flag[0]
+    bw.write_ue(0)               # cpb_cnt_minus1[0]
+    bw.write_ue(br_m1)           # bit_rate_value_minus1
+    bw.write_ue(cpb_m1)          # cpb_size_value_minus1
+    bw.write_flag(cbr)           # cbr_flag
 
 
 def write_pps(pps: PPSInfo) -> bytes:

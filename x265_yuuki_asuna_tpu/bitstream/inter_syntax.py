@@ -885,10 +885,79 @@ def skip_ctx_pos(cells, gy: int, gx: int) -> int:
     return sk(gy, gx - 1) + sk(gy - 1, gx)
 
 
+def _quad(a, q):
+    h = a.shape[0] // 2
+    qy, qx = divmod(q, 2)
+    return a[qy * h:(qy + 1) * h, qx * h:(qx + 1) * h]
+
+
+def code_inter_transform_tree(enc, lv_y, lv_cb, lv_cr, log2_cu: int,
+                              sign_hiding: bool, cu_qp_delta,
+                              tu_split: bool = False, max_tt: int = 0):
+    """transform_tree + transform_unit for an inter 2Nx2N CU
+    (spec 7.3.8.8/7.3.8.10). max_tt = max_transform_hierarchy_depth_inter:
+    when >= 1 the split_transform_flag is CODED for every inter TU root in
+    [MinTb+1, MaxTb], and tu_split=True codes the residual as 4 half-size
+    TUs in z-order (the round-3 RQT path — estimateResidualQT analog,
+    search.cpp:3178). Split levels live in quadrant layout in lv_*.
+    Returns True if a cu_qp_delta was consumed."""
+    cbf_cb0 = 1 if np.any(lv_cb) else 0
+    cbf_cr0 = 1 if np.any(lv_cr) else 0
+    if max_tt >= 1 and 2 < log2_cu <= 5:
+        enc.encode_bin(1 if tu_split else 0,
+                       CTX["trans_subdiv"] + 5 - log2_cu)
+    enc.encode_bin(cbf_cb0, CTX["qt_cbf"] + 2)
+    enc.encode_bin(cbf_cr0, CTX["qt_cbf"] + 2)
+    sent_delta = False
+    if not tu_split:
+        cbf_y = 1 if np.any(lv_y) else 0
+        if cbf_cb0 or cbf_cr0:
+            enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
+        else:
+            assert cbf_y, "rqt_root_cbf=1 with no coded cbf"
+        if cu_qp_delta is not None and (cbf_y or cbf_cb0 or cbf_cr0):
+            encode_cu_qp_delta(enc, cu_qp_delta)
+            sent_delta = True
+        if cbf_y:
+            encode_residual(enc, lv_y, log2_cu, True, -1, sign_hiding)
+        if cbf_cb0:
+            encode_residual(enc, lv_cb, log2_cu - 1, False, -1, sign_hiding)
+        if cbf_cr0:
+            encode_residual(enc, lv_cr, log2_cu - 1, False, -1, sign_hiding)
+        return sent_delta
+    # split: 4 z-order sub-TUs at trafoDepth 1 (== MaxTrafoDepth: no
+    # further split flags); chroma follows the luma split (4:2:0,
+    # sub-TU chroma is log2_cu - 2 >= 2)
+    for q in range(4):
+        ly = _quad(lv_y, q)
+        lcb = _quad(lv_cb, q)
+        lcr = _quad(lv_cr, q)
+        cbf_cb = 1 if (cbf_cb0 and np.any(lcb)) else 0
+        cbf_cr = 1 if (cbf_cr0 and np.any(lcr)) else 0
+        if cbf_cb0:
+            enc.encode_bin(cbf_cb, CTX["qt_cbf"] + 2 + 1)
+        if cbf_cr0:
+            enc.encode_bin(cbf_cr, CTX["qt_cbf"] + 2 + 1)
+        cbf_y = 1 if np.any(ly) else 0
+        enc.encode_bin(cbf_y, CTX["qt_cbf"] + 0)     # trafoDepth != 0
+        if (cu_qp_delta is not None and not sent_delta
+                and (cbf_y or cbf_cb or cbf_cr)):
+            encode_cu_qp_delta(enc, cu_qp_delta)
+            sent_delta = True
+        if cbf_y:
+            encode_residual(enc, ly, log2_cu - 1, True, -1, sign_hiding)
+        if cbf_cb:
+            encode_residual(enc, lcb, log2_cu - 2, False, -1, sign_hiding)
+        if cbf_cr:
+            encode_residual(enc, lcr, log2_cu - 2, False, -1, sign_hiding)
+    return sent_delta
+
+
 def encode_inter_cu_qt(enc: CabacEncoder, d: InterCTUDecision, cells,
                        gy: int, gx: int, s: int, max_merge: int,
                        sign_hiding: bool = False, cu_qp_delta=None,
-                       cell_px: int = 16, min_log2: int = 4):
+                       cell_px: int = 16, min_log2: int = 4,
+                       tu_split: bool = False, max_tt: int = 0):
     """coding_unit() for a P slice at cell (gy, gx), size s cells
     (cell_px*s px). Mirrors encode_inter_ctu but with position-based
     contexts/candidates and size-dependent part_mode presence (intra
@@ -955,25 +1024,10 @@ def encode_inter_cu_qt(enc: CabacEncoder, d: InterCTUDecision, cells,
         rqt_root_cbf = 1 if d.has_residual else 0
         enc.encode_bin(rqt_root_cbf, CTX["qt_root_cbf"])
     if rqt_root_cbf:
-        cbf_cb = 1 if np.any(d.cb_levels) else 0
-        cbf_cr = 1 if np.any(d.cr_levels) else 0
-        enc.encode_bin(cbf_cb, CTX["qt_cbf"] + 2)
-        enc.encode_bin(cbf_cr, CTX["qt_cbf"] + 2)
-        cbf_y = 1 if np.any(d.luma_levels) else 0
-        if cbf_cb or cbf_cr:
-            enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
-        else:
-            assert cbf_y, "rqt_root_cbf=1 with no coded cbf"
-        if cu_qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
-            encode_cu_qp_delta(enc, cu_qp_delta)
-        if cbf_y:
-            encode_residual(enc, d.luma_levels, log2_cu, True, -1, sign_hiding)
-        if cbf_cb:
-            encode_residual(enc, d.cb_levels, log2_cu - 1, False, -1,
-                            sign_hiding)
-        if cbf_cr:
-            encode_residual(enc, d.cr_levels, log2_cu - 1, False, -1,
-                            sign_hiding)
+        code_inter_transform_tree(enc, d.luma_levels, d.cb_levels,
+                                  d.cr_levels, log2_cu, sign_hiding,
+                                  cu_qp_delta, tu_split=tu_split,
+                                  max_tt=max_tt)
     fill(CUInfo(False, d.mv, skip=False))
 
 
@@ -1113,7 +1167,8 @@ def _skip_ctx_pos_b(cells, gy, gx):
 def encode_b_cu_qt(enc: CabacEncoder, d: BCTUDecision, cells,
                    gy: int, gx: int, s: int, max_merge: int,
                    sign_hiding: bool = False, cu_qp_delta=None,
-                   cell_px: int = 16, min_log2: int = 4):
+                   cell_px: int = 16, min_log2: int = 4,
+                   tu_split: bool = False, max_tt: int = 0):
     """coding_unit() for a B slice at cell (gy, gx), size s cells."""
     log2_cu = (s * cell_px).bit_length() - 1
     is_skip = (not d.is_intra and d.merge_idx >= 0 and not d.has_residual)
@@ -1187,23 +1242,8 @@ def encode_b_cu_qt(enc: CabacEncoder, d: BCTUDecision, cells,
         rqt = 1 if d.has_residual else 0
         enc.encode_bin(rqt, CTX["qt_root_cbf"])
     if rqt:
-        cbf_cb = 1 if np.any(d.cb_levels) else 0
-        cbf_cr = 1 if np.any(d.cr_levels) else 0
-        cbf_y = 1 if np.any(d.luma_levels) else 0
-        enc.encode_bin(cbf_cb, CTX["qt_cbf"] + 2)
-        enc.encode_bin(cbf_cr, CTX["qt_cbf"] + 2)
-        if cbf_cb or cbf_cr:
-            enc.encode_bin(cbf_y, CTX["qt_cbf"] + 1)
-        else:
-            assert cbf_y
-        if cu_qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
-            encode_cu_qp_delta(enc, cu_qp_delta)
-        if cbf_y:
-            encode_residual(enc, d.luma_levels, log2_cu, True, -1, sign_hiding)
-        if cbf_cb:
-            encode_residual(enc, d.cb_levels, log2_cu - 1, False, -1,
-                            sign_hiding)
-        if cbf_cr:
-            encode_residual(enc, d.cr_levels, log2_cu - 1, False, -1,
-                            sign_hiding)
+        code_inter_transform_tree(enc, d.luma_levels, d.cb_levels,
+                                  d.cr_levels, log2_cu, sign_hiding,
+                                  cu_qp_delta, tu_split=tu_split,
+                                  max_tt=max_tt)
     fill(BCUState(False, d.motion, skip=False))

@@ -232,3 +232,38 @@ def hdr10plus_sei_for_frame(records, display_idx: int) -> bytes:
     except (KeyError, TypeError, ValueError):
         return b""
     return wrap_sei([user_data_t35(payload)])
+
+
+# ---------------------------------------------------------------------------
+# HRD SEI (spec D.2.2 buffering_period, D.2.3 pic_timing; reference --hrd,
+# sei.cpp SEIBufferingPeriod/SEIPictureTiming). Emitted when the session
+# signals hrd_parameters in the VUI (headers._write_hrd: 24-bit delay
+# fields, one NAL CPB, no sub-pic timing).
+# ---------------------------------------------------------------------------
+
+def buffering_period(initial_delay_90k: int,
+                     initial_offset_90k: int = 0) -> bytes:
+    """buffering_period SEI (payload type 0). Delays in 90 kHz ticks,
+    coded in the 24-bit fields declared by hrd_parameters."""
+    bw = BitWriter()
+    bw.write_ue(0)                       # bp_seq_parameter_set_id
+    # irap_cpb_params_present_flag absent (no sub_pic, rap_cpb... = 0)
+    bw.write_flag(0)                     # concatenation_flag
+    bw.write_bits(0, 24)                 # au_cpb_removal_delay_delta_minus1
+    d = min(max(int(initial_delay_90k), 1), (1 << 24) - 1)
+    o = min(max(int(initial_offset_90k), 0), (1 << 24) - 1)
+    bw.write_bits(d, 24)                 # nal_initial_cpb_removal_delay[0]
+    bw.write_bits(o, 24)                 # nal_initial_cpb_removal_offset[0]
+    bw.rbsp_trailing_bits()
+    return sei_message(0, bw.get_bytes())
+
+
+def pic_timing(au_removal_delay_minus1: int, dpb_output_delay: int) -> bytes:
+    """pic_timing SEI (payload type 1). frame_field_info absent
+    (VUI frame_field_info_present_flag = 0); CpbDpbDelaysPresent via the
+    VUI hrd_parameters."""
+    bw = BitWriter()
+    bw.write_bits(min(au_removal_delay_minus1, (1 << 24) - 1), 24)
+    bw.write_bits(min(dpb_output_delay, (1 << 24) - 1), 24)
+    bw.rbsp_trailing_bits()
+    return sei_message(1, bw.get_bytes())

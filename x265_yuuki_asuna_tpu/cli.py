@@ -64,6 +64,18 @@ def main(argv=None):
     ap.add_argument("--tmvp", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="temporal MVP (uniform IPPP sessions)")
+    ap.add_argument("--rqt", action="store_true",
+                    help="residual TU quadtree on inter CTU32 leaves "
+                         "(quadtree sessions)")
+    ap.add_argument("--hrd", action="store_true",
+                    help="HRD signaling (needs --vbv-maxrate/bufsize)")
+    ap.add_argument("--frame-dup", action="store_true",
+                    help="encode near-identical frames as all-skip "
+                         "P slices (IPPP sessions)")
+    ap.add_argument("--dup-threshold", type=int, default=70,
+                    help="PSNR (dB) above which a frame is a duplicate")
+    ap.add_argument("--hist-scenecut", action="store_true",
+                    help="histogram-based scene cut detection")
     ap.add_argument("--qpmin", type=int, default=4,
                     help="rate-control QP floor")
     ap.add_argument("--qpmax", type=int, default=51,
@@ -274,6 +286,11 @@ def main(argv=None):
                                                    or weightp)
                                            else 1),
                                    tmvp=args.tmvp,
+                                   rqt=args.rqt and qt_depth > 0,
+                                   hrd=args.hrd,
+                                   frame_dup=args.frame_dup,
+                                   dup_threshold=args.dup_threshold,
+                                   hist_scenecut=args.hist_scenecut,
                                    hme=hme,
                                    hme_range=min(max(args.merange // 2, 16),
                                                  32),

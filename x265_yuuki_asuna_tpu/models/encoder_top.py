@@ -130,8 +130,7 @@ class IntraEncoderSession:
             if cu_size != 64:
                 cu_size = 32
             assert not lossless, "quadtree + lossless unsupported (v1)"
-            assert slices == 1 and not wpp, \
-                "quadtree + slices/wpp unsupported (v1)"
+            assert slices == 1, "quadtree + slices unsupported (v1)"
             if cu_size == 64:
                 sao = False          # CTU64 SAO syntax wiring is r2 work
         self.max_depth = max_depth
@@ -461,6 +460,9 @@ class IntraEncoderSession:
             return self._assemble_slice_qt64(out, qp, sao_params,
                                              nal_type=nal_type, poc=poc)
         if self.max_depth:
+            if self.wpp:
+                return self._assemble_slice_qt_wpp(
+                    out, qp, sao_params, nal_type=nal_type, poc=poc)
             return self._assemble_slice_qt(out, qp, sao_params,
                                            nal_type=nal_type, poc=poc)
         if self.wpp:
@@ -832,6 +834,66 @@ class IntraEncoderSession:
                 bw.write_byte(b)
         return wrap_nal(nal_type, bw.get_bytes())
 
+    def _assemble_slice_qt_wpp(self, out: dict, qp: int = None,
+                               sao_params=None,
+                               nal_type: int = NAL_IDR_W_RADL,
+                               poc: int = 0) -> bytes:
+        """Quadtree intra slice with WPP substreams (round 3: lifts the r1
+        quadtree-x-wpp gate): one CABAC substream per CTU row with 9.3.1
+        entropy sync; the per-CU QP predictor chain resets to the slice QP
+        at each row start (spec 8.6.1)."""
+        qp = self.qp if qp is None else qp
+        qp_map = out.get("qp_map")
+        g = 1 << self.max_depth
+        mode_map = np.zeros((g * self.rows, g * self.cols), np.int32)
+        depth_map = np.zeros((g * self.rows, g * self.cols), np.int32)
+        sync_c = 1 if self.cols > 1 else None
+        last_r = self.rows - 1
+        blobs = []
+        saved = None
+        for r in range(self.rows):
+            enc = CabacEncoder()
+            if r == 0 or saved is None:
+                enc.init_contexts(2, qp)
+            else:
+                enc.ctx = saved.copy()
+            qp_state = [qp]              # qPY_PREV resets per CTU row
+            for c in range(self.cols):
+                if sao_params is not None:
+                    CS.encode_sao_ctu(
+                        enc, sao_params[r][c],
+                        sao_params[r][c - 1] if c > 0 else None,
+                        sao_params[r - 1][c] if r > 0 else None,
+                        True, True, self.bit_depth)
+                self._write_ctu_qt(enc, out, r, c, mode_map, depth_map,
+                                   ctu_qp=None if qp_map is None
+                                   else int(qp_map[r, c]),
+                                   qp_state=qp_state)
+                if c == sync_c:
+                    saved = enc.ctx.copy()
+                is_last = (r == last_r and c == self.cols - 1)
+                enc.encode_bin_trm(1 if is_last else 0)
+            if r < last_r:
+                enc.encode_bin_trm(1)
+            data, tail, tail_bits = enc.finish()
+            sub = BitWriter()
+            for b in data:
+                sub.write_byte(b)
+            sub.write_bits(tail, tail_bits)
+            sub.write_bits(1, 1)
+            sub.write_align_zero()
+            blobs.append(sub.get_bytes())
+        offsets = [len(b) for b in blobs[:-1]]
+        bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
+                                    slice_qp=qp, nal_type=nal_type, poc=poc,
+                                    sao_luma=1 if sao_params else 0,
+                                    sao_chroma=1 if sao_params else 0,
+                                    entry_point_offsets=offsets)
+        for blob in blobs:
+            for b in blob:
+                bw.write_byte(b)
+        return wrap_nal(nal_type, bw.get_bytes())
+
     # ------------------------------------------------------------------
     def _sao_decide(self, out: dict, yp, up, vp):
         """Per-CTU SAO decision + recon update (decoder-exact application).
@@ -947,7 +1009,10 @@ class VideoEncoderSession:
                  scale_factor: int = 1, analysis_share=None,
                  qp_min: int = 4, qp_max: int = 51,
                  rc_lookahead: int = 0, n_refs: int = 1,
-                 tmvp: bool = False, wpp: bool = False):
+                 tmvp: bool = False, wpp: bool = False,
+                 rqt: bool = False, hrd: bool = False,
+                 frame_dup: bool = False, dup_threshold: int = 70,
+                 hist_scenecut: bool = False):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         # multi-ref (reference --ref): 2 L0 references on the uniform IPPP
@@ -963,6 +1028,11 @@ class VideoEncoderSession:
             assert not (bframes or max_depth or weightp or analysis_load
                         or analysis_save or analysis_share), \
                 "multi-ref: uniform IPPP sessions (v1)"
+        # residual TU quadtree (round 3): inter CTU32 leaves may split
+        # their TU 32 -> 4x16 (reference estimateResidualQT,
+        # search.cpp:3178); decisions on device, syntax via the python
+        # writer (native RQT serialization pending)
+        self.rqt = bool(rqt) and max_depth > 0
         if max_depth:
             cu_size = 32
             assert not analysis_load and not analysis_save, \
@@ -993,6 +1063,26 @@ class VideoEncoderSession:
             self.intra_sess.pps.cu_qp_delta = 1
         if self.tmvp:
             self.intra_sess.sps.temporal_mvp = 1
+        if self.rqt:
+            self.intra_sess.sps.max_transform_hierarchy_depth_inter = 1
+        # HRD signaling (reference --hrd; spec Annex E/D): VUI
+        # hrd_parameters + buffering_period at IRAPs + pic_timing per
+        # AU. Requires VBV rates (the CPB is the VBV buffer).
+        self.hrd = bool(hrd) and vbv_maxrate_kbps > 0 \
+            and vbv_bufsize_kbps > 0
+        if self.hrd:
+            self.intra_sess.sps.hrd = (vbv_maxrate_kbps * 1000,
+                                       vbv_bufsize_kbps * 1000, 0)
+            self._au_count = 0
+            self._enc_order = 0
+        # frame duplication (reference --frame-dup + dupThreshold,
+        # encoder.cpp:1613): near-identical consecutive frames encode
+        # as an ALL-SKIP P slice (zero-MV merge, no residual) - no
+        # device pass at all, recon == reference
+        self.frame_dup = (bool(frame_dup) and not bframes
+                          and self.n_refs == 1 and not tmvp)
+        self.dup_threshold = min(max(dup_threshold, 1), 99)
+        self._prev_src_y = None
         self.deblock = deblock
         self.sao = sao
         # share geometry/headers with the intra session but fix DPB size
@@ -1040,7 +1130,7 @@ class VideoEncoderSession:
             search_range=search_range, rdoq=rdoq, weightp=weightp,
             sbh=self.sbh, analysis_load=self.analysis_data is not None
             or isinstance(analysis_share, list),
-            n_refs=self.n_refs,
+            n_refs=self.n_refs, rqt=self.rqt,
             max_depth=max_depth, bit_depth=bit_depth,
             psy_rd=psy_rd if max_depth else 0.0,
             psy_rdoq=psy_rdoq if rdoq else 0.0,
@@ -1056,7 +1146,8 @@ class VideoEncoderSession:
             vbv_maxrate_kbps=vbv_maxrate_kbps,
             vbv_bufsize_kbps=vbv_bufsize_kbps))
         from .lookahead import Lookahead
-        self.lookahead = Lookahead(self.coded_w, self.coded_h)
+        self.lookahead = Lookahead(self.coded_w, self.coded_h,
+                                   hist_scenecut=hist_scenecut)
         self.scenecut_enabled = True
         from .ratecontrol import StatsWriter, TwoPassRC
         # pass-1 #options header: the fields x265's --pass 2 parser
@@ -1091,6 +1182,7 @@ class VideoEncoderSession:
             self.bi_encoder = InterFrameEncoder(InterFrameConfig(
                 width=self.coded_w, height=self.coded_h, cu_size=cu_size,
                 qp=qp, search_range=search_range, bi=True, rdoq=rdoq,
+                rqt=self.rqt,
                 sbh=self.sbh, max_depth=max_depth, bit_depth=bit_depth,
                 psy_rd=psy_rd if max_depth else 0.0,
                 psy_rdoq=psy_rdoq if rdoq else 0.0,
@@ -1234,6 +1326,31 @@ class VideoEncoderSession:
         up = G.pad_plane(u, self.coded_h // 2, self.coded_w // 2)
         vp = G.pad_plane(v, self.coded_h // 2, self.coded_w // 2)
 
+        def encode_skip_frame(qp):
+            """ALL-SKIP P slice: every CU is cu_skip with merge idx 0;
+            with no spatial neighbors at (0,0) the first candidate is
+            the zero-MV one, and every later CU inherits it, so the
+            whole frame is a zero-motion copy of the reference (the
+            reference's frame-duplication shape). No device work; no
+            loop filtering occurs (BS 0 everywhere, SAO off in the
+            slice header)."""
+            n, nc = self.cu, self.cu // 2
+            z = np.zeros((self.rows, self.cols, n, n), np.int32)
+            zc = np.zeros((self.rows, self.cols, nc, nc), np.int32)
+            out = {
+                'use_intra': np.zeros((self.rows, self.cols), bool),
+                'modes': np.zeros((self.rows, self.cols), np.int32),
+                'mvx': np.zeros((self.rows, self.cols), np.int32),
+                'mvy': np.zeros((self.rows, self.cols), np.int32),
+                'ref': None, 'pdir': None,
+                'levels_y': z, 'levels_cb': zc, 'levels_cr': zc,
+                'recon_y': np.asarray(self.ref[0], np.int32),
+                'recon_u': np.asarray(self.ref[1], np.int32),
+                'recon_v': np.asarray(self.ref[2], np.int32),
+            }
+            nals = self._assemble_p_slice(out, qp)
+            return out, nals
+
         def attempt(qp):
             """One full encode + serialize at the given frame QP. Re-run by
             the VBV guard below with a higher QP when the coded size would
@@ -1296,7 +1413,34 @@ class VideoEncoderSession:
             self.frame_idx = 0   # scenecut restarts the GOP
         else:
             self.poc += 1        # slice header reads self.poc in attempt()
-        out, nals = attempt(qp)
+        is_dup = False
+        if (self.frame_dup and not is_idr
+                and self._prev_src_y is not None):
+            diff = np.abs(y.astype(np.int32)
+                          - self._prev_src_y.astype(np.int32))
+            mse = float(np.mean(diff.astype(np.float64) ** 2))
+            psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+            is_dup = psnr >= self.dup_threshold
+        self._prev_src_y = y
+        if is_dup:
+            out, nals = encode_skip_frame(qp)
+        else:
+            out, nals = attempt(qp)
+        if self.hrd:
+            from ..bitstream import sei as SEI
+            cfgrc = self.rc.cfg
+            msgs = []
+            if is_idr:
+                # initial CPB fullness -> 90 kHz removal delay
+                init = (cfgrc.vbv_bufsize_kbps * cfgrc.vbv_init
+                        / max(cfgrc.vbv_maxrate_kbps, 1))
+                msgs.append(SEI.buffering_period(int(init * 90000)))
+                self._au_count = 0
+            msgs.append(SEI.pic_timing(
+                max(self._au_count - 1, 0),
+                self.intra_sess.sps.num_reorder_pics))
+            self._au_count += 1
+            nals = SEI.wrap_sei(msgs) + nals
         if self.sei_provider is not None:
             nals = self.sei_provider(didx) + nals
         import math as _math
@@ -2091,7 +2235,8 @@ class VideoEncoderSession:
                                     rps=rps,
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0)
-        res = native.encode_slice_qt2(0, self.max_depth, out, qp,
+        res = None if self.rqt else native.encode_slice_qt2(
+            0, self.max_depth, out, qp,
                                       self.max_merge,
                                       sign_hiding=self.sbh,
                                       poc=poc, poc_l0=poc0, poc_l1=poc1,
@@ -2143,9 +2288,13 @@ class VideoEncoderSession:
                         out["levels_cr"][r, c][oy // 2:(oy + px) // 2,
                                                ox // 2:(ox + px) // 2],
                         poc, poc0, poc1)
+                    ts = (sc == g and self.rqt
+                          and bool(out["tu_split32"][r, c]))
                     IS.encode_b_cu_qt(enc, d, cells, cy, cx, sc,
                                       self.max_merge, sign_hiding=self.sbh,
-                                      cell_px=cell_px, min_log2=min_log2)
+                                      cell_px=cell_px, min_log2=min_log2,
+                                      tu_split=ts,
+                                      max_tt=1 if self.rqt else 0)
                     depth[cy:cy + sc, cx:cx + sc] = dep
 
                 sp0 = bool(out["split"][r, c])
@@ -2340,7 +2489,8 @@ class VideoEncoderSession:
                                     sao_luma=1 if sao_params else 0,
                                     sao_chroma=1 if sao_params else 0,
                                     weights=weights)
-        res = native.encode_slice_qt2(1, self.max_depth, out, qp,
+        res = None if self.rqt else native.encode_slice_qt2(
+            1, self.max_depth, out, qp,
                                       self.max_merge,
                                       sign_hiding=self.sbh,
                                       sao=sao_params, qp_map=qp_map,
@@ -2392,12 +2542,16 @@ class VideoEncoderSession:
                             delta = ctu_qp - qp_prev_holder[0]
                             qp_prev_holder[0] = ctu_qp
                             state["pending"] = False
+                        ts = (sc == g and self.rqt
+                              and bool(out["tu_split32"][r, c]))
                         IS.encode_inter_cu_qt(enc, d, cells, cy, cx, sc,
                                               self.max_merge,
                                               sign_hiding=self.sbh,
                                               cu_qp_delta=delta,
                                               cell_px=cell_px,
-                                              min_log2=min_log2)
+                                              min_log2=min_log2,
+                                              tu_split=ts,
+                                              max_tt=1 if self.rqt else 0)
                         depth[cy:cy + sc, cx:cx + sc] = dep
 
                     qp_prev_holder = [qp_prev]

@@ -49,6 +49,10 @@ class InterFrameConfig:
     n_refs: int = 1               # L0 references (2: multi-ref P, the
                                   # reference's --ref / pme ref axis —
                                   # uniform-grid path, round 3)
+    rqt: bool = False             # residual TU quadtree (round 3): inter
+                                  # 32x32 leaf CUs may split their TU into
+                                  # 4x 16x16 (estimateResidualQT analog,
+                                  # search.cpp:3178) — quadtree path only
 
     @property
     def rows(self):
@@ -819,16 +823,40 @@ class InterFrameEncoder:
             return modes, pred_y, pred_u, pred_v
 
         # ---- dense per-leaf RD -----------------------------------------
+        def tq_quads(resid, qp, log2nn, luma, is_intra_f, modes):
+            """Transform/quant the same residual as 4 half-size TUs laid
+            out in quadrants (the RQT split variant)."""
+            nn_ = 1 << log2nn
+            h2 = nn_ // 2
+            B = resid.shape[0]
+            q = (resid.reshape(B, 2, h2, 2, h2).transpose(0, 1, 3, 2, 4)
+                 .reshape(B * 4, h2, h2))
+            rep = lambda a: jnp.repeat(a, 4, axis=0)
+            lv, rr = tq(q, rep(qp), log2nn - 1, luma=luma,
+                        is_intra=rep(is_intra_f), modes=rep(modes))
+
+            def back(a):
+                return (a.reshape(B, 2, 2, h2, h2).transpose(0, 1, 3, 2, 4)
+                        .reshape(B, nn_, nn_))
+
+            return back(lv), back(rr), lv.reshape(B, 4, h2, h2)
+
         def dense_leaf_rd(nn, srcs3, ipred3, epred3, modes, qp_y, qp_c,
                           lam2, ebits_mv, states):
             """RD both candidates of every leaf at one size.  Returns
-            (use_intra, leaf_dist, leaf_bits, elv3, erec3): the chosen
-            flag, the chosen candidate's dist/bits, and the INTER
-            levels/recon (exact — committed densely)."""
+            (use_intra, leaf_dist, leaf_bits, elv3, erec3[, tu_split]):
+            the chosen flag, the chosen candidate's dist/bits, and the
+            INTER levels/recon (exact — committed densely). With cfg.rqt
+            at the CTU size, the inter candidate also evaluates the
+            4x half-size TU split of the same residual
+            (estimateResidualQT, search.cpp:3178) and returns the
+            per-leaf tu_split decision; split levels live in the same
+            buffers in quadrant layout."""
             sy, su, sv = srcs3
             log2nn = nn.bit_length() - 1
             fI = jnp.ones(modes.shape, bool)
             fE = jnp.zeros(modes.shape, bool)
+            use_rqt = cfg.rqt and nn == n
 
             def rd_one(pred3, is_intra_f):
                 lv_y, rr_y = tq(sy - pred3[0], qp_y, log2nn,
@@ -860,12 +888,47 @@ class InterFrameEncoder:
 
             ilv, irec, idist, ibits = rd_one(ipred3, fI)
             elv, erec, edist, ebits = rd_one(epred3, fE)
+            tu_split = None
+            if use_rqt:
+                # RQT split variant of the inter residual: 4 TUs of nn/2
+                # (luma) and nn/4 (chroma, 4:2:0 follows the luma split)
+                lv2_y, rr2_y, q_y = tq_quads(sy - epred3[0], qp_y, log2nn,
+                                             True, fE, modes)
+                lv2_cb, rr2_u, q_cb = tq_quads(su - epred3[1], qp_c,
+                                               log2nn - 1, False, fE, modes)
+                lv2_cr, rr2_v, q_cr = tq_quads(sv - epred3[2], qp_c,
+                                               log2nn - 1, False, fE, modes)
+                rec2_y = jnp.clip(epred3[0] + rr2_y, 0, maxv)
+                rec2_u = jnp.clip(epred3[1] + rr2_u, 0, maxv)
+                rec2_v = jnp.clip(epred3[2] + rr2_v, 0, maxv)
+                dist2 = (ssd(sy, rec2_y) + ssd(su, rec2_u)
+                         + ssd(sv, rec2_v))
+                bits2 = (BC.est_tu_bits_ctx(q_y, log2nn - 1, True, states,
+                                            xp=jnp,
+                                            sign_hiding=cfg.sbh).sum(-1)
+                         + BC.est_tu_bits_ctx(q_cb, log2nn - 2, False,
+                                              states, xp=jnp,
+                                              sign_hiding=cfg.sbh).sum(-1)
+                         + BC.est_tu_bits_ctx(q_cr, log2nn - 2, False,
+                                              states, xp=jnp,
+                                              sign_hiding=cfg.sbh).sum(-1)
+                         + 12.0)       # ~cbf_luma x4 + chroma cbf x8
+                tu_split = (dist2 + lam2 * (bits2 + 1.0)) \
+                    < (edist + lam2 * (ebits + 1.0))
+                ts3 = tu_split[:, None, None]
+                elv = tuple(jnp.where(ts3, a, b)
+                            for a, b in zip((lv2_y, lv2_cb, lv2_cr), elv))
+                erec = tuple(jnp.where(ts3, a, b)
+                             for a, b in zip((rec2_y, rec2_u, rec2_v),
+                                             erec))
+                edist = jnp.where(tu_split, dist2, edist)
+                ebits = jnp.where(tu_split, bits2, ebits)
             ci = idist + lam2 * (ibits + MODE_BITS) + cfg.intra_bias
             ce = edist + lam2 * (ebits + ebits_mv)
             ui = ci < ce
             leaf_dist = jnp.where(ui, idist, edist)
             leaf_bits = jnp.where(ui, ibits + MODE_BITS, ebits + ebits_mv)
-            return ui, leaf_dist, leaf_bits, elv, erec
+            return ui, leaf_dist, leaf_bits, elv, erec, tu_split
 
         # ---- commit scan -----------------------------------------------
         def make_commit(srcs, init_tiles, head, qp_y_pad, qp_c_pad):
@@ -1075,13 +1138,13 @@ class InterFrameEncoder:
                 hc = nn // 2
                 srcs3 = (to_blocks(y32, nn), to_blocks(u32, hc),
                          to_blocks(v32, hc))
-                ui, ldist, lbits, elv, erec = dense_leaf_rd(
+                ui, ldist, lbits, elv, erec, tu_split = dense_leaf_rd(
                     nn, srcs3, (ip_y, ip_u, ip_v), epred, imodes,
                     qpy_blk, qpc_blk, lam2, ebits_mv, states)
                 dense[nn] = (pdir, m0x, m0y, m1x, m1y)
                 leaf[nn] = {"ui": ui, "modes": imodes, "dist": ldist,
                             "bits": lbits, "elv": elv, "erec": erec,
-                            "lam2": lam2}
+                            "lam2": lam2, "tu_split": tu_split}
 
             # ---- dense split decisions (bottom-up RD) -------------------
             lam2_ctu = 0.85 * jnp.exp2((qp_cu.astype(jnp.float32) - 12.0)
@@ -1208,6 +1271,8 @@ class InterFrameEncoder:
                           leaf[n]["modes"].astype(jnp.uint8),
                           ui16_ctu.astype(jnp.uint8).reshape(-1),
                           im16_ctu.astype(jnp.uint8).reshape(-1)]
+            if cfg.rqt:
+                head_parts.append(leaf[n]["tu_split"].astype(jnp.uint8))
             (pdirA, mvA0x, mvA0y, mvA1x, mvA1y) = dense[n]
             (pdirB, mvB0x, mvB0y, mvB1x, mvB1y) = dense[h]
             if depth2:
@@ -1266,6 +1331,10 @@ class InterFrameEncoder:
         modes = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
         ui4 = buf[o:o + 4 * ncu].astype(bool).reshape(rows, cols, 4); o += 4 * ncu
         m4 = buf[o:o + 4 * ncu].astype(np.int32).reshape(rows, cols, 4); o += 4 * ncu
+        tu_split32 = None
+        if cfg.rqt:
+            tu_split32 = buf[o:o + ncu].astype(bool).reshape(rows, cols)
+            o += ncu
         depth2 = cfg.max_depth >= 2
         split16 = ui8 = m8 = None
         if depth2:
@@ -1313,7 +1382,7 @@ class InterFrameEncoder:
         lv = buf[o:].view(np.int16)
         sy, sc = ncu * n * n, ncu * nc * nc
         return {
-            "split": split,
+            "split": split, "tu_split32": tu_split32,
             "use_intra": use_intra, "modes": modes, "mvx": mvx, "mvy": mvy,
             "use_intra4": ui4, "modes4": m4, "mv4x": mv4x, "mv4y": mv4y,
             "split16": split16, "use_intra8": ui8, "modes8": m8,

@@ -35,7 +35,14 @@ class Lookahead:
     """Incremental lookahead over a session's frames (one L0 reference)."""
 
     def __init__(self, width: int, height: int, bit_depth: int = 8,
-                 scenecut_bias: float = 0.4):
+                 scenecut_bias: float = 0.4,
+                 hist_scenecut: bool = False):
+        # histogram-based scene cut (reference bHistBasedSceneCut,
+        # encoder.cpp:1613): normalized SAD of consecutive 64-bin luma
+        # histograms; cheaper and more robust to global motion than
+        # the cost-based rule (which it REPLACES when enabled)
+        self.hist_scenecut = hist_scenecut
+        self._prev_hist = None
         # lowres geometry, trimmed to whole 8x8 blocks
         self.lw = (width // 2) // 8 * 8
         self.lh = (height // 2) // 8 * 8
@@ -153,4 +160,16 @@ class Lookahead:
         # bias 0.4): cut when inter cost stops beating intra by the margin
         scenecut = has_prev and pcost >= (1.0 - self.bias) * icost \
             and icost > 0
+        if self.hist_scenecut:
+            hist = np.bincount(np.asarray(low).reshape(-1) >> 2,
+                               minlength=64)[:64].astype(np.float64)
+            hist /= max(hist.sum(), 1.0)
+            if self._prev_hist is None:
+                scenecut = False
+            else:
+                sad = float(np.abs(hist - self._prev_hist).sum())
+                # reference dupThreshold-style normalized bound: a cut
+                # moves a large fraction of the mass between bins
+                scenecut = sad > 0.35
+            self._prev_hist = hist
         return icost, pcost, bool(scenecut)
