@@ -76,6 +76,8 @@ def main(argv=None):
                     help="PSNR (dB) above which a frame is a duplicate")
     ap.add_argument("--hist-scenecut", action="store_true",
                     help="histogram-based scene cut detection")
+    ap.add_argument("--scenecut-aware-qp", action="store_true",
+                    help="raise QP in the masked window after cuts")
     ap.add_argument("--qpmin", type=int, default=4,
                     help="rate-control QP floor")
     ap.add_argument("--qpmax", type=int, default=51,
@@ -159,6 +161,11 @@ def main(argv=None):
     ap.add_argument("--pass", dest="rc_pass", type=int, default=0, choices=[0, 1, 2])
     ap.add_argument("--stats", default="x265_2pass.log")
     ap.add_argument("--csv", default=None)
+    ap.add_argument("--csv-log-level", type=int, default=1,
+                    choices=[1, 2],
+                    help="2: append per-frame stage timings "
+                         "(device/deblock/sao/serialize ms - the "
+                         "x265_frame_stats timing-columns analog)")
     ap.add_argument("--qpfile", default=None,
                     help="per-frame QP/type overrides: '<frame> <type> <qp>'")
     ap.add_argument("--chunk-start", type=int, default=0,
@@ -291,6 +298,7 @@ def main(argv=None):
                                    frame_dup=args.frame_dup,
                                    dup_threshold=args.dup_threshold,
                                    hist_scenecut=args.hist_scenecut,
+                                   scenecut_aware_qp=args.scenecut_aware_qp,
                                    hme=hme,
                                    hme_range=min(max(args.merange // 2, 16),
                                                  32),
@@ -416,8 +424,27 @@ def main(argv=None):
     if args.recon_y4m_exec:
         recon_play = IO.ReconPlay(args.recon_y4m_exec, info)
 
-    csv_lines = ["Encode Order, Type, POC, QP, Bits, PSNR Y, PSNR U, "
-                 "PSNR V, SSIM Y"] if args.csv else None
+    csv_header = ("Encode Order, Type, POC, QP, Bits, PSNR Y, PSNR U, "
+                  "PSNR V, SSIM Y")
+    from .utils.profiling import PROF
+    csv_timing = args.csv and args.csv_log_level >= 2
+    if csv_timing:
+        csv_header += ", Device ms, Deblock ms, SAO ms, Serialize ms"
+        PROF.enabled = True
+        _prof_prev = {}
+
+        def _stage_ms():
+            cur = dict(PROF.acc)
+            out = []
+            for keys in (("device_intra", "device_p", "device_b"),
+                         ("deblock",), ("sao",), ("serialize",)):
+                v = sum(cur.get(k, 0.0) - _prof_prev.get(k, 0.0)
+                        for k in keys)
+                out.append(round(v * 1000.0, 1))
+            _prof_prev.clear()
+            _prof_prev.update(cur)
+            return out
+    csv_lines = [csv_header] if args.csv else None
     psnr_acc = []  # (psnr_y, psnr_u, psnr_v, ssim)
     n = 0
     total_bits = 0
@@ -448,10 +475,14 @@ def main(argv=None):
                 if recon_play:
                     recon_play.write_frame(*fr.recon)
                 if csv_lines is not None:
-                    csv_lines.append(
+                    line = (
                         f"{n}, {fr.frame_type or 'I'}, {fr.poc}, "
                         f"{fr.qp or args.qp}, {fr.bits}, {fr.psnr_y:.4f}, "
                         f"{fr.psnr_u:.4f}, {fr.psnr_v:.4f}, {fr.ssim_y:.5f}")
+                    if csv_timing:
+                        line += ", " + ", ".join(str(v)
+                                                 for v in _stage_ms())
+                    csv_lines.append(line)
                 if fr.psnr_y:
                     psnr_acc.append((fr.psnr_y, fr.psnr_u, fr.psnr_v,
                                      fr.ssim_y))
@@ -482,10 +513,13 @@ def main(argv=None):
             if recon_play:
                 recon_play.write_frame(*fr.recon)
             if csv_lines is not None:
-                csv_lines.append(
+                line = (
                     f"{n}, {fr.frame_type or 'I'}, {fr.poc}, "
                     f"{fr.qp or args.qp}, {fr.bits}, {fr.psnr_y:.4f}, "
                     f"{fr.psnr_u:.4f}, {fr.psnr_v:.4f}, {fr.ssim_y:.5f}")
+                if csv_timing:
+                    line += ", " + ", ".join(str(v) for v in _stage_ms())
+                csv_lines.append(line)
             if fr.psnr_y:
                 psnr_acc.append((fr.psnr_y, fr.psnr_u, fr.psnr_v, fr.ssim_y))
             n += 1
@@ -531,10 +565,13 @@ def main(argv=None):
             if recon_play:
                 recon_play.write_frame(*fr.recon)
             if csv_lines is not None:
-                csv_lines.append(
+                line = (
                     f"{n}, {fr.frame_type or 'I'}, {fr.poc}, "
                     f"{fr.qp or args.qp}, {fr.bits}, {fr.psnr_y:.4f}, "
                     f"{fr.psnr_u:.4f}, {fr.psnr_v:.4f}, {fr.ssim_y:.5f}")
+                if csv_timing:
+                    line += ", " + ", ".join(str(v) for v in _stage_ms())
+                csv_lines.append(line)
             if fr.psnr_y:
                 psnr_acc.append((fr.psnr_y, fr.psnr_u, fr.psnr_v, fr.ssim_y))
             n += 1

@@ -1012,7 +1012,10 @@ class VideoEncoderSession:
                  tmvp: bool = False, wpp: bool = False,
                  rqt: bool = False, hrd: bool = False,
                  frame_dup: bool = False, dup_threshold: int = 70,
-                 hist_scenecut: bool = False):
+                 hist_scenecut: bool = False,
+                 scenecut_aware_qp: bool = False,
+                 scenecut_qp_delta: int = 5,
+                 scenecut_window: int = 12):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
         # multi-ref (reference --ref): 2 L0 references on the uniform IPPP
@@ -1081,6 +1084,14 @@ class VideoEncoderSession:
         # device pass at all, recon == reference
         self.frame_dup = (bool(frame_dup) and not bframes
                           and self.n_refs == 1 and not tmvp)
+        # scene-cut-aware QP (reference bEnableSceneCutAwareQp,
+        # x265.h:1561+): frames in the forward window after a cut are
+        # perceptually masked -> raise their QP with a 3-step decay
+        # (the reference's full/2-3rds/1-3rd window split)
+        self.scenecut_aware_qp = bool(scenecut_aware_qp)
+        self.scenecut_qp_delta = scenecut_qp_delta
+        self.scenecut_window = max(scenecut_window, 3)
+        self._since_scenecut = 10 ** 9
         self.dup_threshold = min(max(dup_threshold, 1), 99)
         self._prev_src_y = None
         self.deblock = deblock
@@ -1320,6 +1331,19 @@ class VideoEncoderSession:
                 is_idr, lookahead_cost=la_cost,
                 future_costs=[q[4] for q in self.la_queue])
         qp = self._zone_qp(didx, qp)
+        if self.scenecut_aware_qp:
+            if is_idr and (scenecut or self.frame_idx == 0):
+                self._since_scenecut = 0
+            else:
+                self._since_scenecut += 1
+            w3 = self.scenecut_window
+            k = self._since_scenecut
+            if k < w3 // 3:
+                qp = min(qp + self.scenecut_qp_delta, 51)
+            elif k < 2 * w3 // 3:
+                qp = min(qp + (2 * self.scenecut_qp_delta) // 3, 51)
+            elif k < w3:
+                qp = min(qp + self.scenecut_qp_delta // 3, 51)
         if _la is None:
             self._cutree_update()
         yp = yp0
