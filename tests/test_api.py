@@ -111,3 +111,21 @@ def test_api_reconfig_whitelist():
     p4.max_cu_size = 32
     assert api.encoder_reconfig(enc, p4) == -1
     api.encoder_close(enc)
+
+
+def test_api_level_enforcement():
+    """enforceLevel analog (level.cpp:290): a pinned level below what the
+    configuration needs is rejected unless non-conformance is allowed."""
+    p = api.param_default()
+    p.source_width, p.source_height = 3840, 2160
+    p.fps_num, p.fps_denom = 60, 1
+    p.level_idc = 93                    # level 3.1: far below 4K60
+    with pytest.raises(Exception):
+        api.check_params(p)
+    p.b_allow_non_conformance = 1
+    api.check_params(p)                 # explicit override passes
+    p2 = api.param_default()
+    p2.source_width, p2.source_height = 352, 288
+    p2.fps_num, p2.fps_denom = 25, 1
+    p2.level_idc = 93
+    api.check_params(p2)                # CIF fits 3.1

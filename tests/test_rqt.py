@@ -79,3 +79,32 @@ def test_rqt_splits_used_and_help():
     assert out["tu_split32"] is not None
     _, stream_off, _ = _encode(frames, 96, 64)
     assert stream_on != stream_off
+
+
+def test_qt_weightp_conformance():
+    """Feature-matrix closure: quadtree x weightp (the r2 ledger claimed
+    quadtree sessions fall back to the uniform grid for weightp — the
+    dense-decide path handles weighted search + normative weighted MC
+    at every CU size)."""
+    import numpy as np
+    from x265_yuuki_asuna_tpu.models.encoder_top import VideoEncoderSession
+    from x265_yuuki_asuna_tpu.utils.av_decode import decode_hevc
+    rng = np.random.default_rng(6)
+    w, h = 64, 64
+    base = rng.integers(60, 200, (h, w)).astype(np.int32)
+    frames = []
+    for i in range(5):
+        y = np.clip(base - 25 * i, 0, 255).astype(np.uint8)   # fade
+        frames.append((y, np.full((h // 2, w // 2), 110, np.uint8),
+                       np.full((h // 2, w // 2), 140, np.uint8)))
+    sess = VideoEncoderSession(w, h, qp=30, max_depth=2, keyint=100,
+                               hash_sei=False, weightp=True)
+    res = [sess.encode_frame(*f) for f in frames]
+    stream = sess.headers() + b"".join(r.nals for r in res)
+    dec = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(dec) == len(frames)
+    for i, (d, r) in enumerate(zip(dec, res)):
+        for p in range(3):
+            assert np.array_equal(
+                d[p][:r.recon[p].shape[0], :r.recon[p].shape[1]]
+                .astype(np.uint8), r.recon[p]), f"frame {i} plane {p}"

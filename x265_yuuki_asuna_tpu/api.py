@@ -284,13 +284,26 @@ def encoder_close(enc: Encoder):
 
 
 def check_params(p: Param):
-    """x265_check_params subset."""
+    """x265_check_params subset + level enforcement (the
+    enforceLevel/determineLevel analog, level.cpp:64,290): when the
+    param pins a level_idc, the configured picture size / sample
+    rate / bitrate must fit it unless b_allow_non_conformance."""
     if p.source_width <= 0 or p.source_height <= 0:
         raise ParamError("invalid source dimensions")
     if p.internal_bit_depth not in (8, 10):
         raise ParamError("bit depth must be 8 or 10")
     if not (0 <= p.rc.qp <= 69):
         raise ParamError("qp out of range")
+    if p.level_idc and not getattr(p, "b_allow_non_conformance", 0):
+        from .bitstream.sei import pick_level
+        fps = (p.fps_num or 25) / max(p.fps_denom or 1, 1)
+        need = pick_level(p.source_width, p.source_height, fps,
+                          p.rc.bitrate or 0)
+        if need > p.level_idc:
+            raise ParamError(
+                f"configuration requires level {need / 30:.1f} but "
+                f"level_idc pins {p.level_idc / 30:.1f} "
+                f"(use allow-non-conformance to override)")
 
 
 def cleanup():
