@@ -129,3 +129,30 @@ def test_api_level_enforcement():
     p2.fps_num, p2.fps_denom = 25, 1
     p2.level_idc = 93
     api.check_params(p2)                # CIF fits 3.1
+
+
+def test_api_ctu_info_roi():
+    """x265_encoder_ctu_info analog: externally supplied per-CTU QP
+    offsets shape the QP map; streams stay decodable."""
+    from x265_yuuki_asuna_tpu.utils.av_decode import decode_hevc
+    p = api.param_default()
+    p.source_width, p.source_height = 64, 48
+    p.keyframe_max = 100
+    p.max_cu_size = p.min_cu_size = 16
+    p.bframes = 0
+    p.max_num_references = 1
+    p.b_enable_temporal_mvp = 0
+    enc = api.encoder_open(p)
+    frames = _frames(4, 64, 48, seed=3)
+    roi = np.zeros((3, 4), np.int32)
+    roi[0, :] = -6                       # spend bits on the top band
+    roi[2, :] = 6
+    assert enc.ctu_info(roi) == 0
+    stream = enc.headers()
+    for f in frames:
+        for nals in enc.encode(api.Picture(planes=f)):
+            stream += nals
+    dec = decode_hevc(stream, 64, 48)
+    assert len(dec) == len(frames)
+    assert enc.ctu_info(np.zeros((2, 2), np.int32)) == -1   # bad shape
+    api.encoder_close(enc)

@@ -152,6 +152,13 @@ class Encoder:
             self._video = True
         self._use_b = getattr(self._sess, "bframes", 0) > 0
         self._closed = False
+        # fatal-error latch (Encoder::m_aborted analog,
+        # encoder.cpp:1592): once an internal error escapes, every
+        # further encode call fails fast instead of corrupting state
+        self._aborted = False
+        # external per-CTU QP offsets (x265_encoder_ctu_info analog,
+        # x265.h:2168): applied on top of AQ/cuTree by the session
+        self._ctu_info = None
 
     # -- x265_encoder_headers --
     def headers(self) -> bytes:
@@ -160,16 +167,22 @@ class Encoder:
     # -- x265_encoder_encode: pic_in=None flushes --
     def encode(self, pic_in: Optional[Picture]) -> List[bytes]:
         assert not self._closed
+        if self._aborted:
+            raise RuntimeError("encoder aborted by a prior error")
         results = []
         if pic_in is None:
             if self._use_b:
                 results = self._sess.flush()
         else:
             y, u, v = pic_in.planes
-            if self._use_b:
-                results = self._sess.push_frame(y, u, v)
-            else:
-                results = [self._sess.encode_frame(y, u, v)]
+            try:
+                if self._use_b:
+                    results = self._sess.push_frame(y, u, v)
+                else:
+                    results = [self._sess.encode_frame(y, u, v)]
+            except Exception:
+                self._aborted = True
+                raise
         out = []
         for fr in results:
             self._stats.encoded_picture_count += 1
@@ -247,6 +260,25 @@ class Encoder:
         pictures are already intra."""
         if hasattr(self._sess, "intra_refresh"):
             self._sess.intra_refresh()
+        return 0
+
+    # -- x265_encoder_ctu_info (x265.h:2168) --
+    def ctu_info(self, qp_offsets) -> int:
+        """Per-CTU QP offsets from the caller (ROI maps). Array of
+        shape [ctu_rows, ctu_cols] ints; None clears. Applied by the
+        session on top of AQ/cuTree for subsequent frames."""
+        sess = self._sess
+        if not hasattr(sess, "_frame_qp_map"):
+            return -1
+        if qp_offsets is None:
+            sess.ctu_info_offsets = None
+            return 0
+        arr = np.asarray(qp_offsets, np.int32)
+        if arr.shape != (sess.rows, sess.cols):
+            return -1
+        sess.ctu_info_offsets = arr
+        if not (sess.aq_mode or sess.cutree):
+            sess.intra_sess.pps.cu_qp_delta = 1
         return 0
 
     # -- x265_encoder_close --

@@ -1600,10 +1600,16 @@ class VideoEncoderSession:
         offsets come from the pass-1 stat records instead of being
         recomputed (the reference's cuTreeReadFor2Pass)."""
         tp_off = getattr(self, "_tp_cuoff", None)
+        ctu_info = getattr(self, "ctu_info_offsets", None)
         if not (self.aq_mode or self.cutree or tp_off is not None
+                or ctu_info is not None
                 or getattr(self, "_tp_delta_on", False)):
             return None
         off = np.zeros((self.rows, self.cols), np.int32)
+        if ctu_info is not None:
+            # externally supplied per-CTU offsets
+            # (x265_encoder_ctu_info, x265.h:2168)
+            off = off + ctu_info
         if self.aq_mode:
             from .ratecontrol import compute_aq_offsets
             off = off + compute_aq_offsets(yp, self.cu, self.aq_strength,
