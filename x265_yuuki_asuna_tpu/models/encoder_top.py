@@ -1730,7 +1730,8 @@ class VideoEncoderSession:
         with a snapshot of its decided future window for cuTree."""
         assert self.bframes, "push_frame requires push/flush (bframes > 0)"
         yp0 = G.pad_plane(y, self.coded_h, self.coded_w)
-        icost, pcost, scenecut = self.lookahead.push(yp0)
+        with PROF("lookahead"):
+            icost, pcost, scenecut = self.lookahead.push(yp0)
         det = dict(self.lookahead.last_detail)
         det["scenecut"] = scenecut
         cur_lowres = np.asarray(self.lookahead.prev_lowres)
@@ -1780,6 +1781,7 @@ class VideoEncoderSession:
                         and self.anchor_lowres is not None):
                     lows = self.pending_lowres
                     best_k, best_cost = len(lows) - 1, None
+                    _badapt_t = PROF("b_adapt"); _badapt_t.__enter__()
                     for k in range(len(lows) - 1, -1, -1):
                         cost = self.lookahead.pair_cost(self.anchor_lowres,
                                                         lows[k])
@@ -1791,6 +1793,7 @@ class VideoEncoderSession:
                         # are cheaper at equal predicted cost)
                         if best_cost is None or cost < best_cost:
                             best_k, best_cost = k, cost
+                    _badapt_t.__exit__(None, None, None)
                     results += self._flush_minigop(best_k + 1)
                 elif len(self.pending) == self.bframes + 1:
                     results += self._flush_minigop()
@@ -1906,9 +1909,10 @@ class VideoEncoderSession:
         if src_y is not None:
             src_uv = getattr(self, "_cur_src_uv", None)
             if src_uv is not None:
-                psnr, pu, pv, ssim = frame_quality(
-                    recon, src_y, src_uv[0], src_uv[1],
-                    getattr(self, "bit_depth", 8))
+                with PROF("quality_stats"):
+                    psnr, pu, pv, ssim = frame_quality(
+                        recon, src_y, src_uv[0], src_uv[1],
+                        getattr(self, "bit_depth", 8))
             else:
                 pk = (1 << getattr(self, "bit_depth", 8)) - 1
                 mse = float(np.mean((recon[0].astype(np.float64) - src_y) ** 2))
