@@ -122,7 +122,8 @@ def main():
         return VideoEncoderSession(
             W, H, keyint=250, bframes=3, b_pyramid=True, max_depth=2,
             rc_mode="crf", crf=CRF, aq_mode=2, cutree=True,
-            deblock=True, sao=True, sbh=True, hash_sei=False, hme=True)
+            deblock=True, sao=True, sbh=True, hash_sei=False, hme=True,
+            quality_metrics=False)
 
     # warmup / compile all three encoders (intra anchor, P anchor, B)
     sess = make_session()

@@ -286,3 +286,31 @@ def test_weightp_quadtree_conformance():
         assert np.array_equal(d[0][:96, :160], r[0])
         assert np.array_equal(d[1][:48, :80], r[1])
         assert np.array_equal(d[2][:48, :80], r[2])
+
+
+def test_qt_compact_levels_overflow_fallback():
+    """The QT paths transfer levels as packed int8 pairs (halves the
+    device->host bytes); frames with |level| > 127 must transparently
+    rerun through the lazily compiled int16 variant. QP 4 + harsh content
+    forces the overflow."""
+    rng = np.random.default_rng(3)
+    w = h = 64
+    y0 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    u0 = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    v0 = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    y1 = (255 - y0)                        # violent change -> huge residual
+    sess = VideoEncoderSession(w, h, qp=4, max_depth=2, keyint=100,
+                               hash_sei=False)
+    sess.scenecut_enabled = False
+    r0 = sess.encode_frame(y0, u0, v0)
+    r1 = sess.encode_frame(y1, u0, v0)
+    assert sess.inter_encoder._full_qt is not None, \
+        "expected the int16 overflow fallback to trigger at QP 4"
+    stream = sess.headers() + r0.nals + r1.nals
+    dec = decode_hevc(stream, sess.coded_w, sess.coded_h)
+    assert len(dec) == 2
+    for d, r in zip(dec, (r0, r1)):
+        for p in range(3):
+            assert np.array_equal(
+                d[p][:r.recon[p].shape[0], :r.recon[p].shape[1]]
+                .astype(np.uint8), r.recon[p])

@@ -904,13 +904,17 @@ class IntraEncoderSession:
         vectorized over the whole CTU grid (rdoSaoUnitCu analog,
         sao.cpp:1225)."""
         from ..ops import sao as SAO
+        from ..utils.profiling import PROF
         bd = self.bit_depth
         n, nc = self.cu, self.cu // 2
-        st_y, st_cb, st_cr = SAO.sao_stats_dev3(
-            (out["recon_y"], out["recon_u"], out["recon_v"]),
-            (yp, up, vp), n, bd)
-        ty, ay, oy = SAO.decide_sao_luma_all(st_y, bd)
-        tc, acb, acr, ocb, ocr = SAO.decide_sao_chroma_all(st_cb, st_cr, bd)
+        with PROF("sao.stats_dev"):
+            st_y, st_cb, st_cr = SAO.sao_stats_dev3(
+                (out["recon_y"], out["recon_u"], out["recon_v"]),
+                (yp, up, vp), n, bd)
+        with PROF("sao.decide"):
+            ty, ay, oy = SAO.decide_sao_luma_all(st_y, bd)
+            tc, acb, acr, ocb, ocr = SAO.decide_sao_chroma_all(st_cb,
+                                                               st_cr, bd)
         params = [[{"luma": (int(ty[r, c]), int(ay[r, c]),
                              oy[r, c].tolist()),
                     "cb": (int(tc[r, c]), int(acb[r, c]),
@@ -918,12 +922,13 @@ class IntraEncoderSession:
                     "cr": (int(tc[r, c]), int(acr[r, c]),
                            ocr[r, c].tolist())}
                    for c in range(self.cols)] for r in range(self.rows)]
-        out["recon_y"] = SAO.apply_sao_component_vec(
-            out["recon_y"], ty, ay, oy, n, bd)
-        out["recon_u"] = SAO.apply_sao_component_vec(
-            out["recon_u"], tc, acb, ocb, nc, bd)
-        out["recon_v"] = SAO.apply_sao_component_vec(
-            out["recon_v"], tc, acr, ocr, nc, bd)
+        with PROF("sao.apply"):
+            out["recon_y"] = SAO.apply_sao_component_vec(
+                out["recon_y"], ty, ay, oy, n, bd)
+            out["recon_u"] = SAO.apply_sao_component_vec(
+                out["recon_u"], tc, acb, ocb, nc, bd)
+            out["recon_v"] = SAO.apply_sao_component_vec(
+                out["recon_v"], tc, acr, ocr, nc, bd)
         return params
 
     # ------------------------------------------------------------------
@@ -1013,6 +1018,7 @@ class VideoEncoderSession:
                  rqt: bool = False, hrd: bool = False,
                  frame_dup: bool = False, dup_threshold: int = 70,
                  hist_scenecut: bool = False,
+                 quality_metrics: bool = True,
                  scenecut_aware_qp: bool = False,
                  scenecut_qp_delta: int = 5,
                  scenecut_window: int = 12):
@@ -1089,6 +1095,11 @@ class VideoEncoderSession:
         # perceptually masked -> raise their QP with a 3-step decay
         # (the reference's full/2-3rds/1-3rd window split)
         self.scenecut_aware_qp = bool(scenecut_aware_qp)
+        # full PSNR-YUV + SSIM per frame costs host time (SSIM ~0.9 s
+        # at 1080p even vectorized); callers that don't read the CSV
+        # metrics turn it off (the reference computes PSNR/SSIM only
+        # under --psnr/--ssim too)
+        self.quality_metrics = bool(quality_metrics)
         self.scenecut_qp_delta = scenecut_qp_delta
         self.scenecut_window = max(scenecut_window, 3)
         self._since_scenecut = 10 ** 9
@@ -1734,7 +1745,10 @@ class VideoEncoderSession:
             icost, pcost, scenecut = self.lookahead.push(yp0)
         det = dict(self.lookahead.last_detail)
         det["scenecut"] = scenecut
-        cur_lowres = np.asarray(self.lookahead.prev_lowres)
+        # keep the lowres plane ON DEVICE: b-adapt's pair/bidir costs
+        # consume it as jnp arrays, and the old np.asarray forced a
+        # download + re-uploads per cost call over the tunnel
+        cur_lowres = self.lookahead.prev_lowres
         if self.la_depth > 0:
             self.la_queue.append((y, u, v, icost, pcost, scenecut, det,
                                   cur_lowres))
@@ -1908,7 +1922,7 @@ class VideoEncoderSession:
         psnr = pu = pv = ssim = 0.0
         if src_y is not None:
             src_uv = getattr(self, "_cur_src_uv", None)
-            if src_uv is not None:
+            if src_uv is not None and self.quality_metrics:
                 with PROF("quality_stats"):
                     psnr, pu, pv, ssim = frame_quality(
                         recon, src_y, src_uv[0], src_uv[1],

@@ -81,6 +81,7 @@ class InterFrameEncoder:
         self._valid = jnp.asarray(valid)
         self._encode = jax.jit(self._build_qt() if cfg.max_depth
                                else self._build())
+        self._full_qt = None    # lazy int16-levels variant (overflow)
 
     def encode_frame(self, y, u, v, ref_y, ref_u, ref_v, qp: int = None,
                      ref1_y=None, ref1_u=None, ref1_v=None,
@@ -93,30 +94,45 @@ class InterFrameEncoder:
         pdt = jnp.uint16 if self.cfg.bit_depth > 8 else jnp.uint8
         a = lambda x: jnp.asarray(x, pdt)
         if self.cfg.bi or self.cfg.n_refs > 1:
-            buf = np.asarray(self._encode(
-                a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
-                a(ref1_y), a(ref1_u), a(ref1_v), jnp.asarray(qp, jnp.int32)))
+            args = (a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
+                    a(ref1_y), a(ref1_u), a(ref1_v),
+                    jnp.asarray(qp, jnp.int32))
         elif self.cfg.weightp:
             weights = weights or {}
             wargs = []
             for comp in ("luma", "cb", "cr"):
                 w, o = weights.get(comp) or (64, 0)
                 wargs += [jnp.int32(w), jnp.int32(o)]
-            buf = np.asarray(self._encode(
-                a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
-                jnp.asarray(qp, jnp.int32), *wargs))
+            args = (a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
+                    jnp.asarray(qp, jnp.int32), *wargs)
         elif self.cfg.analysis_load:
-            buf = np.asarray(self._encode(
-                a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
-                jnp.asarray(qp, jnp.int32), jnp.asarray(hint_mvx, jnp.int32),
-                jnp.asarray(hint_mvy, jnp.int32)))
+            args = (a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
+                    jnp.asarray(qp, jnp.int32),
+                    jnp.asarray(hint_mvx, jnp.int32),
+                    jnp.asarray(hint_mvy, jnp.int32))
         else:
-            buf = np.asarray(self._encode(
-                a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v), jnp.asarray(qp, jnp.int32)))
-        return self._unpack_qt(buf) if self.cfg.max_depth else self._unpack(buf)
+            args = (a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
+                    jnp.asarray(qp, jnp.int32))
+        self._last_args = args
+        buf = np.asarray(self._encode(*args))
+        if not self.cfg.max_depth:
+            if buf[-1]:
+                if self._full_qt is None:
+                    self._full_qt = jax.jit(self._build(compact=False))
+                buf = np.asarray(self._full_qt(*self._last_args))
+                return self._unpack(buf, compact=False)
+            return self._unpack(buf)
+        if buf[-1]:
+            # a level exceeded int8: rerun through the exact int16
+            # variant (lazily compiled; rare at production QPs)
+            if self._full_qt is None:
+                self._full_qt = jax.jit(self._build_qt(compact=False))
+            buf = np.asarray(self._full_qt(*self._last_args))
+            return self._unpack_qt(buf, compact=False)
+        return self._unpack_qt(buf)
 
     # ------------------------------------------------------------------
-    def _build(self):
+    def _build(self, compact: bool = True):
         cfg = self.cfg
         n = cfg.cu_size
         nc = n // 2
@@ -521,16 +537,30 @@ class InterFrameEncoder:
                 mv_parts += [mv1x.astype(jnp.int16), mv1y.astype(jnp.int16)]
             mv16 = jnp.concatenate(mv_parts)
             mv8 = jax.lax.bitcast_convert_type(mv16, jnp.uint8).reshape(-1)
-            levels16 = jnp.concatenate([
-                lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)
-            ]).astype(jnp.int16)
-            levels8 = jax.lax.bitcast_convert_type(levels16, jnp.uint8).reshape(-1)
-            return jnp.concatenate([recon8, head8, mv8, levels8])
+            lv_cat = jnp.concatenate([
+                lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)])
+            if compact:
+                # int8 pairs in uint16 lanes + trailing overflow flag
+                # (see _build_qt - halves the dominant transfer)
+                overflow = ((lv_cat > 127) | (lv_cat < -128)).any()
+                pairs = lv_cat.reshape(-1, 2)
+                packed = ((pairs[:, 0] & 0xff)
+                          | ((pairs[:, 1] & 0xff) << 8)
+                          ).astype(jnp.uint16)
+                levels8 = jax.lax.bitcast_convert_type(
+                    packed, jnp.uint8).reshape(-1)
+                flag = overflow.astype(jnp.uint8).reshape(1)
+            else:
+                levels8 = jax.lax.bitcast_convert_type(
+                    lv_cat.astype(jnp.int16), jnp.uint8).reshape(-1)
+                flag = jnp.zeros((1,), jnp.uint8)
+            return jnp.concatenate([recon8, head8, mv8, levels8,
+                                    flag])
 
         return encode
 
     # ------------------------------------------------------------------
-    def _build_qt(self):
+    def _build_qt(self, compact: bool = True):
         """Inter CTU32 quadtree encoder — dense-decide + commit-scan.
 
         TPU-first redesign (round 3): ALL decisions — motion vectors,
@@ -1299,16 +1329,33 @@ class InterFrameEncoder:
                     mv_parts += [gq8(mvC1x), gq8(mvC1y)]
             mv16_cat = jnp.concatenate([m.astype(jnp.int16) for m in mv_parts])
             mv8 = jax.lax.bitcast_convert_type(mv16_cat, jnp.uint8).reshape(-1)
-            levels16 = jnp.concatenate([
-                lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)
-            ]).astype(jnp.int16)
-            levels8 = jax.lax.bitcast_convert_type(levels16,
-                                                   jnp.uint8).reshape(-1)
-            return jnp.concatenate([recon8, head8, mv8, levels8])
+            lv_cat = jnp.concatenate([
+                lv_y.reshape(-1), lv_cb.reshape(-1), lv_cr.reshape(-1)])
+            if compact:
+                # levels as int8 PAIRS in uint16 lanes (halves the
+                # dominant device->host transfer; same trick as the
+                # intra uniform path) + 1-byte overflow flag at the
+                # buffer end -> rare frames rerun via the lazily
+                # compiled int16 variant
+                overflow = ((lv_cat > 127) | (lv_cat < -128)).any()
+                pairs = lv_cat.reshape(-1, 2)
+                packed = ((pairs[:, 0] & 0xff)
+                          | ((pairs[:, 1] & 0xff) << 8)
+                          ).astype(jnp.uint16)
+                levels8 = jax.lax.bitcast_convert_type(
+                    packed, jnp.uint8).reshape(-1)
+                flag = overflow.astype(jnp.uint8).reshape(1)
+            else:
+                levels8 = jax.lax.bitcast_convert_type(
+                    lv_cat.astype(jnp.int16), jnp.uint8).reshape(-1)
+                flag = jnp.zeros((1,), jnp.uint8)
+            return jnp.concatenate([recon8, head8, mv8, levels8,
+                                    flag])
 
         return encode
     # ------------------------------------------------------------------
-    def _unpack_qt(self, buf: np.ndarray) -> dict:
+    def _unpack_qt(self, buf: np.ndarray,
+                   compact: bool = True) -> dict:
         cfg = self.cfg
         n, nc = cfg.cu_size, cfg.cu_size // 2
         rows, cols, ncu = cfg.rows, cfg.cols, cfg.rows * cfg.cols
@@ -1379,7 +1426,10 @@ class InterFrameEncoder:
             if depth2:
                 mv81x = take(16 * ncu, (rows, cols, 4, 4))
                 mv81y = take(16 * ncu, (rows, cols, 4, 4))
-        lv = buf[o:].view(np.int16)
+        if compact:
+            lv = buf[o:-1].view(np.int8)
+        else:
+            lv = buf[o:-1].view(np.int16)
         sy, sc = ncu * n * n, ncu * nc * nc
         return {
             "split": split, "tu_split32": tu_split32,
@@ -1398,7 +1448,7 @@ class InterFrameEncoder:
         }
 
     # ------------------------------------------------------------------
-    def _unpack(self, buf: np.ndarray) -> dict:
+    def _unpack(self, buf: np.ndarray, compact: bool = True) -> dict:
         cfg = self.cfg
         n, nc = cfg.cu_size, cfg.cu_size // 2
         rows, cols, ncu = cfg.rows, cfg.cols, cfg.rows * cfg.cols
@@ -1433,7 +1483,7 @@ class InterFrameEncoder:
         if cfg.bi:
             mv1x = mv[2 * ncu:3 * ncu].astype(np.int32).reshape(rows, cols)
             mv1y = mv[3 * ncu:4 * ncu].astype(np.int32).reshape(rows, cols)
-        lv = buf[o:].view(np.int16)
+        lv = buf[o:-1].view(np.int8 if compact else np.int16)
         sy, sc = ncu * n * n, ncu * nc * nc
         return {
             "use_intra": use_intra,

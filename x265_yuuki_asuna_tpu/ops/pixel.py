@@ -105,24 +105,39 @@ def psnr(mse: float, max_val: int = 255) -> float:
 
 def ssim_plane(a: np.ndarray, b: np.ndarray, bit_depth: int = 8) -> float:
     """Global SSIM over a plane using 8x8 windows with stride 4, matching the
-    reference's ssim accumulation granularity (pixel.cpp ssim_4x4x2_core)."""
+    reference's ssim accumulation granularity (pixel.cpp ssim_4x4x2_core).
+    Vectorized with integral images (the python window loop measured
+    8 s/frame at 1080p — dominating the whole encode)."""
     L = (1 << bit_depth) - 1
     c1 = (0.01 * L) ** 2
     c2 = (0.03 * L) ** 2
     a = a.astype(np.float64)
     b = b.astype(np.float64)
     H, W = a.shape
-    vals = []
-    for y in range(0, H - 7, 4):
-        for x in range(0, W - 7, 4):
-            wa = a[y:y + 8, x:x + 8]
-            wb = b[y:y + 8, x:x + 8]
-            ma, mb = wa.mean(), wb.mean()
-            va, vb = wa.var(), wb.var()
-            cov = ((wa - ma) * (wb - mb)).mean()
-            vals.append(((2 * ma * mb + c1) * (2 * cov + c2)) /
-                        ((ma * ma + mb * mb + c1) * (va + vb + c2)))
-    return float(np.mean(vals)) if vals else 1.0
+    if H < 8 or W < 8:
+        return 1.0
+
+    def win_sums(x):
+        ii = np.zeros((H + 1, W + 1))
+        np.cumsum(np.cumsum(x, 0), 1, out=ii[1:, 1:])
+        s = (ii[8:H + 1:4, 8:W + 1:4] - ii[8:H + 1:4, 0:W - 7:4]
+             - ii[0:H - 7:4, 8:W + 1:4] + ii[0:H - 7:4, 0:W - 7:4])
+        return s
+
+    n = 64.0
+    sa = win_sums(a)
+    sb = win_sums(b)
+    saa = win_sums(a * a)
+    sbb = win_sums(b * b)
+    sab = win_sums(a * b)
+    ma = sa / n
+    mb = sb / n
+    va = saa / n - ma * ma
+    vb = sbb / n - mb * mb
+    cov = sab / n - ma * mb
+    vals = (((2 * ma * mb + c1) * (2 * cov + c2))
+            / ((ma * ma + mb * mb + c1) * (va + vb + c2)))
+    return float(vals.mean())
 
 
 def psy_energy(a, xp=np):

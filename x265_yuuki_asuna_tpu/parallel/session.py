@@ -116,6 +116,11 @@ class PipelinedEncoder:
                 if idx >= len(rest):
                     break
                 idx += 1
+                if packed[t, k][-1]:
+                    raise RuntimeError(
+                        "pipeline frame levels overflowed int8 "
+                        "packing (very low QP?); use the sequential "
+                        "path for this configuration")
                 out = enc._unpack(packed[t, k])
                 poc = t * N + k + 1
                 if k == 0:
