@@ -119,11 +119,13 @@ def main():
     from x265_yuuki_asuna_tpu.models.encoder_top import VideoEncoderSession
 
     def make_session():
+        # dpb_device (round 4): recon + loop filters stay on device; the
+        # bench reads only bits, so recon never downloads (recon_out=False)
         return VideoEncoderSession(
             W, H, keyint=250, bframes=3, b_pyramid=True, max_depth=2,
             rc_mode="crf", crf=CRF, aq_mode=2, cutree=True,
             deblock=True, sao=True, sbh=True, hash_sei=False, hme=True,
-            quality_metrics=False)
+            quality_metrics=False, recon_out=False)
 
     # warmup / compile all three encoders (intra anchor, P anchor, B)
     sess = make_session()

@@ -64,6 +64,10 @@ def main(argv=None):
     ap.add_argument("--tmvp", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="temporal MVP (uniform IPPP sessions)")
+    ap.add_argument("--b-intra", dest="b_intra",
+                    action=argparse.BooleanOptionalAction, default=None,
+                    help="evaluate intra modes in B slices (reference "
+                         "bIntraInBFrames; on at slow and slower presets)")
     ap.add_argument("--rqt", action="store_true",
                     help="residual TU quadtree on inter CTU32 leaves "
                          "(quadtree sessions)")
@@ -342,7 +346,9 @@ def main(argv=None):
                                                        else 0)),
                                    psy_rdoq=(args.psy_rdoq
                                              if args.psy_rdoq is not None
-                                             else prm.psy_rdoq))
+                                             else prm.psy_rdoq),
+                                   b_intra=bool(pick(args.b_intra,
+                                                     prm.b_intra_in_bframes)))
         args.frame_batch = 1     # P frames are sequentially dependent
     else:
         if args.lossless or args.slices > 1 or args.wpp:

@@ -109,7 +109,8 @@ class IntraEncoderSession:
                  max_depth: int = 0, psy_rd: float = 0.0,
                  hash_type: int = 0, nr_intra: int = 0,
                  scaling_lists: str = None, psy_rdoq: float = 0.0,
-                 fast_intra: bool = False, csp: str = "i420"):
+                 fast_intra: bool = False, csp: str = "i420",
+                 dpb_device: bool = False):
         self.csp = csp
         self.c_shift = 0 if csp == "i444" else 1
         if csp == "i444":
@@ -161,6 +162,9 @@ class IntraEncoderSession:
         band_h = self.coded_h // self.slices
         self.band_rows = band_h // cu_size
         self.sbh = sbh and not lossless and not rdoq and self.slices == 1
+        # device-resident DPB (round 4): owned by VideoEncoderSession —
+        # filters run inside the jitted program, recon never downloads
+        self.dpb_device = bool(dpb_device) and max_depth > 0 and cu_size == 32
         self.frame_encoder = IntraFrameEncoder(IntraFrameConfig(
             width=self.coded_w, height=band_h if self.slices > 1 else self.coded_h,
             cu_size=cu_size, qp=qp, csp=csp,
@@ -169,7 +173,9 @@ class IntraEncoderSession:
             max_depth=max_depth, psy_rd=psy_rd if max_depth else 0.0,
             psy_rdoq=psy_rdoq if rdoq else 0.0,
             fast_intra=fast_intra and not max_depth and not lossless,
-            nr=bool(self.nr_intra)), scaling=self.scaling)
+            nr=bool(self.nr_intra),
+            dpb=self.dpb_device, deblock=self.deblock and self.dpb_device,
+            sao=self.sao and self.dpb_device), scaling=self.scaling)
         if self.nr_intra:
             n2, c2 = cu_size * cu_size, (cu_size // 2) ** 2
             self._nr = {"sum_y": np.zeros(n2, np.int64), "cnt_y": 0,
@@ -1021,9 +1027,14 @@ class VideoEncoderSession:
                  quality_metrics: bool = True,
                  scenecut_aware_qp: bool = False,
                  scenecut_qp_delta: int = 5,
-                 scenecut_window: int = 12):
+                 scenecut_window: int = 12,
+                 dpb_device: bool = None, recon_out: bool = True,
+                 b_intra: bool = False):
         from .inter_encoder import InterFrameEncoder, InterFrameConfig
         from .ratecontrol import RateControl, RCConfig
+        # reference bIntraInBFrames (--b-intra): OFF at medium and faster
+        # presets — B slices evaluate no intra candidates
+        self.b_intra = bool(b_intra)
         # multi-ref (reference --ref): 2 L0 references on the uniform IPPP
         # path (round 3); quadtree/bframes keep 1 ref per list for now
         self.n_refs = max(1, min(n_refs, 2))
@@ -1057,6 +1068,17 @@ class VideoEncoderSession:
         if self.wpp:
             assert not (aq_mode or cutree), \
                 "WPP inter sessions: no per-CU QP (v1)"
+        # ---- device-resident DPB (round 4) ---------------------------------
+        # When the whole frame program (encode + deblock + SAO) runs in-jit,
+        # reference recon stays on device between frames: per-frame transfers
+        # drop to src-upload + decision-download (ROUND4 #1; the reference
+        # keeps recon in shared memory, frame.h:105).  Quadtree CTU32
+        # sessions only; paths that read recon host-side opt out.
+        dpb_ok = (max_depth >= 1 and not self.wpp and not weightp
+                  and self.n_refs == 1 and not self.tmvp)
+        self.dpb_device = dpb_ok if dpb_device is None \
+            else bool(dpb_device) and dpb_ok
+        self.recon_out = bool(recon_out)
         self.intra_sess = IntraEncoderSession(width, height, qp, cu_size, fps,
                                               hash_sei=False, deblock=deblock,
                                               sao=sao, rdoq=rdoq, sbh=sbh,
@@ -1065,7 +1087,8 @@ class VideoEncoderSession:
                                               bit_depth=bit_depth,
                                               hash_type=hash_type,
                                               wpp=self.wpp,
-                                              psy_rdoq=psy_rdoq)
+                                              psy_rdoq=psy_rdoq,
+                                              dpb_device=self.dpb_device)
         self.bit_depth = bit_depth
         self.sbh = self.intra_sess.sbh
         if aq_mode or cutree:
@@ -1156,7 +1179,9 @@ class VideoEncoderSession:
             max_depth=max_depth, bit_depth=bit_depth,
             psy_rd=psy_rd if max_depth else 0.0,
             psy_rdoq=psy_rdoq if rdoq else 0.0,
-            hme=hme and max_depth > 0, hme_range=hme_range))
+            hme=hme and max_depth > 0, hme_range=hme_range,
+            dpb=self.dpb_device, deblock=deblock and self.dpb_device,
+            sao=sao and self.dpb_device))
         self.frame_idx = 0
         self.poc = 0
         self.ref = None   # (y, u, v) padded recon planes
@@ -1208,7 +1233,10 @@ class VideoEncoderSession:
                 sbh=self.sbh, max_depth=max_depth, bit_depth=bit_depth,
                 psy_rd=psy_rd if max_depth else 0.0,
                 psy_rdoq=psy_rdoq if rdoq else 0.0,
-                hme=hme and max_depth > 0, hme_range=hme_range))
+                hme=hme and max_depth > 0, hme_range=hme_range,
+                intra_in_b=self.b_intra,
+                dpb=self.dpb_device, deblock=deblock and self.dpb_device,
+                sao=sao and self.dpb_device))
         self.sei_provider = None    # callable(display_idx) -> prefix bytes
         self.pending = []           # buffered display-order frames (y, u, v)
         self.pending_lowres = []    # matching lowres planes (b-adapt)
@@ -1396,11 +1424,11 @@ class VideoEncoderSession:
             if is_idr:
                 out = self.intra_sess.frame_encoder.encode_frame(
                     yp, up, vp,
-                    qp=qp_map.reshape(-1) if qp_map is not None else qp)
+                    qp=qp_map.reshape(-1) if qp_map is not None else qp,
+                    slice_qp=qp)
                 if qp_map is not None:
                     out["qp_map"] = qp_map
-                self._deblock_frame(out, qp, is_idr=True)
-                sao_params = self._sao_frame(out, yp, up, vp)
+                sao_params = self._filter_frame(out, qp, True, yp, up, vp)
                 nals = self.intra_sess._assemble_slice(out, qp=qp,
                                                        sao_params=sao_params)
             else:
@@ -1422,15 +1450,13 @@ class VideoEncoderSession:
                     out = self.inter_encoder.encode_frame(
                         yp, up, vp, self.ref[0], self.ref[1], self.ref[2],
                         qp=qp_map.reshape(-1) if qp_map is not None else qp,
-                        weights=weights, hint_mvx=hx, hint_mvy=hy, **kw)
+                        weights=weights, hint_mvx=hx, hint_mvy=hy,
+                        slice_qp=qp, **kw)
                 if qp_map is not None:
                     out["qp_map"] = qp_map
                 if n_active == 1 and out.get("ref") is not None:
                     out["ref"] = np.zeros_like(out["ref"])
-                with PROF("deblock"):
-                    self._deblock_frame(out, qp, is_idr=False)
-                with PROF("sao"):
-                    sao_params = self._sao_frame(out, yp, up, vp)
+                sao_params = self._filter_frame(out, qp, False, yp, up, vp)
                 with PROF("serialize"):
                     rps = None
                     if n_active == 2:
@@ -1486,6 +1512,7 @@ class VideoEncoderSession:
             qp = min(qp + max(1, int(round(6 * _math.log2(over)))), 51)
             out, nals = attempt(qp)
         if self.hash_sei:
+            self._materialize_recon(out)
             nals += self.intra_sess._hash_sei(out)
         if self.analysis_save is not None or self.shared_analysis is not None:
             rec = {"t": "I" if is_idr else "P"}
@@ -1500,7 +1527,7 @@ class VideoEncoderSession:
                 self.shared_analysis.append(rec)
         self.analysis_idx += 1
         self.ref2 = None if is_idr else self.ref
-        self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+        self.ref = self._recon_planes(out)
         if self.tmvp:
             # collocated motion field for the NEXT frame's TMVP (HEVC
             # stores col MVs on a 16x16 grid == this CU grid)
@@ -1539,6 +1566,12 @@ class VideoEncoderSession:
                                   la_cost, cuoff=co)
         pk = (1 << getattr(self, "bit_depth", 8)) - 1
         pdt = np.uint16 if getattr(self, "bit_depth", 8) > 8 else np.uint8
+        if self.recon_out or self.quality_metrics:
+            self._materialize_recon(out)
+        if out.get("recon_y") is None:
+            return FrameResult(nals=nals, recon=None, bits=len(nals) * 8,
+                               psnr_y=0.0,
+                               frame_type="I" if is_idr else "P", qp=qp)
         mse = float(np.mean((out["recon_y"][:self.src_h, :self.src_w]
                              .astype(np.float64) - y) ** 2))
         psnr = 99.99 if mse == 0 else 10 * np.log10(pk * pk / mse)
@@ -1674,6 +1707,49 @@ class VideoEncoderSession:
         return self.intra_sess._sao_decide(out, yp, up, vp)
 
     # ------------------------------------------------------------------
+    # device-resident DPB helpers (round 4)
+    # ------------------------------------------------------------------
+    def _finish_device_frame(self, out: dict):
+        """dpb_device: the jitted program already ran deblock + SAO;
+        fetch the (tiny) device SAO decisions into the serializer's
+        per-CTU params format."""
+        if not self.sao or out.get("sao_dev") is None:
+            return None
+        t_y, aux_y, off_y, t_c, acb, acr, ocb, ocr = \
+            (np.asarray(a) for a in out["sao_dev"])
+        return [[{"luma": (int(t_y[r, c]), int(aux_y[r, c]),
+                           off_y[r, c].tolist()),
+                  "cb": (int(t_c[r, c]), int(acb[r, c]), ocb[r, c].tolist()),
+                  "cr": (int(t_c[r, c]), int(acr[r, c]), ocr[r, c].tolist())}
+                 for c in range(self.cols)] for r in range(self.rows)]
+
+    def _recon_planes(self, out: dict):
+        """The DPB entry for this frame: device arrays under dpb_device,
+        host planes otherwise."""
+        if out.get("recon_dev") is not None:
+            return out["recon_dev"]
+        return (out["recon_y"], out["recon_u"], out["recon_v"])
+
+    def _materialize_recon(self, out: dict):
+        """Fetch device recon to host int32 planes (hash SEI / recon
+        output / quality metrics)."""
+        if out.get("recon_y") is None and out.get("recon_dev") is not None:
+            ry, ru, rv = (np.asarray(p).astype(np.int32)
+                          for p in out["recon_dev"])
+            out["recon_y"], out["recon_u"], out["recon_v"] = ry, ru, rv
+
+    def _filter_frame(self, out: dict, qp: int, is_idr: bool, yp, up, vp):
+        """Loop filters + SAO for one frame: on-device (dpb_device) or the
+        host path. Returns sao_params for the slice syntax."""
+        if self.dpb_device:
+            with PROF("sao.decide"):
+                return self._finish_device_frame(out)
+        with PROF("deblock"):
+            self._deblock_frame(out, qp, is_idr=is_idr)
+        with PROF("sao"):
+            return self._sao_frame(out, yp, up, vp)
+
+    # ------------------------------------------------------------------
     def _deblock_frame(self, out: dict, qp: int, is_idr: bool):
         """Apply the in-loop deblocking filter to the frame's recon (this is
         normative: the decoder does the same, and the filtered picture is the
@@ -1794,20 +1870,17 @@ class VideoEncoderSession:
                 if (len(self.pending) == self.bframes + 1
                         and self.anchor_lowres is not None):
                     lows = self.pending_lowres
+                    with PROF("b_adapt"):
+                        # ONE fused device program for the whole trellis
+                        # (replaces K + K(K-1)/2 pair/bidir dispatches)
+                        costs = self.lookahead.badapt_path_costs(
+                            self.anchor_lowres, lows)
                     best_k, best_cost = len(lows) - 1, None
-                    _badapt_t = PROF("b_adapt"); _badapt_t.__enter__()
                     for k in range(len(lows) - 1, -1, -1):
-                        cost = self.lookahead.pair_cost(self.anchor_lowres,
-                                                        lows[k])
-                        for i in range(k):
-                            cost += self.lookahead.bidir_cost(
-                                self.anchor_lowres, lows[k], lows[i])
-                        cost /= (k + 1)
                         # strict <: ties keep the longest mini-GOP (B frames
                         # are cheaper at equal predicted cost)
-                        if best_cost is None or cost < best_cost:
-                            best_k, best_cost = k, cost
-                    _badapt_t.__exit__(None, None, None)
+                        if best_cost is None or costs[k] < best_cost:
+                            best_k, best_cost = k, costs[k]
                     results += self._flush_minigop(best_k + 1)
                 elif len(self.pending) == self.bframes + 1:
                     results += self._flush_minigop()
@@ -1914,6 +1987,12 @@ class VideoEncoderSession:
     def _result(self, out, nals, qp, poc, src_y=None,
                 frame_type: str = "") -> "FrameResult":
         pdt = np.uint16 if getattr(self, "bit_depth", 8) > 8 else np.uint8
+        if self.recon_out or self.quality_metrics:
+            self._materialize_recon(out)
+        if out.get("recon_y") is None:
+            return FrameResult(nals=nals, recon=None, bits=len(nals) * 8,
+                               psnr_y=0.0, poc=poc, frame_type=frame_type,
+                               qp=qp)
         recon = tuple(
             out[k][:h, :w].astype(pdt)
             for k, h, w in (("recon_y", self.src_h, self.src_w),
@@ -1952,13 +2031,11 @@ class VideoEncoderSession:
             with PROF("device_intra"):
                 out = self.intra_sess.frame_encoder.encode_frame(
                     yp, up, vp,
-                    qp=qp_map.reshape(-1) if qp_map is not None else qp)
+                    qp=qp_map.reshape(-1) if qp_map is not None else qp,
+                    slice_qp=qp)
             if qp_map is not None:
                 out["qp_map"] = qp_map
-            with PROF("deblock"):
-                self._deblock_frame(out, qp, is_idr=True)
-            with PROF("sao"):
-                sao_params = self._sao_frame(out, yp, up, vp)
+            sao_params = self._filter_frame(out, qp, True, yp, up, vp)
             with PROF("serialize"):
                 nals = self.intra_sess._assemble_slice(out, qp=qp,
                                                        sao_params=sao_params)
@@ -1970,13 +2047,10 @@ class VideoEncoderSession:
                     yp, up, vp, self.anchor[0][0], self.anchor[0][1],
                     self.anchor[0][2],
                     qp=qp_map.reshape(-1) if qp_map is not None else qp,
-                    weights=weights)
+                    weights=weights, slice_qp=qp)
             if qp_map is not None:
                 out["qp_map"] = qp_map
-            with PROF("deblock"):
-                self._deblock_frame(out, qp, is_idr=False)
-            with PROF("sao"):
-                sao_params = self._sao_frame(out, yp, up, vp)
+            sao_params = self._filter_frame(out, qp, False, yp, up, vp)
             with PROF("serialize"):
                 nals = self._assemble_p_slice(out, qp, poc=poc,
                                               ref_delta=ref_delta,
@@ -1986,8 +2060,9 @@ class VideoEncoderSession:
         if self.sei_provider is not None:
             nals = self.sei_provider(self.gop_display_base + poc) + nals
         if self.hash_sei:
+            self._materialize_recon(out)
             nals += self.intra_sess._hash_sei(out)
-        self.anchor = ((out["recon_y"], out["recon_u"], out["recon_v"]), poc)
+        self.anchor = (self._recon_planes(out), poc)
         self.rc.frame_done(qp, len(nals) * 8,
                            slice_type="I" if idr else "P")
         self._cur_src_uv = (u, v)
@@ -2012,11 +2087,11 @@ class VideoEncoderSession:
         qp = self._zone_qp(self.display_idx, qp)
         qp_map = self._frame_qp_map(yp, qp)
         out = self.intra_sess.frame_encoder.encode_frame(
-            yp, up, vp, qp=qp_map.reshape(-1) if qp_map is not None else qp)
+            yp, up, vp, qp=qp_map.reshape(-1) if qp_map is not None else qp,
+            slice_qp=qp)
         if qp_map is not None:
             out["qp_map"] = qp_map
-        self._deblock_frame(out, qp, is_idr=True)
-        sao_params = self._sao_frame(out, yp, up, vp)
+        sao_params = self._filter_frame(out, qp, True, yp, up, vp)
         from ..bitstream.bitio import NAL_CRA
         nals = self.intra_sess._assemble_slice(out, qp=qp,
                                                sao_params=sao_params,
@@ -2024,8 +2099,9 @@ class VideoEncoderSession:
         if self.sei_provider is not None:
             nals = self.sei_provider(self.display_idx) + nals
         if self.hash_sei:
+            self._materialize_recon(out)
             nals += self.intra_sess._hash_sei(out)
-        cra_recon = (out["recon_y"], out["recon_u"], out["recon_v"])
+        cra_recon = self._recon_planes(out)
         self.rc.frame_done(qp, len(nals) * 8)
         self._cur_src_uv = (u, v)
         results = [self._result(out, nals, qp, cra_poc, src_y=y,
@@ -2060,13 +2136,11 @@ class VideoEncoderSession:
             out = self.bi_encoder.encode_frame(
                 yp, up, vp, ref0[0], ref0[1], ref0[2],
                 qp=qp_map.reshape(-1) if qp_map is not None else qp,
-                ref1_y=ref1[0], ref1_u=ref1[1], ref1_v=ref1[2])
+                ref1_y=ref1[0], ref1_u=ref1[1], ref1_v=ref1[2],
+                slice_qp=qp)
         if qp_map is not None:
             out["qp_map"] = qp_map
-        with PROF("deblock"):
-            self._deblock_frame(out, qp, is_idr=False)
-        with PROF("sao"):
-            sao_params = self._sao_frame(out, yp, up, vp)
+        sao_params = self._filter_frame(out, qp, False, yp, up, vp)
         with PROF("serialize"):
             nals = self._assemble_b_slice(out, qp, poc, poc0, poc1,
                                           sao_params=sao_params,
@@ -2075,9 +2149,10 @@ class VideoEncoderSession:
         if self.sei_provider is not None:
             nals = self.sei_provider(self.gop_display_base + poc) + nals
         if self.hash_sei:
+            self._materialize_recon(out)
             nals += self.intra_sess._hash_sei(out)
         self.rc.frame_done(qp, len(nals) * 8, slice_type="B")
-        recon = (out["recon_y"], out["recon_u"], out["recon_v"])
+        recon = self._recon_planes(out)
         self._cur_src_uv = (u, v)
         return self._result(out, nals, qp, poc, src_y=y,
                             frame_type="B" if is_ref else "b"), recon

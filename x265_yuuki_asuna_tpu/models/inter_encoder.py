@@ -53,6 +53,20 @@ class InterFrameConfig:
                                   # 32x32 leaf CUs may split their TU into
                                   # 4x 16x16 (estimateResidualQT analog,
                                   # search.cpp:3178) — quadtree path only
+    intra_in_b: bool = True       # evaluate intra candidates in B slices
+                                  # (reference bIntraInBFrames — OFF at
+                                  # medium and faster presets, cli.rst
+                                  # --b-intra). False removes the whole
+                                  # sequential commit scan from the B
+                                  # program: inter leaves commit densely.
+    dpb: bool = False             # device-resident DPB (round 4): the
+                                  # program returns recon as separate
+                                  # device outputs (never downloaded into
+                                  # the decision buffer) and runs the
+                                  # normative loop filters in-jit
+                                  # (framefilter.cpp:564 analog)
+    deblock: bool = False         # with dpb: in-jit deblocking filter
+    sao: bool = False             # with dpb: in-jit SAO stats+decide+apply
 
     @property
     def rows(self):
@@ -74,6 +88,8 @@ class InterFrameEncoder:
             assert cfg.cu_size == 32 and not cfg.analysis_load, \
                 "inter quadtree: CTU32; no analysis reuse (v1)"
             assert not (cfg.weightp and cfg.bi), "weightp is P-only"
+        if cfg.dpb:
+            assert cfg.max_depth, "device DPB: quadtree path (v1)"
         nd, ns, rc, valid = wavefront_schedule(cfg.rows, cfg.cols, slope=2)
         self.num_diags = nd
         self.num_slots = ns
@@ -85,11 +101,16 @@ class InterFrameEncoder:
 
     def encode_frame(self, y, u, v, ref_y, ref_u, ref_v, qp: int = None,
                      ref1_y=None, ref1_u=None, ref1_v=None,
-                     weights=None, hint_mvx=None, hint_mvy=None):
+                     weights=None, hint_mvx=None, hint_mvy=None,
+                     slice_qp=None):
         """All planes padded to coded size. ref_* are the decoded reference
         planes (L0; ref1_* = L1 when cfg.bi). weights (cfg.weightp): dict
         {'luma': (w, o)|None, 'cb': ..., 'cr': ...}, denom 6; None entries
-        use the identity weight. Returns decision dict (numpy)."""
+        use the identity weight. Returns decision dict (numpy).
+
+        cfg.dpb: ref planes may be device arrays (no transfer); the result
+        carries "recon_dev" (filtered device planes, the next frame's
+        reference) and "sao_dev" instead of host recon."""
         qp = self.cfg.qp if qp is None else qp
         pdt = jnp.uint16 if self.cfg.bit_depth > 8 else jnp.uint8
         a = lambda x: jnp.asarray(x, pdt)
@@ -113,7 +134,25 @@ class InterFrameEncoder:
         else:
             args = (a(y), a(u), a(v), a(ref_y), a(ref_u), a(ref_v),
                     jnp.asarray(qp, jnp.int32))
+        if self.cfg.dpb:
+            sq = qp if slice_qp is None else slice_qp
+            sq = int(np.max(sq)) if np.ndim(sq) else int(sq)
+            args = args + (jnp.asarray(sq, jnp.int32),)
         self._last_args = args
+        if self.cfg.dpb:
+            outs = self._encode(*args)
+            buf = np.asarray(outs[0])
+            if buf[-1]:
+                if self._full_qt is None:
+                    self._full_qt = jax.jit(self._build_qt(compact=False))
+                outs = self._full_qt(*self._last_args)
+                buf = np.asarray(outs[0])
+                out = self._unpack_qt(buf, compact=False)
+            else:
+                out = self._unpack_qt(buf)
+            out["recon_dev"] = outs[1:4]
+            out["sao_dev"] = outs[4:] if self.cfg.sao else None
+            return out
         buf = np.asarray(self._encode(*args))
         if not self.cfg.max_depth:
             if buf[-1]:
@@ -758,14 +797,44 @@ class InterFrameEncoder:
                     interp.weight_uni(ps[1], wcb, ocb, 6, bd, xp=jnp),
                     interp.weight_uni(ps[2], wcr, ocr, 6, bd, xp=jnp))
 
+        def shift_grid(a, nn, dr, dc):
+            """Neighbor field: value of the block (dr, dc) away on the
+            nn-grid; out-of-picture -> 0 (the spec's zero-MV fill)."""
+            cn = W // nn
+            rn = H // nn
+            g = a.reshape(rn, cn)
+            pr = ((max(-dr, 0), max(dr, 0)), (max(-dc, 0), max(dc, 0)))
+            g = jnp.pad(g, pr)[max(dr, 0):max(dr, 0) + rn,
+                               max(dc, 0):max(dc, 0) + cn]
+            return g.reshape(-1)
+
+        def merge_cand_fields(nn, fields):
+            """Spatial merge candidates on the nn-grid from the dense ME
+            winner field (mergeEstimation analog, search.cpp:1891): left,
+            above, above-right neighbors + the zero candidate. fields is a
+            tuple of per-block arrays; returns a list of shifted tuples."""
+            cands = []
+            for dr, dc in ((0, -1), (-1, 0), (-1, 1)):
+                cands.append(tuple(shift_grid(f, nn, dr, dc)
+                                   for f in fields))
+            cands.append(tuple(jnp.zeros_like(f) for f in fields))
+            return cands
+
         def decide_motion_dense(nn, y32, refs0, refs1, mv0, mv1, qp_blk,
                                 est_mv_bits_arr, wts=None):
-            """Per-block list decision at one size from sweep results.
+            """Per-block list decision at one size from sweep results,
+            with merge-candidate RD (round 4): the left/above/above-right
+            neighbors' motion and the zero candidate compete against the
+            ME winner at merge-cost bits (merge_flag + idx instead of MVD
+            — the reference's mergeEstimation, search.cpp:1891,2221).
+            Winners that coincide with the true spec candidate list at
+            serialize time are coded as merge/skip.
             Returns (pdir, mv0x, mv0y, mv1x, mv1y, pred3, satd_sel,
             bits_sel)."""
             px, py = PXPY[nn]
             yb = to_blocks(y32, nn)
             mv0x, mv0y, s0 = mv0
+            lam = 0.9 * jnp.exp2((qp_blk.astype(jnp.float32) - 12.0) / 6.0)
             if wts is not None:
                 pred = wpred_all(refs0, mv0x, mv0y, px, py, nn, wts)
                 s0 = pixel.satd(yb, pred[0], xp=jnp)
@@ -773,38 +842,96 @@ class InterFrameEncoder:
                 ones = jnp.ones_like(mv0x)
                 return (ones, mv0x, mv0y, mv0x * 0, mv0y * 0, pred, s0, bits)
             if refs1 is None:
-                pred = mc_all(refs0, mv0x, mv0y, px, py, nn)
-                bits = est_mv_bits_arr(mv0x, mv0y)
-                ones = jnp.ones_like(mv0x)
-                return (ones, mv0x, mv0y, mv0x * 0, mv0y * 0, pred, s0, bits)
+                b_me = est_mv_bits_arr(mv0x, mv0y)
+                bx, by = mv0x, mv0y
+                bs_, bb = s0, b_me
+                bcost = s0.astype(jnp.float32) + lam * b_me
+                for idx, (cx, cy) in enumerate(
+                        merge_cand_fields(nn, (mv0x, mv0y))):
+                    p = interp.mc_luma_qpel(refs0[0], px, py, cx, cy, nn,
+                                            bd, xp=jnp)
+                    s = pixel.satd(yb, p, xp=jnp)
+                    b = 2.0 + idx          # merge_flag + unary merge_idx
+                    c = s.astype(jnp.float32) + lam * b
+                    upd = c < bcost
+                    bx = jnp.where(upd, cx, bx)
+                    by = jnp.where(upd, cy, by)
+                    bs_ = jnp.where(upd, s, bs_)
+                    bb = jnp.where(upd, b, bb)
+                    bcost = jnp.minimum(c, bcost)
+                pred = mc_all(refs0, bx, by, px, py, nn)
+                ones = jnp.ones_like(bx)
+                return (ones, bx, by, bx * 0, by * 0, pred, bs_, bb)
+            # ---- B: luma-only phase-1 selection (uni0/uni1/bi + merge),
+            # full 3-component prediction once at the winner ---------------
             mv1x, mv1y, s1 = mv1
-            p0 = mc_all(refs0, mv0x, mv0y, px, py, nn)
-            p1 = mc_all(refs1, mv1x, mv1y, px, py, nn)
-            ps0 = ps_all(refs0, mv0x, mv0y, px, py, nn)
-            ps1 = ps_all(refs1, mv1x, mv1y, px, py, nn)
-            pbi = tuple(interp.add_avg(a, b, bd, xp=jnp)
-                        for a, b in zip(ps0, ps1))
-            sbi = pixel.satd(yb, pbi[0], xp=jnp)
-            lam = 0.9 * jnp.exp2((qp_blk.astype(jnp.float32) - 12.0) / 6.0)
+            pl0 = interp.mc_luma_qpel_ps(refs0[0], px, py, mv0x, mv0y, nn,
+                                         bd, xp=jnp)
+            pl1 = interp.mc_luma_qpel_ps(refs1[0], px, py, mv1x, mv1y, nn,
+                                         bd, xp=jnp)
+            pbi_l = interp.add_avg(pl0, pl1, bd, xp=jnp)
+            sbi = pixel.satd(yb, pbi_l, xp=jnp)
             b0 = est_mv_bits_arr(mv0x, mv0y)
             b1 = est_mv_bits_arr(mv1x, mv1y)
             costs = jnp.stack([s0 + lam * b0, s1 + lam * (b1 + 1.0),
                                sbi + lam * (b0 + b1 + 2.0)], axis=1)
             sel = jnp.argmin(costs, axis=1).astype(jnp.int32)
             pdir = jnp.where(sel == 2, 3, sel + 1)
-
-            def pick(a, b, c):
-                s_ = sel[:, None, None]
-                return jnp.where(s_ == 0, a, jnp.where(s_ == 1, b, c))
-
-            pred = tuple(pick(a, b, c) for a, b, c in zip(p0, p1, pbi))
             ar = jnp.arange(s0.shape[0])
             satd_sel = jnp.stack([s0, s1, sbi], 1)[ar, sel]
             bits_sel = jnp.stack([b0, b1 + 1.0, b0 + b1 + 2.0], 1)[ar, sel]
             m0 = (pdir & 1).astype(mv0x.dtype)
             m1 = ((pdir & 2) >> 1).astype(mv1x.dtype)
-            return (pdir, mv0x * m0, mv0y * m0, mv1x * m1, mv1y * m1,
-                    pred, satd_sel, bits_sel)
+            fx0, fy0 = mv0x * m0, mv0y * m0
+            fx1, fy1 = mv1x * m1, mv1y * m1
+            fpdir = pdir
+            fs, fb = satd_sel, bits_sel
+            fcost = satd_sel.astype(jnp.float32) + lam * bits_sel
+            # merge candidates: neighbor (pdir, mv0, mv1) of the ME field
+            for idx, (cp, c0x, c0y, c1x, c1y) in enumerate(merge_cand_fields(
+                    nn, (fpdir, fx0, fy0, fx1, fy1))):
+                cp = jnp.where(cp == 0, 3, cp)       # zero cand: bi zero-MV
+                q0 = interp.mc_luma_qpel(refs0[0], px, py, c0x, c0y, nn,
+                                         bd, xp=jnp)
+                q1 = interp.mc_luma_qpel(refs1[0], px, py, c1x, c1y, nn,
+                                         bd, xp=jnp)
+                qs0 = interp.mc_luma_qpel_ps(refs0[0], px, py, c0x, c0y, nn,
+                                             bd, xp=jnp)
+                qs1 = interp.mc_luma_qpel_ps(refs1[0], px, py, c1x, c1y, nn,
+                                             bd, xp=jnp)
+                qbi = interp.add_avg(qs0, qs1, bd, xp=jnp)
+                cp3 = cp[:, None, None]
+                qp_ = jnp.where(cp3 == 1, q0, jnp.where(cp3 == 2, q1, qbi))
+                s = pixel.satd(yb, qp_, xp=jnp)
+                b = 2.0 + idx
+                c = s.astype(jnp.float32) + lam * b
+                upd = c < fcost
+                fpdir = jnp.where(upd, cp, fpdir)
+                fx0 = jnp.where(upd, c0x, fx0)
+                fy0 = jnp.where(upd, c0y, fy0)
+                fx1 = jnp.where(upd, c1x, fx1)
+                fy1 = jnp.where(upd, c1y, fy1)
+                fs = jnp.where(upd, s, fs)
+                fb = jnp.where(upd, b, fb)
+                fcost = jnp.minimum(c, fcost)
+            m0 = (fpdir & 1).astype(fx0.dtype)
+            m1 = ((fpdir & 2) >> 1).astype(fx1.dtype)
+            fx0, fy0 = fx0 * m0, fy0 * m0
+            fx1, fy1 = fx1 * m1, fy1 * m1
+            # full prediction at the winner motion
+            p0f = mc_all(refs0, fx0, fy0, px, py, nn)
+            p1f = mc_all(refs1, fx1, fy1, px, py, nn)
+            ps0f = ps_all(refs0, fx0, fy0, px, py, nn)
+            ps1f = ps_all(refs1, fx1, fy1, px, py, nn)
+            pbif = tuple(interp.add_avg(a, b_, bd, xp=jnp)
+                         for a, b_ in zip(ps0f, ps1f))
+
+            def pickf(a, b_, c):
+                s_ = fpdir[:, None, None]
+                return jnp.where(s_ == 1, a, jnp.where(s_ == 2, b_, c))
+
+            pred = tuple(pickf(a, b_, c) for a, b_, c in zip(p0f, p1f, pbif))
+            return (fpdir, fx0, fy0, fx1, fy1, pred, fs, fb)
 
         # ---- dense intra (source-neighbor modes, fast-intra analog) ----
         def source_v(plane, nn):
@@ -887,6 +1014,7 @@ class InterFrameEncoder:
             fI = jnp.ones(modes.shape, bool)
             fE = jnp.zeros(modes.shape, bool)
             use_rqt = cfg.rqt and nn == n
+            allow_intra = not (cfg.bi and not cfg.intra_in_b)
 
             def rd_one(pred3, is_intra_f):
                 lv_y, rr_y = tq(sy - pred3[0], qp_y, log2nn,
@@ -916,7 +1044,8 @@ class InterFrameEncoder:
                                              sign_hiding=cfg.sbh))
                 return (lv_y, lv_cb, lv_cr), (rec_y, rec_u, rec_v), dist, bits
 
-            ilv, irec, idist, ibits = rd_one(ipred3, fI)
+            if allow_intra:
+                ilv, irec, idist, ibits = rd_one(ipred3, fI)
             elv, erec, edist, ebits = rd_one(epred3, fE)
             tu_split = None
             if use_rqt:
@@ -953,6 +1082,9 @@ class InterFrameEncoder:
                                              erec))
                 edist = jnp.where(tu_split, dist2, edist)
                 ebits = jnp.where(tu_split, bits2, ebits)
+            if not allow_intra:
+                return (jnp.zeros(modes.shape, bool), edist,
+                        ebits + ebits_mv, elv, erec, tu_split)
             ci = idist + lam2 * (ibits + MODE_BITS) + cfg.intra_bias
             ce = edist + lam2 * (ebits + ebits_mv)
             ui = ci < ce
@@ -1112,6 +1244,9 @@ class InterFrameEncoder:
 
         def encode(y, u, v, ref_y, ref_u, ref_v, *rest):
             wts = None
+            slice_qp = None
+            if cfg.dpb:
+                rest, slice_qp = rest[:-1], rest[-1]
             if cfg.bi:
                 ref1_y, ref1_u, ref1_v, qp = rest
             elif cfg.weightp:
@@ -1164,7 +1299,14 @@ class InterFrameEncoder:
                                         None if mv_l1 is None else mv_l1[nn],
                                         qp_blk, est_mv_bits_arr, wts)
                 (pdir, m0x, m0y, m1x, m1y, epred, esatd, ebits_mv) = d
-                imodes, ip_y, ip_u, ip_v = dense_intra(nn, y32, u32, v32)
+                if cfg.bi and not cfg.intra_in_b:
+                    # --b-intra off (reference medium default): no intra
+                    # candidates in B slices
+                    nb_ = m0x.shape[0]
+                    imodes = jnp.zeros((nb_,), jnp.int32)
+                    ip_y = ip_u = ip_v = None
+                else:
+                    imodes, ip_y, ip_u, ip_v = dense_intra(nn, y32, u32, v32)
                 hc = nn // 2
                 srcs3 = (to_blocks(y32, nn), to_blocks(u32, hc),
                          to_blocks(v32, hc))
@@ -1263,39 +1405,52 @@ class InterFrameEncoder:
                 head["ui8"] = padded(jnp.take(leaf[8]["ui"], q8), (4, 4))
                 head["im8"] = padded(jnp.take(leaf[8]["modes"], q8), (4, 4))
 
-            step = make_commit(srcs, init_tiles, head, qp_y_pad, qp_c_pad)
-            z0 = y.reshape(-1)[0].astype(jnp.int32) * 0
-            init = tuple(jnp.full((ncu + 1, k), fill, jnp.int32) + z0
-                         for k in (n, n, nc, nc, nc, nc))
-            _, ys = jax.lax.scan(step, init, (rc_all, valid_all))
-            (cu_s, lv_y_s, lv_cb_s, lv_cr_s, rec_y_s, rec_u_s, rec_v_s) = ys
-            flat_cu = cu_s.reshape(-1)
+            if cfg.bi and not cfg.intra_in_b:
+                # no intra leaves anywhere: the dense inter commit IS the
+                # frame — the sequential wavefront scan vanishes entirely
+                lv_y = to_blocks(dec_lv[0], n)
+                lv_cb = to_blocks(dec_lv[1], nc)
+                lv_cr = to_blocks(dec_lv[2], nc)
+                rec_y = to_blocks(dec_rec[0], n)
+                rec_u = to_blocks(dec_rec[1], nc)
+                rec_v = to_blocks(dec_rec[2], nc)
+            else:
+                step = make_commit(srcs, init_tiles, head, qp_y_pad,
+                                   qp_c_pad)
+                z0 = y.reshape(-1)[0].astype(jnp.int32) * 0
+                init = tuple(jnp.full((ncu + 1, k), fill, jnp.int32) + z0
+                             for k in (n, n, nc, nc, nc, nc))
+                _, ys = jax.lax.scan(step, init, (rc_all, valid_all))
+                (cu_s, lv_y_s, lv_cb_s, lv_cr_s,
+                 rec_y_s, rec_u_s, rec_v_s) = ys
+                flat_cu = cu_s.reshape(-1)
 
-            def collect(x, shape, dtype=None):
-                acc = jnp.zeros((ncu + 1,) + shape,
-                                x.dtype if dtype is None else dtype)
-                acc = acc.at[flat_cu].set(
-                    x.reshape((-1,) + shape).astype(acc.dtype), mode="drop")
-                return acc[:ncu]
+                def collect(x, shape, dtype=None):
+                    acc = jnp.zeros((ncu + 1,) + shape,
+                                    x.dtype if dtype is None else dtype)
+                    acc = acc.at[flat_cu].set(
+                        x.reshape((-1,) + shape).astype(acc.dtype),
+                        mode="drop")
+                    return acc[:ncu]
 
-            lv_y = collect(lv_y_s, (n, n))
-            lv_cb = collect(lv_cb_s, (nc, nc))
-            lv_cr = collect(lv_cr_s, (nc, nc))
-            rec_y = collect(rec_y_s, (n, n))
-            rec_u = collect(rec_u_s, (nc, nc))
-            rec_v = collect(rec_v_s, (nc, nc))
+                lv_y = collect(lv_y_s, (n, n))
+                lv_cb = collect(lv_cb_s, (nc, nc))
+                lv_cr = collect(lv_cr_s, (nc, nc))
+                rec_y = collect(rec_y_s, (n, n))
+                rec_u = collect(rec_u_s, (nc, nc))
+                rec_v = collect(rec_v_s, (nc, nc))
 
             gq16 = lambda a: jnp.take(a, q16.reshape(-1), axis=0)
-            rec_cat = jnp.concatenate([
-                from_blocks(rec_y, n, H, W).reshape(-1),
-                from_blocks(rec_u, nc, H // 2, W // 2).reshape(-1),
-                from_blocks(rec_v, nc, H // 2, W // 2).reshape(-1),
-            ])
-            if bd > 8:
-                recon8 = jax.lax.bitcast_convert_type(
-                    rec_cat.astype(jnp.int16), jnp.uint8).reshape(-1)
-            else:
-                recon8 = rec_cat.astype(jnp.uint8)
+            rec3_full = (from_blocks(rec_y, n, H, W),
+                         from_blocks(rec_u, nc, H // 2, W // 2),
+                         from_blocks(rec_v, nc, H // 2, W // 2))
+            if not cfg.dpb:
+                rec_cat = jnp.concatenate([p.reshape(-1) for p in rec3_full])
+                if bd > 8:
+                    recon8 = jax.lax.bitcast_convert_type(
+                        rec_cat.astype(jnp.int16), jnp.uint8).reshape(-1)
+                else:
+                    recon8 = rec_cat.astype(jnp.uint8)
             head_parts = [split.astype(jnp.uint8),
                           leaf[n]["ui"].astype(jnp.uint8),
                           leaf[n]["modes"].astype(jnp.uint8),
@@ -1349,8 +1504,32 @@ class InterFrameEncoder:
                 levels8 = jax.lax.bitcast_convert_type(
                     lv_cat.astype(jnp.int16), jnp.uint8).reshape(-1)
                 flag = jnp.zeros((1,), jnp.uint8)
-            return jnp.concatenate([recon8, head8, mv8, levels8,
-                                    flag])
+            if not cfg.dpb:
+                return jnp.concatenate([recon8, head8, mv8, levels8,
+                                        flag])
+            # ---- device-resident DPB: in-jit loop filters, recon as
+            # separate device outputs (never enters the download buffer)
+            from ..ops import filters_dev as FD
+            dec_buf = jnp.concatenate([head8, mv8, levels8, flag])
+            ui_sizes = (leaf[n]["ui"], leaf[h]["ui"],
+                        leaf[8]["ui"] if depth2 else None)
+            mv_sizes = ((dense[n][1], dense[n][2], dense[n][3], dense[n][4]),
+                        (dense[h][1], dense[h][2], dense[h][3], dense[h][4]),
+                        ((dense[8][1], dense[8][2], dense[8][3], dense[8][4])
+                         if depth2 else None))
+            pdir_sizes = (dense[n][0], dense[h][0],
+                          dense[8][0] if depth2 else None)
+            sp16_r = split16 if depth2 else None
+            out3, sao_arrs = FD.qt_loopfilter_dev(
+                rec3_full, (y32, u32, v32), qp_cu, slice_qp,
+                split, sp16_r, ui_sizes, mv_sizes, pdir_sizes,
+                (lv_y, lv_cb, lv_cr), rows, cols, depth2,
+                cfg.deblock, cfg.sao, bd)
+            pdt_o = jnp.uint16 if bd > 8 else jnp.uint8
+            outs = (dec_buf,) + tuple(p.astype(pdt_o) for p in out3)
+            if sao_arrs is not None:
+                outs = outs + tuple(sao_arrs)
+            return outs
 
         return encode
     # ------------------------------------------------------------------
@@ -1370,9 +1549,11 @@ class InterFrameEncoder:
             if bsz == 2:
                 return raw.view(np.int16).reshape(hh, ww)
             return raw.reshape(hh, ww)
-        rec_y = plane(ny, H, W)
-        rec_u = plane(nuv, H // 2, W // 2)
-        rec_v = plane(nuv, H // 2, W // 2)
+        rec_y = rec_u = rec_v = None
+        if not cfg.dpb:
+            rec_y = plane(ny, H, W)
+            rec_u = plane(nuv, H // 2, W // 2)
+            rec_v = plane(nuv, H // 2, W // 2)
         split = buf[o:o + ncu].astype(bool).reshape(rows, cols); o += ncu
         use_intra = buf[o:o + ncu].astype(bool).reshape(rows, cols); o += ncu
         modes = buf[o:o + ncu].astype(np.int32).reshape(rows, cols); o += ncu
@@ -1442,9 +1623,9 @@ class InterFrameEncoder:
             "levels_y": lv[:sy].astype(np.int32).reshape(rows, cols, n, n),
             "levels_cb": lv[sy:sy + sc].astype(np.int32).reshape(rows, cols, nc, nc),
             "levels_cr": lv[sy + sc:sy + 2 * sc].astype(np.int32).reshape(rows, cols, nc, nc),
-            "recon_y": rec_y.astype(np.int32),
-            "recon_u": rec_u.astype(np.int32),
-            "recon_v": rec_v.astype(np.int32),
+            "recon_y": None if rec_y is None else rec_y.astype(np.int32),
+            "recon_u": None if rec_u is None else rec_u.astype(np.int32),
+            "recon_v": None if rec_v is None else rec_v.astype(np.int32),
         }
 
     # ------------------------------------------------------------------

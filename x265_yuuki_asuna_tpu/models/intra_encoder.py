@@ -78,6 +78,11 @@ class IntraFrameConfig:
     nr: bool = False                # noise reduction (denoise DCT): encode
                                     # takes per-coef offset inputs and emits
                                     # |coef| sums (uniform grid only)
+    dpb: bool = False               # device-resident DPB (round 4, CTU32
+                                    # quadtree path): recon as separate
+                                    # device outputs + in-jit loop filters
+    deblock: bool = False           # with dpb: in-jit deblocking
+    sao: bool = False               # with dpb: in-jit SAO
 
     @property
     def rows(self) -> int:
@@ -109,6 +114,9 @@ class IntraFrameEncoder:
             qcb, dqcb = scaling.quant_tables(log2n - 1, 1)  # intra Cb
             qcr, dqcr = scaling.quant_tables(log2n - 1, 2)  # intra Cr
             self._sl = {"y": (qy, dqy), "cb": (qcb, dqcb), "cr": (qcr, dqcr)}
+        if cfg.dpb:
+            assert cfg.max_depth and cfg.cu_size == 32, \
+                "device DPB: CTU32 quadtree path (v1)"
         if cfg.max_depth:
             assert cfg.cu_size in (32, 64) and not cfg.lossless, \
                 "quadtree: CTU32/64, lossy only"
@@ -152,10 +160,11 @@ class IntraFrameEncoder:
 
     # ------------------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                     qp: int = None, nr_off=None):
+                     qp: int = None, nr_off=None, slice_qp=None):
         """y: [H, W] pixels padded to coded size; u, v: [H/2, W/2].
         nr_off: (off_y [n,n], off_c [nc,nc]) int32 denoise offsets when
-        cfg.nr. Returns dict of decision tensors + recon planes (numpy)."""
+        cfg.nr. Returns dict of decision tensors + recon planes (numpy).
+        cfg.dpb: recon stays on device ("recon_dev"/"sao_dev" keys)."""
         cfg = self.cfg
         assert y.shape == (cfg.height, cfg.width), y.shape
         qp = cfg.qp if qp is None else qp
@@ -170,6 +179,15 @@ class IntraFrameEncoder:
                           np.zeros((cfg.cu_size // 2,) * 2, np.int32))
             args += [jnp.asarray(nr_off[0], jnp.int32),
                      jnp.asarray(nr_off[1], jnp.int32)]
+        if cfg.dpb:
+            sq = qp if slice_qp is None else slice_qp
+            sq = int(np.max(sq)) if np.ndim(sq) else int(sq)
+            args.append(jnp.asarray(sq, jnp.int32))
+            outs = self._encode(*args)
+            out = self._unpack(np.asarray(outs[0]), with_recon=False)
+            out["recon_dev"] = outs[1:4]
+            out["sao_dev"] = outs[4:] if cfg.sao else None
+            return out
         buf = np.asarray(self._encode(*args))
         if self._compact and buf[-1]:
             # rare: a level exceeded int8 — rerun through the int16 variant
@@ -808,7 +826,8 @@ class IntraFrameEncoder:
                 return (bry, rcy, bru, rcu_, brv, rcv), ys
             return step
 
-        def encode(y, u, v, qp):
+        def encode(y, u, v, qp, *rest):
+            slice_qp = rest[0] if cfg.dpb else None
             qp_sig = qp.astype(jnp.int32)
             qp_y_cu = qp_sig + 6 * (bd - 8)
             qp_c_cu = jnp.take(jnp.asarray(CHROMA_QP_TABLE),
@@ -904,6 +923,24 @@ class IntraFrameEncoder:
             ]).astype(jnp.int16)
             levels8 = jax.lax.bitcast_convert_type(levels16,
                                                    jnp.uint8).reshape(-1)
+            if cfg.dpb:
+                # device-resident DPB: filters in-jit, recon stays on device
+                from ..ops import filters_dev as FD
+                rec3_full = (from_blocks(rec_y, n, H, W),
+                             from_blocks(rec_u, nc, H // 2, W // 2),
+                             from_blocks(rec_v, nc, H // 2, W // 2))
+                sp16_r = split16 if depth2 else None
+                out3, sao_arrs = FD.qt_loopfilter_dev(
+                    rec3_full, (y32, u32, v32), qp_sig, slice_qp,
+                    split, sp16_r, None, None, None,
+                    (lv_y, lv_cb, lv_cr), rows, cols, depth2,
+                    cfg.deblock, cfg.sao, bd)
+                pdt_o = jnp.uint16 if bd > 8 else jnp.uint8
+                outs = (jnp.concatenate([head8, levels8]),) + \
+                    tuple(p.astype(pdt_o) for p in out3)
+                if sao_arrs is not None:
+                    outs = outs + tuple(sao_arrs)
+                return outs
             if not with_recon:
                 return jnp.concatenate([head8, levels8])
             rec_cat = jnp.concatenate([

@@ -73,7 +73,14 @@ class Lookahead:
                                                8, 16, lambda_bits=1, xp=jnp)
             inter_cost = jnp.where(has_prev, jnp.sum(jnp.minimum(sad, icost)),
                                    intra_cost)
-            return low, intra_cost, inter_cost, icost, sad, mvx, mvy
+            # ONE packed f32 output buffer: a single device->host fetch per
+            # push instead of six (each fetch pays a tunnel round trip)
+            packed = jnp.concatenate([
+                intra_cost.reshape(1).astype(jnp.float32),
+                inter_cost.reshape(1).astype(jnp.float32),
+                icost.astype(jnp.float32), sad.astype(jnp.float32),
+                mvx.astype(jnp.float32), mvy.astype(jnp.float32)])
+            return low, packed
 
         return run
 
@@ -138,24 +145,85 @@ class Lookahead:
                                     jnp.asarray(ref0_low),
                                     jnp.asarray(ref1_low)))
 
+    def _build_badapt(self, K: int):
+        """One fused program for the whole b-adapt path search over K
+        pending frames (reference slicetypePath trellis, slicetype.cpp:2378):
+        path cost of every P placement k = cost(anchor->P at lows[k]) +
+        sum_{i<k} bidir cost of lows[i] between (anchor, lows[k]), per-frame
+        normalized.  Replaces K + K(K-1)/2 separate pair/bidir dispatches
+        (each a tunnel round trip) with ONE dispatch."""
+        lw, lh = self.lw, self.lh
+        nb_x, nb_y = lw // 8, lh // 8
+        nblocks = nb_x * nb_y
+        pairs = [(i, k) for k in range(K) for i in range(k)]
+        I = np.asarray([p[0] for p in pairs], np.int32)
+        Kk = np.asarray([p[1] for p in pairs], np.int32)
+
+        def search(ref, blocks, px, py):
+            _, _, sad = me.full_search_sad(ref, blocks, px, py, 8, 16,
+                                           lambda_bits=1, xp=jnp)
+            return sad
+
+        def run(anchor, lows):                    # lows [K, lh, lw]
+            blocks = (lows.reshape(K, nb_y, 8, nb_x, 8)
+                      .transpose(0, 1, 3, 2, 4).reshape(K, nblocks, 8, 8))
+            dc = jnp.mean(blocks.reshape(K, nblocks, 64), axis=2,
+                          keepdims=True).astype(jnp.int32)
+            icost = pixel.satd(blocks, dc[:, :, :, None] *
+                               jnp.ones((1, 1, 8, 8), jnp.int32), xp=jnp)
+            px = (jnp.arange(nblocks, dtype=jnp.int32) % nb_x) * 8
+            py = (jnp.arange(nblocks, dtype=jnp.int32) // nb_x) * 8
+            fwd = jax.vmap(lambda b: search(anchor, b, px, py))(blocks)
+            pair_k = jnp.sum(jnp.minimum(fwd, icost), axis=1)     # [K] int32
+            if pairs:
+                bwd = jax.vmap(lambda r, b: search(r, b, px, py))(
+                    lows[Kk], blocks[I])                          # [P, nb]
+                bid = jnp.sum(jnp.minimum(jnp.minimum(fwd[I], bwd),
+                                          icost[I]), axis=1)      # [P] int32
+                return jnp.concatenate([pair_k, bid])
+            return pair_k                 # per-term int sums; combine on host
+
+        return run
+
+    def badapt_path_costs(self, anchor_low, lows) -> np.ndarray:
+        """Per-placement normalized path costs [len(lows)] (float64, exact
+        parity with the pair_cost/bidir_cost loop)."""
+        K = len(lows)
+        cache = getattr(self, "_badapt_cache", None)
+        if cache is None:
+            cache = self._badapt_cache = {}
+        if K not in cache:
+            cache[K] = jax.jit(self._build_badapt(K))
+        raw = np.asarray(cache[K](jnp.asarray(anchor_low),
+                                  jnp.stack([jnp.asarray(l)
+                                             for l in lows]))).astype(np.int64)
+        cost = raw[:K].astype(np.float64)
+        p = K
+        for k in range(K):
+            for _ in range(k):
+                cost[k] += float(raw[p])
+                p += 1
+        return cost / (np.arange(K) + 1.0)
+
     def push(self, y: np.ndarray):
         """Returns (intra_cost, inter_cost, scenecut) for this frame."""
         prev = self.prev_lowres if self.prev_lowres is not None else \
             jnp.zeros((self.lh, self.lw), jnp.int32)
         has_prev = self.prev_lowres is not None
-        low, icost, pcost, icost_blk, sad_blk, mvx, mvy = self._fn(
-            jnp.asarray(y), prev, jnp.bool_(has_prev))
+        low, packed = self._fn(jnp.asarray(y), prev, jnp.bool_(has_prev))
         self.prev_lowres = low
+        packed = np.asarray(packed)
+        nb = (self.lw // 8) * (self.lh // 8)
+        icost, pcost = float(packed[0]), float(packed[1])
         # per-block detail for cuTree propagation (8x8 lowres block ==
         # 16x16 full-res CU): costs + the lowres MVs into the previous frame
         self.last_detail = {
-            "icost": np.asarray(icost_blk), "sad": np.asarray(sad_blk),
-            "mvx": np.asarray(mvx), "mvy": np.asarray(mvy),
+            "icost": packed[2:2 + nb], "sad": packed[2 + nb:2 + 2 * nb],
+            "mvx": packed[2 + 2 * nb:2 + 3 * nb].astype(np.int32),
+            "mvy": packed[2 + 3 * nb:2 + 4 * nb].astype(np.int32),
             "has_prev": has_prev,
             "nb_x": self.lw // 8, "nb_y": self.lh // 8,
         }
-        icost = float(icost)
-        pcost = float(pcost)
         # scenecut rule (slicetype.cpp:2229 shape; default threshold 40 ->
         # bias 0.4): cut when inter cost stops beating intra by the margin
         scenecut = has_prev and pcost >= (1.0 - self.bias) * icost \
