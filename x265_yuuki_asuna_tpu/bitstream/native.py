@@ -72,7 +72,9 @@ def load():
                 [ctypes.c_int, ctypes.c_int]
                 + [ctypes.c_void_p] * 26
                 + [ctypes.c_int] * 8
-                + _extras + _out)
+                + _extras
+                + [ctypes.c_void_p, ctypes.c_int]   # tuSplit32, maxTt (RQT)
+                + _out)
         except AttributeError:
             pass
         try:
@@ -127,6 +129,21 @@ def pack_sao(sao_params, rows: int, cols: int):
                 base[k * 6 + 1] = a
                 base[k * 6 + 2:k * 6 + 6] = offs
     return arr
+
+
+def unpack_sao(arr, rows: int, cols: int):
+    """Inverse of pack_sao: [ncu, 18] int32 -> list-of-rows of dicts (the
+    python serializers' format)."""
+    out = []
+    for r in range(rows):
+        row = []
+        for c in range(cols):
+            b = arr[r * cols + c]
+            row.append({name: (int(b[k * 6]), int(b[k * 6 + 1]),
+                               [int(x) for x in b[k * 6 + 2:k * 6 + 6]])
+                        for k, name in enumerate(("luma", "cb", "cr"))})
+        out.append(row)
+    return out
 
 
 def _sao_qp_args(sao, qp_map, rows, cols, bit_depth, keep):
@@ -338,9 +355,11 @@ def encode_p_slice_qt(split, use_intra32, modes32, mv32x, mv32y,
 def encode_slice_qt2(slice_type: int, max_depth: int, out: dict, qp: int,
                      max_merge: int = 3, sign_hiding: bool = False,
                      poc: int = 0, poc_l0: int = 0, poc_l1: int = 0,
-                     sao=None, qp_map=None, bit_depth: int = 8):
+                     sao=None, qp_map=None, bit_depth: int = 8,
+                     max_tt: int = 0):
     """Unified native quadtree slice CABAC (I/P/B, depth 1-2). out: the
-    device decision dict. Returns (payload, tail, tail_bits) or None."""
+    device decision dict; out["tu_split32"] + max_tt >= 1 enable the RQT
+    transform tree. Returns (payload, tail, tail_bits) or None."""
     lib = load()
     if lib is None or not hasattr(lib, "asuna_encode_slice_qt2"):
         return None
@@ -384,12 +403,14 @@ def encode_slice_qt2(slice_type: int, max_depth: int, out: dict, qp: int,
     tail = ctypes.c_uint32()
     tail_bits = ctypes.c_int()
     sao_p, qp_p, bd = _sao_qp_args(sao, qp_map, rows, cols, bit_depth, keep)
+    ts32 = ptr(out.get("tu_split32"), np.uint8) if max_tt >= 1 else None
     nbytes = lib.asuna_encode_slice_qt2(
         slice_type, max_depth, sp, sp16, ui32, m32, pd32, x32, y32,
         x321, y321, ui4, m4, pd4, x4, y4, x41, y41,
         ui8, m8, pd8, x8, y8, x81, y81,
         ly, lcb, lcr, rows, cols, qp, max_merge,
         1 if sign_hiding else 0, poc, poc_l0, poc_l1, sao_p, qp_p, bd,
+        ts32, max_tt,
         buf.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
     if nbytes < 0:
         return None

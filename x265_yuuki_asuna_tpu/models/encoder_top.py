@@ -480,8 +480,8 @@ class IntraEncoderSession:
         qp_map = out.get("qp_map")
         bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
                                     slice_qp=qp, nal_type=nal_type, poc=poc,
-                                    sao_luma=1 if sao_params else 0,
-                                    sao_chroma=1 if sao_params else 0)
+                                    sao_luma=1 if sao_params is not None else 0,
+                                    sao_chroma=1 if sao_params is not None else 0)
         i444 = self.csp == "i444"
         res = native.encode_intra_slice(
             modes, out["levels_y"], out["levels_cb"], out["levels_cr"],
@@ -550,8 +550,8 @@ class IntraEncoderSession:
         modes4 = out["modes4"]
         bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
                                     slice_qp=qp, nal_type=nal_type, poc=poc,
-                                    sao_luma=1 if sao_params else 0,
-                                    sao_chroma=1 if sao_params else 0)
+                                    sao_luma=1 if sao_params is not None else 0,
+                                    sao_chroma=1 if sao_params is not None else 0)
         qp_map = out.get("qp_map")
         res = native.encode_slice_qt2(2, self.max_depth, out, qp,
                                       sign_hiding=self.sbh, sao=sao_params,
@@ -560,6 +560,8 @@ class IntraEncoderSession:
         if res is not None:
             data, tail, tail_bits = res
         else:
+            if isinstance(sao_params, np.ndarray):
+                sao_params = native.unpack_sao(sao_params, self.rows, self.cols)
             enc = CabacEncoder()
             enc.init_contexts(2, qp)
             g = 1 << self.max_depth       # cells per CTU side
@@ -598,8 +600,8 @@ class IntraEncoderSession:
         qp = self.qp if qp is None else qp
         bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
                                     slice_qp=qp, nal_type=nal_type, poc=poc,
-                                    sao_luma=1 if sao_params else 0,
-                                    sao_chroma=1 if sao_params else 0)
+                                    sao_luma=1 if sao_params is not None else 0,
+                                    sao_chroma=1 if sao_params is not None else 0)
         qp_map = out.get("qp_map")
         res = native.encode_intra_slice_qt64(
             out, self.rows, self.cols, qp, self.max_depth,
@@ -832,8 +834,8 @@ class IntraEncoderSession:
         offsets = [len(b) for b in blobs[:-1]]
         bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
                                     slice_qp=qp, nal_type=nal_type, poc=poc,
-                                    sao_luma=1 if sao_params else 0,
-                                    sao_chroma=1 if sao_params else 0,
+                                    sao_luma=1 if sao_params is not None else 0,
+                                    sao_chroma=1 if sao_params is not None else 0,
                                     entry_point_offsets=offsets)
         for blob in blobs:
             for b in blob:
@@ -892,8 +894,8 @@ class IntraEncoderSession:
         offsets = [len(b) for b in blobs[:-1]]
         bw = HDR.write_slice_header(self.sps, self.pps, slice_type=2,
                                     slice_qp=qp, nal_type=nal_type, poc=poc,
-                                    sao_luma=1 if sao_params else 0,
-                                    sao_chroma=1 if sao_params else 0,
+                                    sao_luma=1 if sao_params is not None else 0,
+                                    sao_chroma=1 if sao_params is not None else 0,
                                     entry_point_offsets=offsets)
         for blob in blobs:
             for b in blob:
@@ -1711,17 +1713,25 @@ class VideoEncoderSession:
     # ------------------------------------------------------------------
     def _finish_device_frame(self, out: dict):
         """dpb_device: the jitted program already ran deblock + SAO;
-        fetch the (tiny) device SAO decisions into the serializer's
-        per-CTU params format."""
+        fetch the (tiny) device SAO decisions directly into the native
+        serializer's packed [ncu, 18] int32 layout (vectorized — the
+        per-CTU dict build cost ~0.3 s/frame at 1080p)."""
         if not self.sao or out.get("sao_dev") is None:
             return None
         t_y, aux_y, off_y, t_c, acb, acr, ocb, ocr = \
             (np.asarray(a) for a in out["sao_dev"])
-        return [[{"luma": (int(t_y[r, c]), int(aux_y[r, c]),
-                           off_y[r, c].tolist()),
-                  "cb": (int(t_c[r, c]), int(acb[r, c]), ocb[r, c].tolist()),
-                  "cr": (int(t_c[r, c]), int(acr[r, c]), ocr[r, c].tolist())}
-                 for c in range(self.cols)] for r in range(self.rows)]
+        ncu = self.rows * self.cols
+        arr = np.zeros((ncu, 18), np.int32)
+        arr[:, 0] = t_y.reshape(-1)
+        arr[:, 1] = aux_y.reshape(-1)
+        arr[:, 2:6] = off_y.reshape(-1, 4)
+        arr[:, 6] = t_c.reshape(-1)
+        arr[:, 7] = acb.reshape(-1)
+        arr[:, 8:12] = ocb.reshape(-1, 4)
+        arr[:, 12] = t_c.reshape(-1)
+        arr[:, 13] = acr.reshape(-1)
+        arr[:, 14:18] = ocr.reshape(-1, 4)
+        return arr
 
     def _recon_planes(self, out: dict):
         """The DPB entry for this frame: device arrays under dpb_device,
@@ -2221,8 +2231,8 @@ class VideoEncoderSession:
                                     poc=self.poc if poc is None else poc,
                                     ref_poc_delta=ref_delta,
                                     max_merge=self.max_merge,
-                                    sao_luma=1 if sao_params else 0,
-                                    sao_chroma=1 if sao_params else 0,
+                                    sao_luma=1 if sao_params is not None else 0,
+                                    sao_chroma=1 if sao_params is not None else 0,
                                     rps=rps, num_ref_l0=n_refs,
                                     entry_point_offsets=offsets)
         for blob in blobs:
@@ -2261,8 +2271,8 @@ class VideoEncoderSession:
                                     ref_poc_delta=poc - poc0,
                                     pos_poc_delta=poc1 - poc,
                                     rps=rps,
-                                    sao_luma=1 if sao_params else 0,
-                                    sao_chroma=1 if sao_params else 0,
+                                    sao_luma=1 if sao_params is not None else 0,
+                                    sao_chroma=1 if sao_params is not None else 0,
                                     entry_point_offsets=offsets)
         for blob in blobs:
             for b in blob:
@@ -2292,8 +2302,8 @@ class VideoEncoderSession:
                                     ref_poc_delta=poc - poc0,
                                     pos_poc_delta=poc1 - poc,
                                     rps=rps,
-                                    sao_luma=1 if sao_params else 0,
-                                    sao_chroma=1 if sao_params else 0)
+                                    sao_luma=1 if sao_params is not None else 0,
+                                    sao_chroma=1 if sao_params is not None else 0)
         qp_map = out.get("qp_map")
         pd = out["pdir"]
         m0 = (pd & 1).astype(bool)
@@ -2356,16 +2366,16 @@ class VideoEncoderSession:
                                     ref_poc_delta=poc - poc0,
                                     pos_poc_delta=poc1 - poc,
                                     rps=rps,
-                                    sao_luma=1 if sao_params else 0,
-                                    sao_chroma=1 if sao_params else 0)
-        res = None if self.rqt else native.encode_slice_qt2(
-            0, self.max_depth, out, qp,
+                                    sao_luma=1 if sao_params is not None else 0,
+                                    sao_chroma=1 if sao_params is not None else 0)
+        res = native.encode_slice_qt2(0, self.max_depth, out, qp,
                                       self.max_merge,
                                       sign_hiding=self.sbh,
                                       poc=poc, poc_l0=poc0, poc_l1=poc1,
                                       sao=sao_params,
                                       qp_map=out.get("qp_map"),
-                                      bit_depth=self.bit_depth)
+                                      bit_depth=self.bit_depth,
+                                      max_tt=1 if self.rqt else 0)
         if res is not None:
             data, tail, tail_bits = res
             for b in data:
@@ -2373,6 +2383,8 @@ class VideoEncoderSession:
             bw.write_bits(tail, tail_bits)
             bw.rbsp_trailing_bits()
             return wrap_nal(nal_type, bw.get_bytes())
+        if isinstance(sao_params, np.ndarray):
+            sao_params = native.unpack_sao(sao_params, self.rows, self.cols)
         enc = CabacEncoder()
         enc.init_contexts(0, qp)
         md = self.max_depth
@@ -2546,8 +2558,8 @@ class VideoEncoderSession:
                                     poc=self.poc if poc is None else poc,
                                     ref_poc_delta=ref_delta,
                                     max_merge=self.max_merge,
-                                    sao_luma=1 if sao_params else 0,
-                                    sao_chroma=1 if sao_params else 0,
+                                    sao_luma=1 if sao_params is not None else 0,
+                                    sao_chroma=1 if sao_params is not None else 0,
                                     weights=weights, rps=rps,
                                     num_ref_l0=n_refs)
         if self.wpp:
@@ -2609,18 +2621,20 @@ class VideoEncoderSession:
                                     poc=self.poc if poc is None else poc,
                                     ref_poc_delta=ref_delta,
                                     max_merge=self.max_merge,
-                                    sao_luma=1 if sao_params else 0,
-                                    sao_chroma=1 if sao_params else 0,
+                                    sao_luma=1 if sao_params is not None else 0,
+                                    sao_chroma=1 if sao_params is not None else 0,
                                     weights=weights)
-        res = None if self.rqt else native.encode_slice_qt2(
-            1, self.max_depth, out, qp,
+        res = native.encode_slice_qt2(1, self.max_depth, out, qp,
                                       self.max_merge,
                                       sign_hiding=self.sbh,
                                       sao=sao_params, qp_map=qp_map,
-                                      bit_depth=self.bit_depth)
+                                      bit_depth=self.bit_depth,
+                                      max_tt=1 if self.rqt else 0)
         if res is not None:
             data, tail, tail_bits = res
         else:
+            if isinstance(sao_params, np.ndarray):
+                sao_params = native.unpack_sao(sao_params, self.rows, self.cols)
             enc = CabacEncoder()
             enc.init_contexts(1, qp)
             md = self.max_depth

@@ -797,6 +797,27 @@ class InterFrameEncoder:
                     interp.weight_uni(ps[1], wcb, ocb, 6, bd, xp=jnp),
                     interp.weight_uni(ps[2], wcr, ocr, 6, bd, xp=jnp))
 
+        def _allow_intra(nn):
+            """Static intra-candidate policy per CU size: B slices follow
+            --b-intra; P slices skip 8x8 intra (rarely chosen, and it is
+            what keeps the 8-level commits in the sequential wavefront
+            scan — dropping it halves the scan body)."""
+            if cfg.bi:
+                return bool(cfg.intra_in_b)
+            return not (cfg.max_depth >= 2 and nn == 8)
+
+        def win_at_imv(ref, px, py, ix, iy, nn):
+            """[B, nn, nn] reference window at a per-block INTEGER MV
+            (border-clamped) — the cheap merge-candidate costing form
+            (n^2 gathered elements, no interpolation margin)."""
+            Hh, Ww = ref.shape
+            ar = jnp.arange(nn)
+            rows = jnp.clip((py + iy)[:, None] + ar[None, :], 0, Hh - 1)
+            cols = jnp.clip((px + ix)[:, None] + ar[None, :], 0, Ww - 1)
+            return jnp.take(ref.reshape(-1),
+                            rows[:, :, None] * Ww + cols[:, None, :],
+                            axis=0).astype(jnp.int32)
+
         def shift_grid(a, nn, dr, dc):
             """Neighbor field: value of the block (dr, dc) away on the
             nn-grid; out-of-picture -> 0 (the spec's zero-MV fill)."""
@@ -848,9 +869,12 @@ class InterFrameEncoder:
                 bcost = s0.astype(jnp.float32) + lam * b_me
                 for idx, (cx, cy) in enumerate(
                         merge_cand_fields(nn, (mv0x, mv0y))):
-                    p = interp.mc_luma_qpel(refs0[0], px, py, cx, cy, nn,
-                                            bd, xp=jnp)
-                    s = pixel.satd(yb, p, xp=jnp)
+                    # integer-rounded candidate costing (cheap window
+                    # gather, no interp); the winner's EXACT qpel MV is
+                    # committed and predicted below
+                    w = win_at_imv(refs0[0], px, py,
+                                   (cx + 2) >> 2, (cy + 2) >> 2, nn)
+                    s = pixel.satd(yb, w, xp=jnp)
                     b = 2.0 + idx          # merge_flag + unary merge_idx
                     c = s.astype(jnp.float32) + lam * b
                     upd = c < bcost
@@ -887,21 +911,19 @@ class InterFrameEncoder:
             fpdir = pdir
             fs, fb = satd_sel, bits_sel
             fcost = satd_sel.astype(jnp.float32) + lam * bits_sel
-            # merge candidates: neighbor (pdir, mv0, mv1) of the ME field
+            # merge candidates: neighbor (pdir, mv0, mv1) of the ME field,
+            # costed at integer-rounded MVs (cheap window gathers; the
+            # winner's exact qpel motion is predicted below)
             for idx, (cp, c0x, c0y, c1x, c1y) in enumerate(merge_cand_fields(
                     nn, (fpdir, fx0, fy0, fx1, fy1))):
                 cp = jnp.where(cp == 0, 3, cp)       # zero cand: bi zero-MV
-                q0 = interp.mc_luma_qpel(refs0[0], px, py, c0x, c0y, nn,
-                                         bd, xp=jnp)
-                q1 = interp.mc_luma_qpel(refs1[0], px, py, c1x, c1y, nn,
-                                         bd, xp=jnp)
-                qs0 = interp.mc_luma_qpel_ps(refs0[0], px, py, c0x, c0y, nn,
-                                             bd, xp=jnp)
-                qs1 = interp.mc_luma_qpel_ps(refs1[0], px, py, c1x, c1y, nn,
-                                             bd, xp=jnp)
-                qbi = interp.add_avg(qs0, qs1, bd, xp=jnp)
+                w0 = win_at_imv(refs0[0], px, py,
+                                (c0x + 2) >> 2, (c0y + 2) >> 2, nn)
+                w1 = win_at_imv(refs1[0], px, py,
+                                (c1x + 2) >> 2, (c1y + 2) >> 2, nn)
+                wbi = (w0 + w1 + 1) >> 1
                 cp3 = cp[:, None, None]
-                qp_ = jnp.where(cp3 == 1, q0, jnp.where(cp3 == 2, q1, qbi))
+                qp_ = jnp.where(cp3 == 1, w0, jnp.where(cp3 == 2, w1, wbi))
                 s = pixel.satd(yb, qp_, xp=jnp)
                 b = 2.0 + idx
                 c = s.astype(jnp.float32) + lam * b
@@ -1014,7 +1036,7 @@ class InterFrameEncoder:
             fI = jnp.ones(modes.shape, bool)
             fE = jnp.zeros(modes.shape, bool)
             use_rqt = cfg.rqt and nn == n
-            allow_intra = not (cfg.bi and not cfg.intra_in_b)
+            allow_intra = _allow_intra(nn)
 
             def rd_one(pred3, is_intra_f):
                 lv_y, rr_y = tq(sy - pred3[0], qp_y, log2nn,
@@ -1211,7 +1233,10 @@ class InterFrameEncoder:
                                                im16[:, q], qp_y, qp_c)
                     tiles, lvs = put_masked(tiles, lvs, y0, x0, h,
                                             rec16, lv16, act16)
-                    if not depth2:
+                    if not depth2 or not _allow_intra(8):
+                        # no 8x8 intra leaves exist -> their dense inter
+                        # commit is exact; the 16 8-level commits vanish
+                        # from the scan body
                         continue
                     for sq, (sy2, sx2) in enumerate(QOFF):
                         yy, xx = y0 + 8 * sy2, x0 + 8 * sx2
@@ -1299,9 +1324,9 @@ class InterFrameEncoder:
                                         None if mv_l1 is None else mv_l1[nn],
                                         qp_blk, est_mv_bits_arr, wts)
                 (pdir, m0x, m0y, m1x, m1y, epred, esatd, ebits_mv) = d
-                if cfg.bi and not cfg.intra_in_b:
-                    # --b-intra off (reference medium default): no intra
-                    # candidates in B slices
+                if not _allow_intra(nn):
+                    # no intra candidates at this size (--b-intra off for B
+                    # slices; no 8x8 intra in P slices)
                     nb_ = m0x.shape[0]
                     imodes = jnp.zeros((nb_,), jnp.int32)
                     ip_y = ip_u = ip_v = None

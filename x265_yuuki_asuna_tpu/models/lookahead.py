@@ -66,11 +66,11 @@ class Lookahead:
                                jnp.ones((1, 8, 8), jnp.int32), xp=jnp)
             # x265-style lowres intra cost includes a small flat bonus; keep raw
             intra_cost = jnp.sum(icost)
-            # lowres inter: 8x8 full search +-16 on the previous lowres
-            px = (jnp.arange(nblocks, dtype=jnp.int32) % nb_x) * 8
-            py = (jnp.arange(nblocks, dtype=jnp.int32) // nb_x) * 8
-            mvx, mvy, sad = me.full_search_sad(prev_lowres, blocks, px, py,
-                                               8, 16, lambda_bits=1, xp=jnp)
+            # lowres inter: 8x8 full search +-16 on the previous lowres —
+            # the displacement-sweep form (dynamic slices); the per-block
+            # gather form is an order of magnitude slower on TPU
+            mvx, mvy, sad = me.sad_sweep_multi(prev_lowres, low, (8,), 16,
+                                               lambda_bits=1)[8]
             inter_cost = jnp.where(has_prev, jnp.sum(jnp.minimum(sad, icost)),
                                    intra_cost)
             # ONE packed f32 output buffer: a single device->host fetch per
@@ -96,10 +96,8 @@ class Lookahead:
                           keepdims=True).astype(jnp.int32)
             icost = pixel.satd(blocks, dc[:, :, None] *
                                jnp.ones((1, 8, 8), jnp.int32), xp=jnp)
-            px = (jnp.arange(nblocks, dtype=jnp.int32) % nb_x) * 8
-            py = (jnp.arange(nblocks, dtype=jnp.int32) // nb_x) * 8
-            _, _, sad = me.full_search_sad(ref_low, blocks, px, py,
-                                           8, 16, lambda_bits=1, xp=jnp)
+            _, _, sad = me.sad_sweep_multi(ref_low, cur_low, (8,), 16,
+                                           lambda_bits=1)[8]
             return jnp.sum(jnp.minimum(sad, icost))
 
         return run
@@ -124,12 +122,10 @@ class Lookahead:
                           keepdims=True).astype(jnp.int32)
             icost = pixel.satd(blocks, dc[:, :, None] *
                                jnp.ones((1, 8, 8), jnp.int32), xp=jnp)
-            px = (jnp.arange(nblocks, dtype=jnp.int32) % nb_x) * 8
-            py = (jnp.arange(nblocks, dtype=jnp.int32) // nb_x) * 8
-            _, _, fwd = me.full_search_sad(ref0_low, blocks, px, py,
-                                           8, 16, lambda_bits=1, xp=jnp)
-            _, _, bwd = me.full_search_sad(ref1_low, blocks, px, py,
-                                           8, 16, lambda_bits=1, xp=jnp)
+            _, _, fwd = me.sad_sweep_multi(ref0_low, cur_low, (8,), 16,
+                                           lambda_bits=1)[8]
+            _, _, bwd = me.sad_sweep_multi(ref1_low, cur_low, (8,), 16,
+                                           lambda_bits=1)[8]
             return jnp.sum(jnp.minimum(jnp.minimum(fwd, bwd), icost))
 
         return run
@@ -159,9 +155,9 @@ class Lookahead:
         I = np.asarray([p[0] for p in pairs], np.int32)
         Kk = np.asarray([p[1] for p in pairs], np.int32)
 
-        def search(ref, blocks, px, py):
-            _, _, sad = me.full_search_sad(ref, blocks, px, py, 8, 16,
-                                           lambda_bits=1, xp=jnp)
+        def search(ref, cur):
+            _, _, sad = me.sad_sweep_multi(ref, cur, (8,), 16,
+                                           lambda_bits=1)[8]
             return sad
 
         def run(anchor, lows):                    # lows [K, lh, lw]
@@ -171,13 +167,13 @@ class Lookahead:
                           keepdims=True).astype(jnp.int32)
             icost = pixel.satd(blocks, dc[:, :, :, None] *
                                jnp.ones((1, 1, 8, 8), jnp.int32), xp=jnp)
-            px = (jnp.arange(nblocks, dtype=jnp.int32) % nb_x) * 8
-            py = (jnp.arange(nblocks, dtype=jnp.int32) // nb_x) * 8
-            fwd = jax.vmap(lambda b: search(anchor, b, px, py))(blocks)
+            # lax.map (sequential, not vmap) keeps the peak memory at ONE
+            # sweep while still being a single dispatch
+            fwd = jax.lax.map(lambda c: search(anchor, c), lows)
             pair_k = jnp.sum(jnp.minimum(fwd, icost), axis=1)     # [K] int32
             if pairs:
-                bwd = jax.vmap(lambda r, b: search(r, b, px, py))(
-                    lows[Kk], blocks[I])                          # [P, nb]
+                bwd = jax.lax.map(lambda rc: search(rc[0], rc[1]),
+                                  (lows[Kk], lows[I]))            # [P, nb]
                 bid = jnp.sum(jnp.minimum(jnp.minimum(fwd[I], bwd),
                                           icost[I]), axis=1)      # [P] int32
                 return jnp.concatenate([pair_k, bid])

@@ -163,7 +163,10 @@ class RateControl:
                          self.last_qscale * 2.2)
             self.last_qscale = qscale
             qp = qscale_to_qp(qscale)
-        if is_intra and cfg.mode != "cqp":
+        if is_intra:
+            # reference qpConstant[I] = qp - 6*log2(ipFactor) in EVERY
+            # mode incl. CQP (ratecontrol.cpp: m_ipOffset) — I frames code
+            # finer, lifting the whole prediction chain
             qp -= 6.0 * math.log2(cfg.ip_factor)
         if self.vbv:
             qp = self._clip_qp_vbv(qp, is_intra, future_costs)

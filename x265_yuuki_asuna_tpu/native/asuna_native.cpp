@@ -1972,6 +1972,7 @@ struct SliceCtx {
     int maxMerge, signHiding;
     int sliceType;            // 0=B, 1=P, 2=I
     int pocCur, pocL0, pocL1;
+    int maxTt;                // max_transform_hierarchy_depth_inter (RQT)
     QpChain qc;               // per-CTU cu_qp_delta chain (QG == CTU)
 };
 
@@ -2017,8 +2018,60 @@ static void codeIntraPart(SliceCtx& S, int gy, int gx, int s, int mode,
     g.fill(gy, gx, s, cell);
 }
 
+// transform_tree + transform_unit for an inter 2Nx2N CU (spec
+// 7.3.8.8/7.3.8.10) — mirrors inter_syntax.code_inter_transform_tree:
+// with maxTt >= 1 the split_transform_flag is CODED for every inter TU
+// root in (MinTb, MaxTb]; tuSplit codes the residual as 4 half-size TUs
+// in z-order (quadrant layout in the level buffers — the RQT path,
+// estimateResidualQT analog, search.cpp:3178).
+static void codeInterTransformTree(SliceCtx& S, const int32_t* qly,
+                                   const int32_t* qcb, const int32_t* qcr,
+                                   int log2cu, int tuSplit) {
+    Cabac& cb = *S.cb;
+    const int nl = 1 << log2cu, ncr = nl >> 1;
+    int cbfCb0 = anyNonzero(qcb, ncr * ncr);
+    int cbfCr0 = anyNonzero(qcr, ncr * ncr);
+    if (S.maxTt >= 1 && log2cu > 2)
+        cb.encodeBin(tuSplit, CTX_TRANS_SUBDIV + 5 - log2cu);
+    cb.encodeBin(cbfCb0, CTX_QT_CBF + 2);
+    cb.encodeBin(cbfCr0, CTX_QT_CBF + 2);
+    if (!tuSplit) {
+        int cbfY = anyNonzero(qly, nl * nl);
+        if (cbfCb0 || cbfCr0) cb.encodeBin(cbfY, CTX_QT_CBF + 1);
+        S.qc.maybeCode(cb, cbfY || cbfCb0 || cbfCr0);
+        if (cbfY) encodeResidual(cb, qly, log2cu, true, -1, S.signHiding);
+        if (cbfCb0) encodeResidual(cb, qcb, log2cu - 1, false, -1,
+                                   S.signHiding);
+        if (cbfCr0) encodeResidual(cb, qcr, log2cu - 1, false, -1,
+                                   S.signHiding);
+        return;
+    }
+    // split: 4 z-order sub-TUs at trafoDepth 1 (== MaxTrafoDepth); chroma
+    // follows the luma split (4:2:0)
+    const int h = nl >> 1, hc = ncr >> 1;
+    int32_t ty[16 * 16], tcb[8 * 8], tcr[8 * 8];
+    for (int q = 0; q < 4; q++) {
+        const int qy = (q >> 1) * h, qx = (q & 1) * h;
+        extractLv(qly, nl, qy, qx, h, ty);
+        extractLv(qcb, ncr, qy / 2, qx / 2, hc, tcb);
+        extractLv(qcr, ncr, qy / 2, qx / 2, hc, tcr);
+        int cbfCb = cbfCb0 && anyNonzero(tcb, hc * hc);
+        int cbfCr = cbfCr0 && anyNonzero(tcr, hc * hc);
+        if (cbfCb0) cb.encodeBin(cbfCb, CTX_QT_CBF + 2 + 1);
+        if (cbfCr0) cb.encodeBin(cbfCr, CTX_QT_CBF + 2 + 1);
+        int cbfY = anyNonzero(ty, h * h);
+        cb.encodeBin(cbfY, CTX_QT_CBF + 0);          // trafoDepth != 0
+        S.qc.maybeCode(cb, cbfY || cbfCb || cbfCr);
+        if (cbfY) encodeResidual(cb, ty, log2cu - 1, true, -1, S.signHiding);
+        if (cbfCb) encodeResidual(cb, tcb, log2cu - 2, false, -1,
+                                  S.signHiding);
+        if (cbfCr) encodeResidual(cb, tcr, log2cu - 2, false, -1,
+                                  S.signHiding);
+    }
+}
+
 static void codeCuQt2(SliceCtx& S, int gy, int gx, int s, int isIntra,
-                      int mode, const BMotionC& motion) {
+                      int mode, const BMotionC& motion, int tuSplit) {
     Cabac& cb = *S.cb;
     QGrid& g = *S.grid;
     const int px = s * S.cellPx;
@@ -2127,17 +2180,8 @@ static void codeCuQt2(SliceCtx& S, int gy, int gx, int s, int isIntra,
             rqt = hasResid ? 1 : 0;
             cb.encodeBin(rqt, CTX_QT_ROOT_CBF);
         }
-        if (rqt) {
-            cb.encodeBin(cbfCb, CTX_QT_CBF + 2);
-            cb.encodeBin(cbfCr, CTX_QT_CBF + 2);
-            if (cbfCb || cbfCr) cb.encodeBin(cbfY, CTX_QT_CBF + 1);
-            S.qc.maybeCode(cb, cbfY || cbfCb || cbfCr);
-            if (cbfY) encodeResidual(cb, qly, log2cu, true, -1, S.signHiding);
-            if (cbfCb) encodeResidual(cb, qcb, log2cu - 1, false, -1,
-                                      S.signHiding);
-            if (cbfCr) encodeResidual(cb, qcr, log2cu - 1, false, -1,
-                                      S.signHiding);
-        }
+        if (rqt)
+            codeInterTransformTree(S, qly, qcb, qcr, log2cu, tuSplit);
         QCell cell;
         cell.decoded = 1; cell.isIntra = 0; cell.skip = 0;
         cell.motion = motion;
@@ -2152,6 +2196,7 @@ static void codeCuQt2(SliceCtx& S, int gy, int gx, int s, int isIntra,
 struct CtuData {
     // per-CTU decision pointers (null where a level is absent)
     int sp0;
+    int tuSplit32;                 // RQT: unsplit CU32 TU splits 4x16
     const uint8_t* split16;        // [4] or null
     int ui32, m32;
     BMotionC mo32;
@@ -2182,7 +2227,7 @@ static void codeCtuQt2(SliceCtx& S, const CtuData& D, int r, int c,
     static const int QOFF[4][2] = {{0,0},{0,1},{1,0},{1,1}};
     splitFlag(gy, gx, 0, D.sp0);
     if (!D.sp0) {
-        codeCuQt2(S, gy, gx, g, D.ui32, D.m32, D.mo32);
+        codeCuQt2(S, gy, gx, g, D.ui32, D.m32, D.mo32, D.tuSplit32);
         setDepth(gy, gx, g, 0);
         return;
     }
@@ -2192,13 +2237,13 @@ static void codeCtuQt2(SliceCtx& S, const CtuData& D, int r, int c,
         int sub = (S.cellPx == 8) && D.split16 && D.split16[q];
         if (S.cellPx == 8) splitFlag(cy, cx, 1, sub);
         if (!sub) {
-            codeCuQt2(S, cy, cx, half, D.ui4[q], D.m4[q], D.mo4[q]);
+            codeCuQt2(S, cy, cx, half, D.ui4[q], D.m4[q], D.mo4[q], 0);
             setDepth(cy, cx, half, 1);
         } else {
             for (int sq = 0; sq < 4; sq++) {
                 int sy = cy + QOFF[sq][0], sx = cx + QOFF[sq][1];
                 codeCuQt2(S, sy, sx, 1, D.ui8[q * 4 + sq],
-                          D.m8[q * 4 + sq], D.mo8[q * 4 + sq]);
+                          D.m8[q * 4 + sq], D.mo8[q * 4 + sq], 0);
                 depth[(size_t)sy * gc + sx] = 2;
             }
         }
@@ -2224,6 +2269,7 @@ extern "C" int asuna_encode_slice_qt2(
     int rows, int cols, int qp, int maxMerge, int signHiding,
     int pocCur, int pocL0, int pocL1,
     const int32_t* sao, const int32_t* qpMap, int bitDepth,
+    const uint8_t* tuSplit32, int maxTt,
     uint8_t* outBuf, int outCap, uint32_t* tailValue, int* tailBits)
 {
     using namespace qt2;
@@ -2242,6 +2288,7 @@ extern "C" int asuna_encode_slice_qt2(
     S.maxMerge = maxMerge; S.signHiding = signHiding;
     S.sliceType = sliceType;
     S.pocCur = pocCur; S.pocL0 = pocL0; S.pocL1 = pocL1;
+    S.maxTt = maxTt;
     S.qc.qpMap = qpMap;
     S.qc.qpPrev = qp;
 
@@ -2261,6 +2308,7 @@ extern "C" int asuna_encode_slice_qt2(
             size_t idx = (size_t)r * cols + c;
             CtuData D;
             D.sp0 = split[idx] ? 1 : 0;
+            D.tuSplit32 = tuSplit32 ? (tuSplit32[idx] ? 1 : 0) : 0;
             D.split16 = split16 ? split16 + idx * 4 : nullptr;
             D.ui32 = sliceType == 2 ? 1 : (ui32 ? ui32[idx] : 1);
             D.m32 = m32[idx];

@@ -76,9 +76,40 @@ def ctx_bits(states, ctx_idx, bins, xp=np):
     tab = entropy_bits_table()
     if xp is not np:
         tab = xp.asarray(tab)
+    if xp is not np and np.ndim(ctx_idx) == 0:
+        # scalar context + array bins: two scalar reads + select (TPU
+        # element gathers with large index arrays are very slow)
+        s = states[ctx_idx] if isinstance(ctx_idx, (int, np.integer)) \
+            else xp.take(states, ctx_idx)
+        f = tab.reshape(-1)
+        return xp.where(bins > 0, f[s * 2 + 1], f[s * 2])
     s = xp.take(states, ctx_idx)
     return tab[s, bins] if xp is np else xp.take(
         tab.reshape(-1), s * 2 + bins)
+
+
+def state_bit_luts(states, xp=np):
+    """(b0, b1) [NUM_CTX] float32: bits of coding bin 0 / bin 1 in every
+    context at the frozen slice-init state (a tiny one-time gather)."""
+    tab = entropy_bits_table()
+    if xp is not np:
+        tab = xp.asarray(tab)
+    f = tab.reshape(-1)
+    return xp.take(f, states * 2), xp.take(f, states * 2 + 1)
+
+
+def chain_lookup(vec, idx, K: int, xp=np):
+    """vec[K] (possibly traced) indexed by an int array with values in
+    [0, K): K-way select chain. TPU element gathers over a small table
+    with millions of indices are an order of magnitude slower than these
+    fused compares."""
+    if xp is np:
+        return np.asarray(vec)[idx]
+    out = None
+    for k in range(K):
+        term = xp.where(idx == k, vec[k], 0.0)
+        out = term if out is None else out + term
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -198,6 +229,11 @@ def est_tu_bits_ctx(levels, log2n: int, is_luma: bool, states, xp=np,
         tab = xp.asarray(tab)
         sig_ctx_tab = xp.asarray(sig_ctx_tab)
 
+    # per-context bin-cost vectors at the frozen state (tiny one-time
+    # gathers); all per-coefficient lookups below are select chains /
+    # small matmuls — NO large-index-array element gathers (TPU-slow)
+    b0v, b1v = state_bit_luts(states, xp=xp)
+
     def bits_at(ctx_abs, binv):
         """ctx_abs, binv broadcastable int arrays -> float bits."""
         s = xp.take(states, ctx_abs)
@@ -212,18 +248,26 @@ def est_tu_bits_ctx(levels, log2n: int, is_luma: bool, states, xp=np,
     last_raster = xp.take(scan, lastp_c)
     lx = last_raster & (n - 1)
     ly = xp.right_shift(last_raster, log2n)
-    lo = st["last_ones"] if xp is np else xp.asarray(st["last_ones"])
-    lz = st["last_zeros"] if xp is np else xp.asarray(st["last_zeros"])
-    lep = st["last_ep"] if xp is np else xp.asarray(st["last_ep"])
-    rel = xp.arange(18, dtype=xp.int32)
-    bx = CTX["last_x"] + rel
-    by = CTX["last_y"] + rel
-    bits_last = (
-        xp.sum(xp.take(lo, lx, axis=0) * bits_at(bx, 1), axis=-1)
-        + xp.sum(xp.take(lz, lx, axis=0) * bits_at(bx, 0), axis=-1)
-        + xp.sum(xp.take(lo, ly, axis=0) * bits_at(by, 1), axis=-1)
-        + xp.sum(xp.take(lz, ly, axis=0) * bits_at(by, 0), axis=-1)
-        + xp.take(lep, lx) + xp.take(lep, ly))
+    # bits(last coord = v) depends only on v (< n): fold the static
+    # ones/zeros masks with the context-cost vectors into per-value
+    # scalars, then chain-select per block
+    lo32 = st["last_ones"].astype(np.float32)      # [n, 18] static
+    lz32 = st["last_zeros"].astype(np.float32)
+    lep = st["last_ep"].astype(np.float32)         # [n]
+    b0x = b0v[CTX["last_x"]:CTX["last_x"] + 18]
+    b1x = b1v[CTX["last_x"]:CTX["last_x"] + 18]
+    b0y = b0v[CTX["last_y"]:CTX["last_y"] + 18]
+    b1y = b1v[CTX["last_y"]:CTX["last_y"] + 18]
+    if xp is np:
+        valx = lo32 @ b1x + lz32 @ b0x + lep
+        valy = lo32 @ b1y + lz32 @ b0y + lep
+    else:
+        lo_t = xp.asarray(lo32)
+        lz_t = xp.asarray(lz32)
+        valx = lo_t @ b1x + lz_t @ b0x + xp.asarray(lep)
+        valy = lo_t @ b1y + lz_t @ b0y + xp.asarray(lep)
+    bits_last = (chain_lookup(valx, lx, n, xp)
+                 + chain_lookup(valy, ly, n, xp))
 
     # ---- CG-level maps ----------------------------------------------------
     acg = a.reshape(B, ncg, 16)
@@ -253,42 +297,45 @@ def est_tu_bits_ctx(levels, log2n: int, is_luma: bool, states, xp=np,
 
     # ---- coded_sub_block_flag --------------------------------------------
     mid = (cg_idx[None, :] > 0) & (cg_idx[None, :] < last_cg[:, None])
-    csbf_ctx = CTX["sig_cg"] + (0 if is_luma else 2) + (rightf | belowf)
-    bits_csbf = xp.sum(
-        xp.where(mid, bits_at(csbf_ctx, cg_nz.astype(xp.int32)), 0.0),
-        axis=-1)
+    cbase = CTX["sig_cg"] + (0 if is_luma else 2)
+    rb = (rightf | belowf)
+    csbf_cost = xp.where(cg_nz,
+                         xp.where(rb > 0, b1v[cbase + 1], b1v[cbase]),
+                         xp.where(rb > 0, b0v[cbase + 1], b0v[cbase]))
+    bits_csbf = xp.sum(xp.where(mid, csbf_cost, 0.0), axis=-1)
 
     # ---- significance map -------------------------------------------------
     # coded positions: sp < lastp AND the CG is coded (implicit CG0/lastCG
     # or signalled nonzero), minus the inferred-DC case.
     k_in_cg = pos & 15
-    cg_of = xp.right_shift(pos, 4)
     cg_coded = (cg_nz | (cg_idx[None, :] == 0)
                 | (cg_idx[None, :] == last_cg[:, None]))
-    cg_coded_pos = xp.take_along_axis(
-        cg_coded.astype(xp.int32), cg_of[None, :].repeat(B, 0)
-        if xp is np else xp.broadcast_to(cg_of[None, :], (B, nn)), axis=-1)
-    sig_coded = ((pos[None, :] < lastp[:, None]) & (cg_coded_pos > 0))
+    # scan positions fill CGs contiguously (pos >> 4 == cg scan index), so
+    # per-position CG attributes are static 16x repeats — NOT gathers
+    rep16 = lambda a: xp.repeat(a, 16, axis=-1)       # [B, ncg] -> [B, nn]
+    sig_coded = ((pos[None, :] < lastp[:, None])
+                 & (rep16(cg_coded.astype(xp.int32)) > 0))
     # inferSbDcSigCoeffFlag: DC of a signalled middle CG whose other 15
     # positions are all zero is not coded
     others_nz = (sigcg[:, :, 1:].sum(-1) > 0)
     infer_dc = (mid & cg_nz & ~others_nz)
-    infer_pos = xp.take_along_axis(
-        infer_dc.astype(xp.int32),
-        xp.broadcast_to(cg_of[None, :], (B, nn)) if xp is not np
-        else cg_of[None, :].repeat(B, 0), axis=-1)
-    sig_coded = sig_coded & ~((k_in_cg[None, :] == 0) & (infer_pos > 0))
+    sig_coded = sig_coded & ~((k_in_cg[None, :] == 0)
+                              & (rep16(infer_dc.astype(xp.int32)) > 0))
 
-    pat_pos = xp.take_along_axis(
-        pattern, xp.broadcast_to(cg_of[None, :], (B, nn)) if xp is not np
-        else cg_of[None, :].repeat(B, 0), axis=-1)    # [B, nn]
-    ctx_rel = xp.take_along_axis(
-        xp.broadcast_to(sig_ctx_tab[None], (B, 4, nn)) if xp is not np
-        else np.broadcast_to(sig_ctx_tab[None], (B, 4, nn)),
-        pat_pos[:, None, :], axis=1)[:, 0]            # [B, nn]
+    pat_pos = rep16(pattern)                          # [B, nn], values 0..3
+    # sig ctx per position: select the pattern row of the static table
+    sct = sig_ctx_tab if xp is np else sig_ctx_tab
+    ctx_rel = None
+    for p4 in range(4):
+        term = xp.where(pat_pos == p4, sct[p4][None, :], 0)
+        ctx_rel = term if ctx_rel is None else ctx_rel + term
     sig_bank = CTX["sig"] + (0 if is_luma else 27)
-    bits_sig = xp.sum(
-        xp.where(sig_coded, bits_at(sig_bank + ctx_rel, sig), 0.0), axis=-1)
+    nsigc = 27 if is_luma else 15
+    sig_cost = xp.where(
+        sig > 0, chain_lookup(b1v[sig_bank:sig_bank + nsigc], ctx_rel,
+                              nsigc, xp),
+        chain_lookup(b0v[sig_bank:sig_bank + nsigc], ctx_rel, nsigc, xp))
+    bits_sig = xp.sum(xp.where(sig_coded, sig_cost, 0.0), axis=-1)
 
     # ---- level flags (greater1 / greater2), reverse scan per CG ----------
     arev = acg[:, :, ::-1]                            # [B, ncg, 16]
@@ -333,15 +380,23 @@ def est_tu_bits_ctx(levels, log2n: int, is_luma: bool, states, xp=np,
                + xp.where(prev_gt1_cg > 0, 0, 1))
     one_bank = CTX["one"] + (0 if is_luma else 16)
     abs_bank = CTX["abs"] + (0 if is_luma else 4)
-    g1_ctx = one_bank + 4 * ctx_set[..., None] + c1
-    bits_g1 = xp.sum(xp.where(g1_coded, bits_at(g1_ctx, g1val), 0.0),
-                     axis=(-2, -1))
+    ng1 = 16 if is_luma else 8
+    g1_rel = 4 * ctx_set[..., None] + c1               # [B, ncg, 16]
+    g1_cost = xp.where(
+        g1val > 0, chain_lookup(b1v[one_bank:one_bank + ng1], g1_rel,
+                                ng1, xp),
+        chain_lookup(b0v[one_bank:one_bank + ng1], g1_rel, ng1, xp))
+    bits_g1 = xp.sum(xp.where(g1_coded, g1_cost, 0.0), axis=(-2, -1))
 
     first_c2 = (g1_coded & (g1val > 0) & (prev_gt1 == 0))
     g2val = (arev > 2).astype(xp.int32)
-    bits_g2 = xp.sum(
-        xp.where(first_c2, bits_at(abs_bank + ctx_set[..., None], g2val),
-                 0.0), axis=(-2, -1))
+    ng2 = 4 if is_luma else 2
+    g2_rel = xp.broadcast_to(ctx_set[..., None], g2val.shape)
+    g2_cost = xp.where(
+        g2val > 0, chain_lookup(b1v[abs_bank:abs_bank + ng2], g2_rel,
+                                ng2, xp),
+        chain_lookup(b0v[abs_bank:abs_bank + ng2], g2_rel, ng2, xp))
+    bits_g2 = xp.sum(xp.where(first_c2, g2_cost, 0.0), axis=(-2, -1))
 
     # ---- signs ------------------------------------------------------------
     nsig_cg = srev.sum(-1)
