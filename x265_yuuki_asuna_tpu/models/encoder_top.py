@@ -903,26 +903,28 @@ class IntraEncoderSession:
         return wrap_nal(nal_type, bw.get_bytes())
 
     # ------------------------------------------------------------------
-    def _sao_decide(self, out: dict, yp, up, vp):
+    def _sao_decide(self, out: dict, yp, up, vp, qp=None):
         """Per-CTU SAO decision + recon update (decoder-exact application).
 
         K11 device form: statistics run as one jitted program of fused
         mask+tile reductions (sao.sao_stats_dev — the reference's
         calcSaoStatsCTU, sao.cpp:735); decisions and application are
         vectorized over the whole CTU grid (rdoSaoUnitCu analog,
-        sao.cpp:1225)."""
+        sao.cpp:1225) at SSD + lambda2(qp)*bits."""
         from ..ops import sao as SAO
         from ..utils.profiling import PROF
         bd = self.bit_depth
         n, nc = self.cu, self.cu // 2
+        lam = SAO.sao_lambda(self.qp if qp is None else qp)
         with PROF("sao.stats_dev"):
             st_y, st_cb, st_cr = SAO.sao_stats_dev3(
                 (out["recon_y"], out["recon_u"], out["recon_v"]),
                 (yp, up, vp), n, bd)
         with PROF("sao.decide"):
-            ty, ay, oy = SAO.decide_sao_luma_all(st_y, bd)
+            ty, ay, oy = SAO.decide_sao_luma_all(st_y, bd, lam)
             tc, acb, acr, ocb, ocr = SAO.decide_sao_chroma_all(st_cb,
-                                                               st_cr, bd)
+                                                               st_cr, bd,
+                                                               lam)
         params = [[{"luma": (int(ty[r, c]), int(ay[r, c]),
                              oy[r, c].tolist()),
                     "cb": (int(tc[r, c]), int(acb[r, c]),
@@ -1138,6 +1140,13 @@ class VideoEncoderSession:
         self.qp = qp
         self.cu = cu_size
         self.keyint = max(keyint, 1)
+        # reference keyframeMin derivation (param.cpp/x265_check_params):
+        # scenecut keyframes are suppressed closer than this to the last
+        # one — without it, cost-rule false positives IDR-storm panning
+        # content (round-4 pan640 finding)
+        self.keyint_min = max(1, min(int(round(fps[0] / max(fps[1], 1))),
+                                     self.keyint // 10))
+        self._last_idr_didx = -10 ** 9
         self.hash_sei = hash_sei
         self.max_merge = max_merge
         self.coded_w = self.intra_sess.coded_w
@@ -1357,7 +1366,8 @@ class VideoEncoderSession:
             icost, pcost, scenecut, window, didx = _la
             self._cutree_window = window
         is_idr = (self.frame_idx % self.keyint == 0) or self.ref is None \
-            or (self.scenecut_enabled and scenecut) \
+            or (self.scenecut_enabled and scenecut
+                and self.frame_idx >= self.keyint_min) \
             or getattr(self, "_force_idr", False)
         self._force_idr = False
         la_cost = icost if is_idr else pcost
@@ -1701,12 +1711,13 @@ class VideoEncoderSession:
         return out or None
 
     # ------------------------------------------------------------------
-    def _sao_frame(self, out: dict, yp, up, vp):
+    def _sao_frame(self, out: dict, yp, up, vp, qp=None):
         """SAO decision + decoder-exact application on the (deblocked)
         recon; returns per-CTU params for the slice syntax, or None."""
         if not self.sao:
             return None
-        return self.intra_sess._sao_decide(out, yp, up, vp)
+        return self.intra_sess._sao_decide(out, yp, up, vp,
+                                           qp=self.qp if qp is None else qp)
 
     # ------------------------------------------------------------------
     # device-resident DPB helpers (round 4)
@@ -1757,7 +1768,7 @@ class VideoEncoderSession:
         with PROF("deblock"):
             self._deblock_frame(out, qp, is_idr=is_idr)
         with PROF("sao"):
-            return self._sao_frame(out, yp, up, vp)
+            return self._sao_frame(out, yp, up, vp, qp=qp)
 
     # ------------------------------------------------------------------
     def _deblock_frame(self, out: dict, qp: int, is_idr: bool):
@@ -1856,8 +1867,11 @@ class VideoEncoderSession:
         results: List[FrameResult] = []
         idr_due = (self.display_idx % self.keyint == 0) \
             or self.anchor is None \
-            or (self.scenecut_enabled and scenecut)
+            or (self.scenecut_enabled and scenecut
+                and self.display_idx - self._last_idr_didx
+                >= self.keyint_min)
         if idr_due:
+            self._last_idr_didx = self.display_idx
             if self.open_gop and self.anchor is not None:
                 results += self._encode_cra_gop(y, u, v)
             else:

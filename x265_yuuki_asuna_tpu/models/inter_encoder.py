@@ -818,6 +818,31 @@ class InterFrameEncoder:
                             rows[:, :, None] * Ww + cols[:, None, :],
                             axis=0).astype(jnp.int32)
 
+        def bilerp_at_qmv(ref, px, py, qx, qy, nn):
+            """[B, nn, nn] bilinear-interpolated prediction at per-block
+            QPEL MVs — the fair cheap scoring metric for merge-candidate
+            RD (an integer-rounded score systematically loses to the ME
+            winner's 8-tap subpel SATD on smooth content, which kills
+            merge adoption; both sides are scored with THIS metric)."""
+            ix, fx = qx >> 2, (qx & 3).astype(jnp.int32)
+            iy, fy = qy >> 2, (qy & 3).astype(jnp.int32)
+            w = win_at_imv(ref, px, py, ix, iy, nn + 1)
+            w00 = ((4 - fx) * (4 - fy))[:, None, None]
+            w10 = (fx * (4 - fy))[:, None, None]
+            w01 = ((4 - fx) * fy)[:, None, None]
+            w11 = (fx * fy)[:, None, None]
+            return jnp.right_shift(
+                w00 * w[:, :nn, :nn] + w10 * w[:, :nn, 1:]
+                + w01 * w[:, 1:, :nn] + w11 * w[:, 1:, 1:] + 8, 4)
+
+        def median_mv(mvx, mvy):
+            """Componentwise median of the per-size ME field: the
+            frame-dominant motion, added as a CONSENSUS candidate so
+            uniform regions converge to one MV (and serialize-time merge
+            chains actually coincide) instead of jittering per block."""
+            return (jnp.full_like(mvx, jnp.median(mvx).astype(jnp.int32)),
+                    jnp.full_like(mvy, jnp.median(mvy).astype(jnp.int32)))
+
         def shift_grid(a, nn, dr, dc):
             """Neighbor field: value of the block (dr, dc) away on the
             nn-grid; out-of-picture -> 0 (the spec's zero-MV fill)."""
@@ -864,18 +889,21 @@ class InterFrameEncoder:
                 return (ones, mv0x, mv0y, mv0x * 0, mv0y * 0, pred, s0, bits)
             if refs1 is None:
                 b_me = est_mv_bits_arr(mv0x, mv0y)
+                # fair comparison metric: bilinear-qpel SATD for BOTH the
+                # ME winner and every candidate (the committed prediction
+                # is still exact 8-tap MC at the final MV, below)
+                s_me = pixel.satd(
+                    yb, bilerp_at_qmv(refs0[0], px, py, mv0x, mv0y, nn),
+                    xp=jnp)
                 bx, by = mv0x, mv0y
-                bs_, bb = s0, b_me
-                bcost = s0.astype(jnp.float32) + lam * b_me
-                for idx, (cx, cy) in enumerate(
-                        merge_cand_fields(nn, (mv0x, mv0y))):
-                    # integer-rounded candidate costing (cheap window
-                    # gather, no interp); the winner's EXACT qpel MV is
-                    # committed and predicted below
-                    w = win_at_imv(refs0[0], px, py,
-                                   (cx + 2) >> 2, (cy + 2) >> 2, nn)
+                bs_, bb = s_me, b_me
+                bcost = s_me.astype(jnp.float32) + lam * b_me
+                cands = merge_cand_fields(nn, (mv0x, mv0y))
+                cands.append(median_mv(mv0x, mv0y))
+                for idx, (cx, cy) in enumerate(cands):
+                    w = bilerp_at_qmv(refs0[0], px, py, cx, cy, nn)
                     s = pixel.satd(yb, w, xp=jnp)
-                    b = 2.0 + idx          # merge_flag + unary merge_idx
+                    b = 2.0 + min(idx, 3)  # merge_flag + unary merge_idx
                     c = s.astype(jnp.float32) + lam * b
                     upd = c < bcost
                     bx = jnp.where(upd, cx, bx)
@@ -910,22 +938,30 @@ class InterFrameEncoder:
             fx1, fy1 = mv1x * m1, mv1y * m1
             fpdir = pdir
             fs, fb = satd_sel, bits_sel
-            fcost = satd_sel.astype(jnp.float32) + lam * bits_sel
-            # merge candidates: neighbor (pdir, mv0, mv1) of the ME field,
-            # costed at integer-rounded MVs (cheap window gathers; the
-            # winner's exact qpel motion is predicted below)
-            for idx, (cp, c0x, c0y, c1x, c1y) in enumerate(merge_cand_fields(
-                    nn, (fpdir, fx0, fy0, fx1, fy1))):
+            # fair metric for the merge stage: re-score the ME winner with
+            # bilinear-qpel SATD (same metric as the candidates below)
+            wb0 = bilerp_at_qmv(refs0[0], px, py, fx0, fy0, nn)
+            wb1 = bilerp_at_qmv(refs1[0], px, py, fx1, fy1, nn)
+            wme = jnp.where((fpdir == 1)[:, None, None], wb0,
+                            jnp.where((fpdir == 2)[:, None, None], wb1,
+                                      (wb0 + wb1 + 1) >> 1))
+            s_me = pixel.satd(yb, wme, xp=jnp)
+            fcost = s_me.astype(jnp.float32) + lam * bits_sel
+            # merge candidates: neighbor (pdir, mv0, mv1) of the ME field
+            # + the frame-median consensus motion
+            cands = merge_cand_fields(nn, (fpdir, fx0, fy0, fx1, fy1))
+            mx0, my0 = median_mv(mv0x, mv0y)
+            mx1, my1 = median_mv(mv1x, mv1y)
+            cands.append((jnp.full_like(fpdir, 3), mx0, my0, mx1, my1))
+            for idx, (cp, c0x, c0y, c1x, c1y) in enumerate(cands):
                 cp = jnp.where(cp == 0, 3, cp)       # zero cand: bi zero-MV
-                w0 = win_at_imv(refs0[0], px, py,
-                                (c0x + 2) >> 2, (c0y + 2) >> 2, nn)
-                w1 = win_at_imv(refs1[0], px, py,
-                                (c1x + 2) >> 2, (c1y + 2) >> 2, nn)
+                w0 = bilerp_at_qmv(refs0[0], px, py, c0x, c0y, nn)
+                w1 = bilerp_at_qmv(refs1[0], px, py, c1x, c1y, nn)
                 wbi = (w0 + w1 + 1) >> 1
                 cp3 = cp[:, None, None]
                 qp_ = jnp.where(cp3 == 1, w0, jnp.where(cp3 == 2, w1, wbi))
                 s = pixel.satd(yb, qp_, xp=jnp)
-                b = 2.0 + idx
+                b = 2.0 + min(idx, 3)
                 c = s.astype(jnp.float32) + lam * b
                 upd = c < fcost
                 fpdir = jnp.where(upd, cp, fpdir)

@@ -71,6 +71,23 @@ class Lookahead:
             # gather form is an order of magnitude slower on TPU
             mvx, mvy, sad = me.sad_sweep_multi(prev_lowres, low, (8,), 16,
                                                lambda_bits=1)[8]
+            # half-pel refinement (reference lowresMC does full qpel,
+            # lowres.h:67): a P-px full-res pan is P/2 at lowres, so
+            # integer-only lowres ME misses it by half a pel on smooth
+            # content, inflating pcost and firing false scenecuts
+            px = (jnp.arange(nblocks, dtype=jnp.int32) % nb_x) * 8
+            py = (jnp.arange(nblocks, dtype=jnp.int32) // nb_x) * 8
+            ph = jnp.right_shift(
+                prev_lowres + jnp.pad(prev_lowres, ((0, 0), (0, 1)),
+                                      mode="edge")[:, 1:] + 1, 1)
+            pv = jnp.right_shift(
+                prev_lowres + jnp.pad(prev_lowres, ((0, 1), (0, 0)),
+                                      mode="edge")[1:, :] + 1, 1)
+            for pl, dx, dy in ((ph, 0, 0), (ph, -1, 0),
+                               (pv, 0, 0), (pv, 0, -1)):
+                sad = jnp.minimum(sad, me.sad_at_mv(pl, blocks, px, py,
+                                                    mvx + dx, mvy + dy, 8,
+                                                    xp=jnp))
             inter_cost = jnp.where(has_prev, jnp.sum(jnp.minimum(sad, icost)),
                                    intra_cost)
             # ONE packed f32 output buffer: a single device->host fetch per

@@ -199,7 +199,11 @@ def _best_offsets_dev(s, c, max_abs, sign=None):
     return (k * sgn).astype(jnp.int32), best_d
 
 
-def _decide_luma_dev(eo_s, eo_c, bo_s, bo_c, bit_depth, lambda_bits=60.0):
+def _decide_luma_dev(eo_s, eo_c, bo_s, bo_c, bit_depth, lam):
+    """lam: SSD-per-bit lambda2 of the slice QP. Candidate cost =
+    delta-SSD + lam * estimated syntax bits (type/class/offset TR bins —
+    the reference rdoSaoUnitCu shape, sao.cpp:1225). The round-3 flat
+    lambda_bits=60 made SAO fire on nearly every CTU at high QP."""
     max_abs = (1 << (min(bit_depth, 10) - 5)) - 1
     s = eo_s[:, 1:5]
     c = eo_c[:, 1:5]
@@ -221,8 +225,11 @@ def _decide_luma_dev(eo_s, eo_c, bo_s, bo_c, bit_depth, lambda_bits=60.0):
     bi = wb[None] + jnp.arange(4)[:, None, None]
     bo_offs = jnp.take_along_axis(hb, bi, 0).transpose(1, 2, 0)
 
-    eo_cost = eo_d + lambda_bits
-    bo_cost = bo_d + lambda_bits
+    eo_bits = 3.0 + jnp.sum(jnp.abs(eo_offs) + 1, axis=-1).astype(jnp.float32)
+    bo_bits = 6.0 + jnp.sum(jnp.abs(bo_offs) + 1
+                            + (bo_offs != 0), axis=-1).astype(jnp.float32)
+    eo_cost = eo_d + lam * eo_bits
+    bo_cost = bo_d + lam * bo_bits
     use_eo = (eo_cost < 0) & (eo_cost <= bo_cost)
     use_bo = (bo_cost < 0) & ~use_eo
     t = jnp.where(use_eo, SAO_EO, jnp.where(use_bo, SAO_BO, SAO_OFF))
@@ -232,7 +239,7 @@ def _decide_luma_dev(eo_s, eo_c, bo_s, bo_c, bit_depth, lambda_bits=60.0):
     return t.astype(jnp.int32), aux, offs
 
 
-def _decide_chroma_dev(st_cb, st_cr, bit_depth, lambda_bits=60.0):
+def _decide_chroma_dev(st_cb, st_cr, bit_depth, lam):
     max_abs = (1 << (min(bit_depth, 10) - 5)) - 1
     hs, ds = [], []
     for (eo_s, eo_c, _, _) in (st_cb, st_cr):
@@ -260,8 +267,13 @@ def _decide_chroma_dev(st_cb, st_cr, bit_depth, lambda_bits=60.0):
         wbs.append(wb.astype(jnp.int32))
         bo_offs.append(jnp.take_along_axis(hb, bi, 0).transpose(1, 2, 0))
 
-    eo_cost = eo_d + lambda_bits
-    bo_cost = bo_d + lambda_bits
+    eo_bits = 3.0 + sum(
+        jnp.sum(jnp.abs(o) + 1, axis=-1) for o in eo_offs).astype(jnp.float32)
+    bo_bits = 11.0 + sum(
+        jnp.sum(jnp.abs(o) + 1 + (o != 0), axis=-1)
+        for o in bo_offs).astype(jnp.float32)
+    eo_cost = eo_d + lam * eo_bits
+    bo_cost = bo_d + lam * bo_bits
     use_eo = (eo_cost < 0) & (eo_cost <= bo_cost)
     use_bo = (bo_cost < 0) & ~use_eo
     t = jnp.where(use_eo, SAO_EO, jnp.where(use_bo, SAO_BO, SAO_OFF))
@@ -402,14 +414,19 @@ def qt_loopfilter_dev(rec3, src3, qp_cu, slice_qp, split, split16,
         out3 = deblock_qt2_dev(out3, cell_q, bs_v, bs_h, bit_depth)
     sao_arrs = None
     if sao:
-        out3, sao_arrs = sao_dev(out3, src3, n, bit_depth, sao_lambda)
+        # SSD-per-bit lambda2 at the slice QP (rdcost.h x265_lambda2_tab
+        # shape) — SAO candidates pay their real syntax bits
+        lam = (0.85 * jnp.exp2((slice_qp.astype(jnp.float32) - 12.0) / 3.0)
+               ).astype(jnp.float32)
+        out3, sao_arrs = sao_dev(out3, src3, n, bit_depth, lam)
     return out3, sao_arrs
 
 
-def sao_dev(rec3, src3, n, bit_depth, lambda_bits=60.0):
+def sao_dev(rec3, src3, n, bit_depth, lam):
     """Full SAO on device: stats on the (deblocked) recon vs source,
-    decide per CTU, apply. Returns (rec3_out, params) where params =
-    (t_y, aux_y, off_y, t_c, aux_cb, aux_cr, off_cb, off_cr) int32."""
+    decide per CTU at SSD + lam*bits, apply. Returns (rec3_out, params)
+    where params = (t_y, aux_y, off_y, t_c, aux_cb, aux_cr, off_cb,
+    off_cr) int32."""
     ry, ru, rv = rec3
     sy, su, sv = src3
     nc = n // 2
@@ -418,9 +435,9 @@ def sao_dev(rec3, src3, n, bit_depth, lambda_bits=60.0):
                                                            bit_depth)
     st_cr = _sao_stats_dev(rv, sv, nc) + _sao_bo_stats_dev(rv, sv, nc,
                                                            bit_depth)
-    t_y, aux_y, off_y = _decide_luma_dev(*st_y, bit_depth, lambda_bits)
+    t_y, aux_y, off_y = _decide_luma_dev(*st_y, bit_depth, lam)
     t_c, aux_cb, aux_cr, off_cb, off_cr = _decide_chroma_dev(
-        st_cb, st_cr, bit_depth, lambda_bits)
+        st_cb, st_cr, bit_depth, lam)
     oy = _apply_sao_dev(ry, t_y, aux_y, off_y, n, bit_depth)
     ou = _apply_sao_dev(ru, t_c, aux_cb, off_cb, nc, bit_depth)
     ov = _apply_sao_dev(rv, t_c, aux_cr, off_cr, nc, bit_depth)

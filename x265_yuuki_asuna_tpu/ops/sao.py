@@ -345,9 +345,18 @@ def _best_offsets_vec(s, c, max_abs: int, sign=None):
     return (k * sgn).astype(np.int32), best_d
 
 
+def sao_lambda(qp) -> np.float32:
+    """SSD-per-bit lambda2 at the slice QP (x265_lambda2_tab shape);
+    float32 to match the in-jit decide bit-for-bit."""
+    return np.float32(np.float32(0.85)
+                      * np.exp2((np.float32(qp) - np.float32(12.0))
+                                / np.float32(3.0), dtype=np.float32))
+
+
 def decide_sao_luma_all(stats, bit_depth: int = 8,
-                        lambda_bits: float = 60.0):
-    """Vectorized decide_sao_ctu over the whole CTU grid.
+                        lam: float = 60.0):
+    """Vectorized decide_sao_ctu over the whole CTU grid; candidate cost =
+    delta-SSD + lam * estimated syntax bits (rdoSaoUnitCu analog).
     Returns (t [r,c], aux [r,c], offs [r,c,4])."""
     max_abs = (1 << (min(bit_depth, 10) - 5)) - 1
     s = stats["eo"][:, 1:5, :, :, 0]
@@ -371,8 +380,13 @@ def decide_sao_luma_all(stats, bit_depth: int = 8,
     bi = wb[None] + np.arange(4)[:, None, None]
     bo_offs = np.take_along_axis(hb, bi, 0).transpose(1, 2, 0)
 
-    eo_cost = eo_d + lambda_bits
-    bo_cost = bo_d + lambda_bits
+    lam = np.float32(lam)
+    eo_bits = np.float32(3.0) + np.sum(np.abs(eo_offs) + 1,
+                                       axis=-1).astype(np.float32)
+    bo_bits = np.float32(6.0) + np.sum(np.abs(bo_offs) + 1 + (bo_offs != 0),
+                                       axis=-1).astype(np.float32)
+    eo_cost = eo_d.astype(np.float32) + lam * eo_bits
+    bo_cost = bo_d.astype(np.float32) + lam * bo_bits
     use_eo = (eo_cost < 0) & (eo_cost <= bo_cost)
     use_bo = (bo_cost < 0) & ~use_eo
     t = np.where(use_eo, SAO_EO, np.where(use_bo, SAO_BO, SAO_OFF))
@@ -383,7 +397,7 @@ def decide_sao_luma_all(stats, bit_depth: int = 8,
 
 
 def decide_sao_chroma_all(stats_cb, stats_cr, bit_depth: int = 8,
-                          lambda_bits: float = 60.0):
+                          lam: float = 60.0):
     """Vectorized decide_sao_chroma: cb/cr share the type and EO class.
     Returns (t, aux_cb, aux_cr, offs_cb, offs_cr)."""
     max_abs = (1 << (min(bit_depth, 10) - 5)) - 1
@@ -414,8 +428,14 @@ def decide_sao_chroma_all(stats_cb, stats_cr, bit_depth: int = 8,
         wbs.append(wb.astype(np.int32))
         bo_offs.append(np.take_along_axis(hb, bi, 0).transpose(1, 2, 0))
 
-    eo_cost = eo_d + lambda_bits
-    bo_cost = bo_d + lambda_bits
+    lam = np.float32(lam)
+    eo_bits = np.float32(3.0) + sum(
+        np.sum(np.abs(o) + 1, axis=-1) for o in eo_offs).astype(np.float32)
+    bo_bits = np.float32(11.0) + sum(
+        np.sum(np.abs(o) + 1 + (o != 0), axis=-1)
+        for o in bo_offs).astype(np.float32)
+    eo_cost = np.asarray(eo_d, np.float32) + lam * eo_bits
+    bo_cost = np.asarray(bo_d, np.float32) + lam * bo_bits
     use_eo = (eo_cost < 0) & (eo_cost <= bo_cost)
     use_bo = (bo_cost < 0) & ~use_eo
     t = np.where(use_eo, SAO_EO, np.where(use_bo, SAO_BO, SAO_OFF))
