@@ -104,15 +104,19 @@ def test_recon_out_false_skips_download():
 
 
 def test_conformance_decode():
-    """libavcodec decodes the device-path stream; recon matches bit-exact
-    (the project's core invariant on the flagship feature combo)."""
-    from x265_yuuki_asuna_tpu.utils.av_decode import decode_hevc
+    """An independent decoder reproduces the device-path stream's recon
+    bit-exactly (the project's core invariant on the flagship feature
+    combo). Arbiter: libde265 — libavcodec has a known chroma-EO
+    deviation at 4-CTB junctions (see test_sao_deblock_corner.py)."""
+    from x265_yuuki_asuna_tpu.utils import de265_decode
+    if not de265_decode.available():
+        pytest.skip("libde265 not available")
     frames = clip(8, seed=9)
     bs, res, sess = encode(True, frames,
                            **dict(bframes=3, b_pyramid=True, deblock=True,
                                   sao=True, sbh=True, aq_mode=2, cutree=True,
                                   rc_mode="crf", crf=30.0))
-    dec = decode_hevc(bs, W, H)
+    dec = de265_decode.decode_hevc_de265(bs)
     assert len(dec) == len(res)
     ordered = sorted(res, key=lambda r: r.poc)
     for d, r in zip(dec, ordered):
