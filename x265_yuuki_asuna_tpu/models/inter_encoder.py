@@ -840,8 +840,10 @@ class InterFrameEncoder:
             frame-dominant motion, added as a CONSENSUS candidate so
             uniform regions converge to one MV (and serialize-time merge
             chains actually coincide) instead of jittering per block."""
-            return (jnp.full_like(mvx, jnp.median(mvx).astype(jnp.int32)),
-                    jnp.full_like(mvy, jnp.median(mvy).astype(jnp.int32)))
+            return (jnp.broadcast_to(jnp.median(mvx).astype(jnp.int32),
+                                     mvx.shape),
+                    jnp.broadcast_to(jnp.median(mvy).astype(jnp.int32),
+                                     mvy.shape))
 
         def shift_grid(a, nn, dr, dc):
             """Neighbor field: value of the block (dr, dc) away on the
