@@ -144,12 +144,12 @@ def bd_rate(r1, p1, r2, p2):
     return float(np.exp(np.mean(f2 - f1)) - 1.0) * 100.0
 
 
-def run_ours(frames, w, h, qp, bframes):
+def run_ours(frames, w, h, qp, bframes, rdoq=False, b_intra=False):
     from x265_yuuki_asuna_tpu.models.encoder_top import VideoEncoderSession
     sess = VideoEncoderSession(w, h, qp=qp, max_depth=2, keyint=250,
                                bframes=bframes, b_pyramid=True, b_adapt=2,
-                               deblock=True, sao=True, sbh=True,
-                               hash_sei=False, hme=True,
+                               deblock=True, sao=True, sbh=True, rdoq=rdoq,
+                               hash_sei=False, hme=True, b_intra=b_intra,
                                quality_metrics=False)
     bits = 0
     ps = []
@@ -202,6 +202,10 @@ def main():
     ap.add_argument("--qps", default="26,30,34,38")
     ap.add_argument("--device", default="cpu",
                     help="cpu | default (current JAX platform, e.g. TPU)")
+    ap.add_argument("--rdoq", action="store_true",
+                    help="enable context-cost RDOQ in our encoder")
+    ap.add_argument("--b-intra", action="store_true", dest="b_intra",
+                    help="enable intra candidates in B slices")
     ap.add_argument("--quick", action="store_true",
                     help="round-3-size fallback: 320x192 x20, 1 clip")
     args = ap.parse_args()
@@ -230,7 +234,8 @@ def main():
             ours_r, ours_p, ref_r, ref_p = [], [], [], []
             for qp in qps:
                 t0 = time.time()
-                b, p = run_ours(frames, w, h, qp, args.bframes)
+                b, p = run_ours(frames, w, h, qp, args.bframes, rdoq=args.rdoq,
+                                b_intra=args.b_intra)
                 ours_r.append(b); ours_p.append(p)
                 print(f"{name} ours qp{qp}: {b} bits, {p:.2f} dB "
                       f"({time.time() - t0:.0f}s)", flush=True)

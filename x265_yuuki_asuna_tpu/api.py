@@ -151,6 +151,27 @@ class Encoder:
                 max_depth=qt_depth, psy_rd=p.psy_rd)
             self._video = True
         self._use_b = getattr(self._sess, "bframes", 0) > 0
+        # zones (param.cpp:1078 / encoder.cpp:2467 reconfigZone): q=/b=
+        # zones feed the session's per-frame QP override; zonefile zones
+        # are param CLONES applied through the reconfig whitelist when
+        # the zone's first frame is pushed
+        self._param_zones = []
+        if getattr(p.rc, "zones", None):
+            sess_zones = []
+            for z in p.rc.zones:
+                if z.zone_param is not None:
+                    self._param_zones.append(
+                        (z.start_frame, z.end_frame, z.zone_param))
+                elif z.b_force_qp:
+                    sess_zones.append((z.start_frame, z.end_frame,
+                                       int(z.qp), None))
+                else:
+                    sess_zones.append((z.start_frame, z.end_frame, None,
+                                       float(z.bitrate_factor)))
+            if sess_zones and hasattr(self._sess, "zones"):
+                self._sess.zones = sess_zones
+        self._param_zones.sort(key=lambda t: t[0])
+        self._push_count = 0
         self._closed = False
         # fatal-error latch (Encoder::m_aborted analog,
         # encoder.cpp:1592): once an internal error escapes, every
@@ -174,6 +195,10 @@ class Encoder:
             if self._use_b:
                 results = self._sess.flush()
         else:
+            for s_, e_, zp in self._param_zones:
+                if s_ == self._push_count:
+                    self.reconfig_zone(zp)
+            self._push_count += 1
             y, u, v = pic_in.planes
             try:
                 if self._use_b:
@@ -250,6 +275,26 @@ class Encoder:
         self.param = p
         return 0
 
+    # -- x265_encoder_reconfig_zone (encoder.cpp:2467 reconfigZone) --
+    def reconfig_zone(self, zone_param: Param) -> int:
+        """Apply a zone's param clone at its first frame: the same runtime
+        whitelist as reconfig(); header/program-affecting fields in the
+        clone are ignored rather than rejected (the reference clamps the
+        zone to the open stream's configuration)."""
+        zp = zone_param.copy()
+        old = self.param
+        # zones cannot change stream geometry/headers: clamp those fields
+        zp.source_width = old.source_width
+        zp.source_height = old.source_height
+        zp.max_cu_size = old.max_cu_size
+        zp.min_cu_size = old.min_cu_size
+        zp.bframes = old.bframes
+        zp.internal_bit_depth = old.internal_bit_depth
+        zp.b_enable_sao = old.b_enable_sao
+        zp.b_enable_loop_filter = old.b_enable_loop_filter
+        zp.rc.aq_mode = zp.rc.aq_mode if old.rc.aq_mode else 0
+        return self.reconfig(zp)
+
     # -- x265_encoder_intra_refresh --
     def intra_refresh(self) -> int:
         """x265_encoder_intra_refresh (x265.h:2161): force a recovery point
@@ -305,6 +350,10 @@ def encoder_get_stats(enc: Encoder) -> Stats:
 
 def encoder_reconfig(enc: Encoder, p: Param) -> int:
     return enc.reconfig(p)
+
+
+def encoder_reconfig_zone(enc: Encoder, zone_param: Param) -> int:
+    return enc.reconfig_zone(zone_param)
 
 
 def encoder_intra_refresh(enc: Encoder) -> int:

@@ -1729,20 +1729,10 @@ class VideoEncoderSession:
         per-CTU dict build cost ~0.3 s/frame at 1080p)."""
         if not self.sao or out.get("sao_dev") is None:
             return None
-        t_y, aux_y, off_y, t_c, acb, acr, ocb, ocr = \
-            (np.asarray(a) for a in out["sao_dev"])
-        ncu = self.rows * self.cols
-        arr = np.zeros((ncu, 18), np.int32)
-        arr[:, 0] = t_y.reshape(-1)
-        arr[:, 1] = aux_y.reshape(-1)
-        arr[:, 2:6] = off_y.reshape(-1, 4)
-        arr[:, 6] = t_c.reshape(-1)
-        arr[:, 7] = acb.reshape(-1)
-        arr[:, 8:12] = ocb.reshape(-1, 4)
-        arr[:, 12] = t_c.reshape(-1)
-        arr[:, 13] = acr.reshape(-1)
-        arr[:, 14:18] = ocr.reshape(-1, 4)
-        return arr
+        # ONE packed [ncu, 18] fetch: the program packs the 8 decision
+        # grids in-jit (ops/filters_dev.pack_sao_params) because every
+        # separate host fetch through the tunnel costs ~23 ms
+        return np.asarray(out["sao_dev"])
 
     def _recon_planes(self, out: dict):
         """The DPB entry for this frame: device arrays under dpb_device,
@@ -1962,21 +1952,42 @@ class VideoEncoderSession:
         anchor_poc = prev_poc + len(frames)
         y, u, v = frames[-1]
         self._cutree_window = windows[-1]
-        out.append(self._encode_anchor(y, u, v, idr=False,
-                                       poc=anchor_poc,
-                                       ref_delta=anchor_poc - prev_poc))
-        new_anchor = self.anchor[0]
+        # queue pipelining (frameencoder.cpp:429 frame-threads analog):
+        # under the device DPB the anchor's filtered recon is a device
+        # array available at dispatch, so the whole mini-GOP — anchor, Bref
+        # and the leaf Bs — is submitted back-to-back and the decision
+        # buffers are fetched afterwards in output order; the tunnel
+        # overlaps each fetch with the next frame's device compute.
+        pipe = self._can_pipeline_b() and not self.frame_dup
+        ast = None
+        if pipe:
+            ast = self._encode_anchor_submit(y, u, v, anchor_poc,
+                                             anchor_poc - prev_poc)
+            new_anchor = ast["recon_dev"]
+        else:
+            out.append(self._encode_anchor(y, u, v, idr=False,
+                                           poc=anchor_poc,
+                                           ref_delta=anchor_poc - prev_poc))
+            new_anchor = self.anchor[0]
         nb = len(frames) - 1
+        bst = None
+        pending_subs = []
         if self.b_pyramid and nb >= 2:
             m = nb // 2
             bref_poc = prev_poc + 1 + m
             y, u, v = frames[m]
             self._cutree_window = windows[m]
             # Bref retains both anchors; nothing else is in the DPB yet
-            fr, bref = self._encode_b(
-                y, u, v, bref_poc, prev_anchor, prev_poc, new_anchor,
-                anchor_poc, is_ref=True)
-            out.append(fr)
+            if pipe:
+                bst = self._encode_b_submit(
+                    y, u, v, bref_poc, prev_anchor, prev_poc, new_anchor,
+                    anchor_poc, is_ref=True)
+                bref = bst["handle"][1][1:4]
+            else:
+                fr, bref = self._encode_b(
+                    y, u, v, bref_poc, prev_anchor, prev_poc, new_anchor,
+                    anchor_poc, is_ref=True)
+                out.append(fr)
             for i, (y, u, v) in enumerate(frames[:-1]):
                 if i == m:
                     continue
@@ -1987,19 +1998,35 @@ class VideoEncoderSession:
                     # anchor -> keep it in the RPS, unused by this picture
                     rps = ([(poc - prev_poc, 1)],
                            [(bref_poc - poc, 1), (anchor_poc - poc, 0)])
-                    fr, _ = self._encode_b(y, u, v, poc, prev_anchor,
-                                           prev_poc, bref, bref_poc, rps=rps)
+                    sub = (y, u, v, poc, prev_anchor, prev_poc, bref,
+                           bref_poc, False, rps, None)
                 else:
                     rps = ([(poc - bref_poc, 1)], [(anchor_poc - poc, 1)])
-                    fr, _ = self._encode_b(y, u, v, poc, bref, bref_poc,
-                                           new_anchor, anchor_poc, rps=rps)
-                out.append(fr)
+                    sub = (y, u, v, poc, bref, bref_poc, new_anchor,
+                           anchor_poc, False, rps, None)
+                if pipe:
+                    pending_subs.append(self._encode_b_submit(*sub))
+                else:
+                    fr, _ = self._encode_b(*sub)
+                    out.append(fr)
         else:
             for i, (y, u, v) in enumerate(frames[:-1]):
                 poc = prev_poc + 1 + i
                 self._cutree_window = windows[i]
-                fr, _ = self._encode_b(y, u, v, poc, prev_anchor, prev_poc,
-                                       new_anchor, anchor_poc)
+                sub = (y, u, v, poc, prev_anchor, prev_poc, new_anchor,
+                       anchor_poc)
+                if pipe:
+                    pending_subs.append(self._encode_b_submit(*sub))
+                else:
+                    fr, _ = self._encode_b(*sub)
+                    out.append(fr)
+        if pipe:
+            out.append(self._encode_anchor_finish(ast))
+            if bst is not None:
+                fr, _ = self._encode_b_finish(bst)
+                out.append(fr)
+            for st in pending_subs:
+                fr, _ = self._encode_b_finish(st)
                 out.append(fr)
         return out
 
@@ -2040,59 +2067,88 @@ class VideoEncoderSession:
 
     def _encode_anchor(self, y, u, v, idr: bool, poc: int = 0,
                        ref_delta: int = 1) -> "FrameResult":
+        if not idr:
+            return self._encode_anchor_finish(self._encode_anchor_submit(
+                y, u, v, poc, ref_delta))
+        return self._encode_idr_anchor(y, u, v, poc, ref_delta)
+
+    def _encode_anchor_submit(self, y, u, v, poc: int, ref_delta: int):
+        """P-anchor phase 1: QP/AQ + async device dispatch. Under the
+        device DPB the anchor's filtered recon is available to dependent
+        B submissions straight from the dispatch handle — no fetch."""
         yp, up, vp = self._pad(y, u, v)
-        qp = self.rc.frame_qp(idr)
-        if idr:
-            self.gop_display_base = self.display_idx
-            qp = self._zone_qp(self.display_idx, qp)
-        else:
-            qp = self._zone_qp(self.gop_display_base + poc, qp)
-        # per-CU QP (AQ/cuTree): the PPS signals cu_qp_delta for the whole
-        # session, so EVERY slice must carry the delta syntax
+        qp = self.rc.frame_qp(False)
+        qp = self._zone_qp(self.gop_display_base + poc, qp)
         with PROF("qp_map"):
             qp_map = self._frame_qp_map(yp, qp)
-        if idr:
-            with PROF("device_intra"):
-                out = self.intra_sess.frame_encoder.encode_frame(
-                    yp, up, vp,
-                    qp=qp_map.reshape(-1) if qp_map is not None else qp,
-                    slice_qp=qp)
-            if qp_map is not None:
-                out["qp_map"] = qp_map
-            sao_params = self._filter_frame(out, qp, True, yp, up, vp)
-            with PROF("serialize"):
-                nals = self.intra_sess._assemble_slice(out, qp=qp,
-                                                       sao_params=sao_params)
-            poc = 0
-        else:
-            weights = self._decide_weights(yp, up, vp, self.anchor[0])
-            with PROF("device_p"):
-                out = self.inter_encoder.encode_frame(
-                    yp, up, vp, self.anchor[0][0], self.anchor[0][1],
-                    self.anchor[0][2],
-                    qp=qp_map.reshape(-1) if qp_map is not None else qp,
-                    weights=weights, slice_qp=qp)
-            if qp_map is not None:
-                out["qp_map"] = qp_map
-            sao_params = self._filter_frame(out, qp, False, yp, up, vp)
-            with PROF("serialize"):
-                nals = self._assemble_p_slice(out, qp, poc=poc,
-                                              ref_delta=ref_delta,
-                                              sao_params=sao_params,
-                                              weights=weights,
-                                              qp_map=qp_map)
+        weights = self._decide_weights(yp, up, vp, self.anchor[0])
+        with PROF("device_p"):
+            handle = self.inter_encoder.submit_frame(
+                yp, up, vp, self.anchor[0][0], self.anchor[0][1],
+                self.anchor[0][2],
+                qp=qp_map.reshape(-1) if qp_map is not None else qp,
+                weights=weights, slice_qp=qp)
+        recon_dev = handle[1][1:4] if self.dpb_device else None
+        return dict(handle=handle, yp=yp, up=up, vp=vp, qp=qp,
+                    qp_map=qp_map, poc=poc, ref_delta=ref_delta,
+                    weights=weights, recon_dev=recon_dev, y=y, u=u, v=v)
+
+    def _encode_anchor_finish(self, st) -> "FrameResult":
+        qp, poc = st["qp"], st["poc"]
+        yp, up, vp = st["yp"], st["up"], st["vp"]
+        with PROF("device_p"):
+            out = self.inter_encoder.finish_frame(st["handle"])
+        if st["qp_map"] is not None:
+            out["qp_map"] = st["qp_map"]
+        sao_params = self._filter_frame(out, qp, False, yp, up, vp)
+        with PROF("serialize"):
+            nals = self._assemble_p_slice(out, qp, poc=poc,
+                                          ref_delta=st["ref_delta"],
+                                          sao_params=sao_params,
+                                          weights=st["weights"],
+                                          qp_map=st["qp_map"])
         if self.sei_provider is not None:
             nals = self.sei_provider(self.gop_display_base + poc) + nals
         if self.hash_sei:
             self._materialize_recon(out)
             nals += self.intra_sess._hash_sei(out)
         self.anchor = (self._recon_planes(out), poc)
-        self.rc.frame_done(qp, len(nals) * 8,
-                           slice_type="I" if idr else "P")
+        self.rc.frame_done(qp, len(nals) * 8, slice_type="P")
+        self._cur_src_uv = (st["u"], st["v"])
+        return self._result(out, nals, qp, poc, src_y=st["y"],
+                            frame_type="P")
+
+    def _encode_idr_anchor(self, y, u, v, poc: int = 0,
+                           ref_delta: int = 1) -> "FrameResult":
+        yp, up, vp = self._pad(y, u, v)
+        qp = self.rc.frame_qp(True)
+        self.gop_display_base = self.display_idx
+        qp = self._zone_qp(self.display_idx, qp)
+        # per-CU QP (AQ/cuTree): the PPS signals cu_qp_delta for the whole
+        # session, so EVERY slice must carry the delta syntax
+        with PROF("qp_map"):
+            qp_map = self._frame_qp_map(yp, qp)
+        with PROF("device_intra"):
+            out = self.intra_sess.frame_encoder.encode_frame(
+                yp, up, vp,
+                qp=qp_map.reshape(-1) if qp_map is not None else qp,
+                slice_qp=qp)
+        if qp_map is not None:
+            out["qp_map"] = qp_map
+        sao_params = self._filter_frame(out, qp, True, yp, up, vp)
+        with PROF("serialize"):
+            nals = self.intra_sess._assemble_slice(out, qp=qp,
+                                                   sao_params=sao_params)
+        poc = 0
+        if self.sei_provider is not None:
+            nals = self.sei_provider(self.gop_display_base + poc) + nals
+        if self.hash_sei:
+            self._materialize_recon(out)
+            nals += self.intra_sess._hash_sei(out)
+        self.anchor = (self._recon_planes(out), poc)
+        self.rc.frame_done(qp, len(nals) * 8, slice_type="I")
         self._cur_src_uv = (u, v)
-        self._cur_src_uv = (u, v)
-        return self._result(out, nals, qp, poc, src_y=y,
-                            frame_type="I" if idr else "P")
+        return self._result(out, nals, qp, poc, src_y=y, frame_type="I")
 
     def _encode_cra_gop(self, y, u, v) -> List["FrameResult"]:
         """Open-GOP keyframe: code this frame as a CRA (POC continues),
@@ -2148,6 +2204,18 @@ class VideoEncoderSession:
                   is_ref: bool = False, rps=None, nal_type=None):
         """Returns (FrameResult, padded recon planes). is_ref: referenced B
         (B-pyramid middle) — coded TRAIL_R with a smaller QP offset."""
+        return self._encode_b_finish(self._encode_b_submit(
+            y, u, v, poc, ref0, poc0, ref1, poc1, is_ref, rps, nal_type))
+
+    def _encode_b_submit(self, y, u, v, poc, ref0, poc0, ref1, poc1,
+                         is_ref: bool = False, rps=None, nal_type=None):
+        """Phase 1: per-frame QP/AQ decisions + async device dispatch.
+        Mutually-independent B pictures of a mini-GOP are submitted
+        back-to-back so the device computes frame k+1 while frame k's
+        decision buffer crosses the tunnel (frameencoder.cpp:429
+        frame-threads overlap as queue pipelining). Safe for CRF/CQP
+        without VBV: the B-frame QP does not read the in-flight frames'
+        rc feedback on those paths."""
         yp, up, vp = self._pad(y, u, v)
         boff_ref, boff = getattr(self, "_b_qp_offsets", (1, 2))
         qp = min(self.rc.frame_qp(False) + (boff_ref if is_ref else boff), 51)
@@ -2157,19 +2225,32 @@ class VideoEncoderSession:
         with PROF("qp_map"):
             qp_map = self._frame_qp_map(yp, qp)
         with PROF("device_b"):
-            out = self.bi_encoder.encode_frame(
+            handle = self.bi_encoder.submit_frame(
                 yp, up, vp, ref0[0], ref0[1], ref0[2],
                 qp=qp_map.reshape(-1) if qp_map is not None else qp,
                 ref1_y=ref1[0], ref1_u=ref1[1], ref1_v=ref1[2],
                 slice_qp=qp)
-        if qp_map is not None:
-            out["qp_map"] = qp_map
-        sao_params = self._filter_frame(out, qp, False, yp, up, vp)
+        return dict(handle=handle, yp=yp, up=up, vp=vp, qp=qp,
+                    qp_map=qp_map, poc=poc, poc0=poc0, poc1=poc1,
+                    is_ref=is_ref, rps=rps, nal_type=nal_type,
+                    y=y, u=u, v=v)
+
+    def _encode_b_finish(self, st):
+        """Phase 2: fetch decisions, filter, serialize, rc feedback."""
+        qp, poc = st["qp"], st["poc"]
+        with PROF("device_b"):
+            out = self.bi_encoder.finish_frame(st["handle"])
+        if st["qp_map"] is not None:
+            out["qp_map"] = st["qp_map"]
+        sao_params = self._filter_frame(out, qp, False,
+                                        st["yp"], st["up"], st["vp"])
         with PROF("serialize"):
-            nals = self._assemble_b_slice(out, qp, poc, poc0, poc1,
+            nals = self._assemble_b_slice(out, qp, poc, st["poc0"],
+                                          st["poc1"],
                                           sao_params=sao_params,
-                                          is_ref=is_ref,
-                                          rps=rps, nal_type=nal_type)
+                                          is_ref=st["is_ref"],
+                                          rps=st["rps"],
+                                          nal_type=st["nal_type"])
         if self.sei_provider is not None:
             nals = self.sei_provider(self.gop_display_base + poc) + nals
         if self.hash_sei:
@@ -2177,9 +2258,28 @@ class VideoEncoderSession:
             nals += self.intra_sess._hash_sei(out)
         self.rc.frame_done(qp, len(nals) * 8, slice_type="B")
         recon = self._recon_planes(out)
-        self._cur_src_uv = (u, v)
-        return self._result(out, nals, qp, poc, src_y=y,
-                            frame_type="B" if is_ref else "b"), recon
+        self._cur_src_uv = (st["u"], st["v"])
+        return self._result(out, nals, qp, poc, src_y=st["y"],
+                            frame_type="B" if st["is_ref"] else "b"), recon
+
+    def _can_pipeline_b(self) -> bool:
+        """Mini-GOP queue pipelining: frames in flight compute their QP
+        from the at-submit rc state instead of waiting for the previous
+        frame's coded bits — exactly the reference's frame-threads rc
+        semantics (threading.rst:176-190: outputs vary with frame-thread
+        count only under ABR/VBV). So: CQP is bit-identical, CRF takes
+        the same rc lag the reference accepts, ABR/VBV stay sequential.
+        Needs the device-resident DPB (recon handoff without a fetch)."""
+        if not getattr(self, "dpb_device", False):
+            return False
+        if self.two_pass is not None:
+            return False
+        cfg = getattr(self.rc, "cfg", None)
+        if cfg is None:
+            return False
+        if getattr(cfg, "vbv_maxrate", 0) or getattr(cfg, "vbv_bufsize", 0):
+            return False
+        return cfg.mode in ("crf", "cqp")
 
     def _wpp_substreams(self, init_type: int, qp: int, code_ctu):
         """Per-CTU-row CABAC substreams with spec 9.3.1 entropy sync

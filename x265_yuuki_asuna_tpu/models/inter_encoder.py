@@ -111,6 +111,21 @@ class InterFrameEncoder:
         cfg.dpb: ref planes may be device arrays (no transfer); the result
         carries "recon_dev" (filtered device planes, the next frame's
         reference) and "sao_dev" instead of host recon."""
+        return self.finish_frame(self.submit_frame(
+            y, u, v, ref_y, ref_u, ref_v, qp, ref1_y, ref1_u, ref1_v,
+            weights, hint_mvx, hint_mvy, slice_qp))
+
+    def submit_frame(self, y, u, v, ref_y, ref_u, ref_v, qp: int = None,
+                     ref1_y=None, ref1_u=None, ref1_v=None,
+                     weights=None, hint_mvx=None, hint_mvy=None,
+                     slice_qp=None):
+        """Dispatch the device program WITHOUT fetching the decision
+        buffer; returns an opaque handle for finish_frame. Dispatch is
+        async on the tunnel backend, so a mini-GOP of B frames can be
+        submitted back-to-back and the k-th frame's decision fetch
+        overlaps the (k+1)-th frame's device compute (the reference's
+        frame-threads overlap, frameencoder.cpp:429, as queue
+        pipelining)."""
         qp = self.cfg.qp if qp is None else qp
         pdt = jnp.uint16 if self.cfg.bit_depth > 8 else jnp.uint8
         a = lambda x: jnp.asarray(x, pdt)
@@ -138,9 +153,14 @@ class InterFrameEncoder:
             sq = qp if slice_qp is None else slice_qp
             sq = int(np.max(sq)) if np.ndim(sq) else int(sq)
             args = args + (jnp.asarray(sq, jnp.int32),)
+        return (args, self._encode(*args))
+
+    def finish_frame(self, handle):
+        """Fetch + unpack a submit_frame dispatch (blocks on the
+        decision-buffer transfer)."""
+        args, outs = handle
         self._last_args = args
         if self.cfg.dpb:
-            outs = self._encode(*args)
             buf = np.asarray(outs[0])
             if buf[-1]:
                 if self._full_qt is None:
@@ -151,9 +171,9 @@ class InterFrameEncoder:
             else:
                 out = self._unpack_qt(buf)
             out["recon_dev"] = outs[1:4]
-            out["sao_dev"] = outs[4:] if self.cfg.sao else None
+            out["sao_dev"] = outs[4] if self.cfg.sao else None
             return out
-        buf = np.asarray(self._encode(*args))
+        buf = np.asarray(outs)
         if not self.cfg.max_depth:
             if buf[-1]:
                 if self._full_qt is None:
@@ -688,12 +708,22 @@ class InterFrameEncoder:
         CH8 = jnp.asarray(CH8)                     # [n16, 4]
         # CTU -> its 4 16-block children in z-order == MAP16[:ncu]
 
+        _rdoq_states = [None]   # set by encode() before the first tq call
+
         def tq(resid, qp, log2nn, luma=True, is_intra=None, modes=None):
             coef = transforms.forward_transform(resid, bd, xp=jnp)
             if cfg.rdoq:
-                levels = quant.quant_rdoq(
-                    coef, qp, log2nn, bd,
-                    psy_scale=cfg.psy_rdoq if luma else 0.0, xp=jnp)
+                # round 5: context-cost RDOQ (quant.cpp:688 estBitsSbac
+                # analog at the K9 frozen slice-init states) — the static
+                # -bit form measured -1 dB and is kept only as fallback
+                if _rdoq_states[0] is not None:
+                    levels = quant.quant_rdoq_ctx(
+                        coef, qp, log2nn, bd, _rdoq_states[0], luma,
+                        psy_scale=cfg.psy_rdoq if luma else 0.0, xp=jnp)
+                else:
+                    levels = quant.quant_rdoq(
+                        coef, qp, log2nn, bd,
+                        psy_scale=cfg.psy_rdoq if luma else 0.0, xp=jnp)
             else:
                 levels, du = quant.quant(coef, qp, log2nn, bd, False, xp=jnp)
                 if cfg.sbh:
@@ -725,21 +755,28 @@ class InterFrameEncoder:
         # ---- dense motion ----------------------------------------------
         def sweep_list(y32, ref_y, low_y, low_ref, wts=None):
             """Frame sweep + optional HME coarse candidate + subpel refine
-            for every size.  Returns {nn: (mvqx, mvqy, satd)}."""
+            for every size.  Returns ({nn: (mvqx, mvqy, satd, isad)},
+            surface): isad is the winner's integer-MV SAD and surface the
+            retained sweep cost tensor (me.surface_query) so the merge
+            stage can score candidates without window gathers."""
             search_plane = ref_y
             if wts is not None:
                 (wy, oy) = wts[0]
                 search_plane = jnp.clip(
-                    jnp.right_shift(ref_y * wy + 32, 6) + oy, 0, maxv)
-            fine = me.sad_sweep_multi(search_plane, y32, tuple(sizes), R,
-                                      lambda_bits=2)
+                    jnp.right_shift(ref_y * wy + 32, 6) + oy, 0, maxv
+                    ).astype(ref_y.dtype)
+            fine, surface = me.sad_sweep_multi(search_plane, y32,
+                                               tuple(sizes), R,
+                                               lambda_bits=2,
+                                               return_surface=True)
             coarse = None
             if cfg.hme and low_ref is not None:
                 lref = low_ref
                 if wts is not None:
                     (wy, oy) = wts[0]
                     lref = jnp.clip(
-                        jnp.right_shift(low_ref * wy + 32, 6) + oy, 0, maxv)
+                        jnp.right_shift(low_ref * wy + 32, 6) + oy, 0, maxv
+                        ).astype(low_ref.dtype)
                 coarse = me.sad_sweep_multi(
                     lref, low_y, tuple(nn // 2 for nn in sizes),
                     cfg.hme_range, lambda_bits=2)
@@ -749,6 +786,7 @@ class InterFrameEncoder:
                 yb = to_blocks(y32, nn)
                 fx, fy, fsad = fine[nn]
                 mvx_i, mvy_i = fx, fy
+                isad = fsad
                 if coarse is not None:
                     cx2 = coarse[nn // 2][0] * 2
                     cy2 = coarse[nn // 2][1] * 2
@@ -759,19 +797,20 @@ class InterFrameEncoder:
                     use_c = cost_c < cost_f
                     mvx_i = jnp.where(use_c, cx2, fx)
                     mvy_i = jnp.where(use_c, cy2, fy)
+                    isad = jnp.where(use_c, csad, fsad)
                 if cfg.subpel:
                     win = interp.gather_luma_window(search_plane, px, py,
                                                     mvx_i, mvy_i, nn, xp=jnp)
                     dqx, dqy, satd = interp.subpel_refine_win(
                         win, yb, nn, bd, xp=jnp)
-                    out[nn] = (mvx_i * 4 + dqx, mvy_i * 4 + dqy, satd)
+                    out[nn] = (mvx_i * 4 + dqx, mvy_i * 4 + dqy, satd, isad)
                 else:
                     pred = interp.mc_luma_qpel(search_plane, px, py,
                                                mvx_i * 4, mvy_i * 4, nn, bd,
                                                xp=jnp)
                     out[nn] = (mvx_i * 4, mvy_i * 4,
-                               pixel.satd(yb, pred, xp=jnp))
-            return out
+                               pixel.satd(yb, pred, xp=jnp), isad)
+            return out, surface
 
         def mc_all(refs, mvx, mvy, px, py, nn):
             p_y = interp.mc_luma_qpel(refs[0], px, py, mvx, mvy, nn, bd,
@@ -869,20 +908,29 @@ class InterFrameEncoder:
             return cands
 
         def decide_motion_dense(nn, y32, refs0, refs1, mv0, mv1, qp_blk,
-                                est_mv_bits_arr, wts=None):
+                                est_mv_bits_arr, wts=None,
+                                surf0=None, surf1=None):
             """Per-block list decision at one size from sweep results,
-            with merge-candidate RD (round 4): the left/above/above-right
-            neighbors' motion and the zero candidate compete against the
-            ME winner at merge-cost bits (merge_flag + idx instead of MVD
-            — the reference's mergeEstimation, search.cpp:1891,2221).
-            Winners that coincide with the true spec candidate list at
-            serialize time are coded as merge/skip.
+            with merge-candidate RD: the left/above/above-right neighbors'
+            motion, the frame-median consensus MV and the zero candidate
+            compete against the ME winner at merge-cost bits (merge_flag +
+            idx instead of MVD — the reference's mergeEstimation,
+            search.cpp:1891,2221). Round-5 form: every candidate AND the
+            ME winner are scored in integer-SAD space straight from the
+            retained sweep cost surface (me.surface_query) — a [nblocks]
+            gather per candidate instead of a window gather + SATD, which
+            dominated the round-4 device profile. Candidates equal to the
+            winner MV short-circuit to the winner's SAD (covers HME
+            vectors beyond the fine range on pans). Winners that coincide
+            with the true spec candidate list at serialize time are coded
+            as merge/skip.
             Returns (pdir, mv0x, mv0y, mv1x, mv1y, pred3, satd_sel,
             bits_sel)."""
             px, py = PXPY[nn]
             yb = to_blocks(y32, nn)
-            mv0x, mv0y, s0 = mv0
+            mv0x, mv0y, s0, isad0 = mv0
             lam = 0.9 * jnp.exp2((qp_blk.astype(jnp.float32) - 12.0) / 6.0)
+            rnd2 = lambda q: jnp.right_shift(q + 2, 2)
             if wts is not None:
                 pred = wpred_all(refs0, mv0x, mv0y, px, py, nn, wts)
                 s0 = pixel.satd(yb, pred[0], xp=jnp)
@@ -891,20 +939,27 @@ class InterFrameEncoder:
                 return (ones, mv0x, mv0y, mv0x * 0, mv0y * 0, pred, s0, bits)
             if refs1 is None:
                 b_me = est_mv_bits_arr(mv0x, mv0y)
-                # fair comparison metric: bilinear-qpel SATD for BOTH the
-                # ME winner and every candidate (the committed prediction
-                # is still exact 8-tap MC at the final MV, below)
-                s_me = pixel.satd(
-                    yb, bilerp_at_qmv(refs0[0], px, py, mv0x, mv0y, nn),
-                    xp=jnp)
+                cands = merge_cand_fields(nn, (mv0x, mv0y))
+                cands.append(median_mv(mv0x, mv0y))
+                if surf0 is not None:
+                    # integer-SAD metric for BOTH sides, same surface
+                    s_me = isad0
+                    score = lambda cx, cy: jnp.where(
+                        (cx == mv0x) & (cy == mv0y), isad0,
+                        me.surface_query(surf0, nn, rnd2(cx), rnd2(cy)))
+                else:
+                    # >8-bit fallback: bilinear-qpel SATD both sides
+                    s_me = pixel.satd(
+                        yb, bilerp_at_qmv(refs0[0], px, py, mv0x, mv0y, nn),
+                        xp=jnp)
+                    score = lambda cx, cy: pixel.satd(
+                        yb, bilerp_at_qmv(refs0[0], px, py, cx, cy, nn),
+                        xp=jnp)
                 bx, by = mv0x, mv0y
                 bs_, bb = s_me, b_me
                 bcost = s_me.astype(jnp.float32) + lam * b_me
-                cands = merge_cand_fields(nn, (mv0x, mv0y))
-                cands.append(median_mv(mv0x, mv0y))
                 for idx, (cx, cy) in enumerate(cands):
-                    w = bilerp_at_qmv(refs0[0], px, py, cx, cy, nn)
-                    s = pixel.satd(yb, w, xp=jnp)
+                    s = score(cx, cy)
                     b = 2.0 + min(idx, 3)  # merge_flag + unary merge_idx
                     c = s.astype(jnp.float32) + lam * b
                     upd = c < bcost
@@ -918,7 +973,7 @@ class InterFrameEncoder:
                 return (ones, bx, by, bx * 0, by * 0, pred, bs_, bb)
             # ---- B: luma-only phase-1 selection (uni0/uni1/bi + merge),
             # full 3-component prediction once at the winner ---------------
-            mv1x, mv1y, s1 = mv1
+            mv1x, mv1y, s1, isad1 = mv1
             pl0 = interp.mc_luma_qpel_ps(refs0[0], px, py, mv0x, mv0y, nn,
                                          bd, xp=jnp)
             pl1 = interp.mc_luma_qpel_ps(refs1[0], px, py, mv1x, mv1y, nn,
@@ -940,14 +995,33 @@ class InterFrameEncoder:
             fx1, fy1 = mv1x * m1, mv1y * m1
             fpdir = pdir
             fs, fb = satd_sel, bits_sel
-            # fair metric for the merge stage: re-score the ME winner with
-            # bilinear-qpel SATD (same metric as the candidates below)
-            wb0 = bilerp_at_qmv(refs0[0], px, py, fx0, fy0, nn)
-            wb1 = bilerp_at_qmv(refs1[0], px, py, fx1, fy1, nn)
-            wme = jnp.where((fpdir == 1)[:, None, None], wb0,
-                            jnp.where((fpdir == 2)[:, None, None], wb1,
-                                      (wb0 + wb1 + 1) >> 1))
-            s_me = pixel.satd(yb, wme, xp=jnp)
+            # merge stage metric (round 5): integer SAD from the retained
+            # sweep surfaces for winner AND candidates; bi = mean of the
+            # two uni SADs (proxy; both sides use it, so the comparison
+            # stays fair). >8-bit fallback keeps the bilerp-SATD metric.
+            use_surf = surf0 is not None and surf1 is not None
+
+            def sc_pair(cp, c0x, c0y, c1x, c1y, eqref):
+                if use_surf:
+                    e0x, e0y, e1x, e1y, s0w, s1w = eqref
+                    sc0 = jnp.where((c0x == e0x) & (c0y == e0y), s0w,
+                                    me.surface_query(surf0, nn, rnd2(c0x),
+                                                     rnd2(c0y)))
+                    sc1 = jnp.where((c1x == e1x) & (c1y == e1y), s1w,
+                                    me.surface_query(surf1, nn, rnd2(c1x),
+                                                     rnd2(c1y)))
+                    return jnp.where(cp == 1, sc0,
+                                     jnp.where(cp == 2, sc1,
+                                               (sc0 + sc1 + 1) >> 1))
+                w0 = bilerp_at_qmv(refs0[0], px, py, c0x, c0y, nn)
+                w1 = bilerp_at_qmv(refs1[0], px, py, c1x, c1y, nn)
+                wbi = (w0 + w1 + 1) >> 1
+                cp3 = cp[:, None, None]
+                qp_ = jnp.where(cp3 == 1, w0, jnp.where(cp3 == 2, w1, wbi))
+                return pixel.satd(yb, qp_, xp=jnp)
+
+            eqref = (mv0x, mv0y, mv1x, mv1y, isad0, isad1)
+            s_me = sc_pair(fpdir, fx0, fy0, fx1, fy1, eqref)
             fcost = s_me.astype(jnp.float32) + lam * bits_sel
             # merge candidates: neighbor (pdir, mv0, mv1) of the ME field
             # + the frame-median consensus motion
@@ -957,12 +1031,7 @@ class InterFrameEncoder:
             cands.append((jnp.full_like(fpdir, 3), mx0, my0, mx1, my1))
             for idx, (cp, c0x, c0y, c1x, c1y) in enumerate(cands):
                 cp = jnp.where(cp == 0, 3, cp)       # zero cand: bi zero-MV
-                w0 = bilerp_at_qmv(refs0[0], px, py, c0x, c0y, nn)
-                w1 = bilerp_at_qmv(refs1[0], px, py, c1x, c1y, nn)
-                wbi = (w0 + w1 + 1) >> 1
-                cp3 = cp[:, None, None]
-                qp_ = jnp.where(cp3 == 1, w0, jnp.where(cp3 == 2, w1, wbi))
-                s = pixel.satd(yb, qp_, xp=jnp)
+                s = sc_pair(cp, c0x, c0y, c1x, c1y, eqref)
                 b = 2.0 + min(idx, 3)
                 c = s.astype(jnp.float32) + lam * b
                 upd = c < fcost
@@ -1342,12 +1411,14 @@ class InterFrameEncoder:
                 if refs1 is not None:
                     low1 = downscale_half(refs1[0], xp=jnp)
 
-            mv_l0 = sweep_list(y32, refs[0], low_y, low0, wts)
-            mv_l1 = sweep_list(y32, refs1[0], low_y, low1) if cfg.bi else None
+            mv_l0, surf_l0 = sweep_list(y32, refs[0], low_y, low0, wts)
+            mv_l1, surf_l1 = (sweep_list(y32, refs1[0], low_y, low1)
+                              if cfg.bi else (None, None))
 
             # K9 contexts: frozen at slice-init state (spec 9.3.2.2) for
             # the base QP; slice type 0=B, 1=P (x265 enum)
             states = BC.init_states_dev(0 if cfg.bi else 1, qp_cu[0], xp=jnp)
+            _rdoq_states[0] = states
             est_mv_bits_arr = make_mv_bits(states)
 
             dense = {}
@@ -1360,7 +1431,8 @@ class InterFrameEncoder:
                                        / 3.0)
                 d = decide_motion_dense(nn, y32, refs, refs1, mv_l0[nn],
                                         None if mv_l1 is None else mv_l1[nn],
-                                        qp_blk, est_mv_bits_arr, wts)
+                                        qp_blk, est_mv_bits_arr, wts,
+                                        surf0=surf_l0, surf1=surf_l1)
                 (pdir, m0x, m0y, m1x, m1y, epred, esatd, ebits_mv) = d
                 if not _allow_intra(nn):
                     # no intra candidates at this size (--b-intra off for B
@@ -1591,7 +1663,7 @@ class InterFrameEncoder:
             pdt_o = jnp.uint16 if bd > 8 else jnp.uint8
             outs = (dec_buf,) + tuple(p.astype(pdt_o) for p in out3)
             if sao_arrs is not None:
-                outs = outs + tuple(sao_arrs)
+                outs = outs + (FD.pack_sao_params(sao_arrs),)
             return outs
 
         return encode

@@ -186,7 +186,7 @@ class IntraFrameEncoder:
             outs = self._encode(*args)
             out = self._unpack(np.asarray(outs[0]), with_recon=False)
             out["recon_dev"] = outs[1:4]
-            out["sao_dev"] = outs[4:] if cfg.sao else None
+            out["sao_dev"] = outs[4] if cfg.sao else None
             return out
         buf = np.asarray(self._encode(*args))
         if self._compact and buf[-1]:
@@ -621,12 +621,20 @@ class IntraFrameEncoder:
         CH8 = jnp.asarray(np.stack([(r16 * 2 + qy) * cols8 + (c16 * 2 + qx)
                                     for qy, qx in QOFF], axis=1))
 
+        _rdoq_states = [None]   # set by the frame program at slice init
+
         def tq(resid, qp, log2nn, luma, modes):
             coef = transforms.forward_transform(resid, bd, xp=jnp)
             if cfg.rdoq:
-                levels = quant.quant_rdoq(
-                    coef, qp, log2nn, bd,
-                    psy_scale=cfg.psy_rdoq if luma else 0.0, xp=jnp)
+                if _rdoq_states[0] is not None:
+                    # round 5: context-cost RDOQ (quant.cpp:688 analog)
+                    levels = quant.quant_rdoq_ctx(
+                        coef, qp, log2nn, bd, _rdoq_states[0], luma,
+                        psy_scale=cfg.psy_rdoq if luma else 0.0, xp=jnp)
+                else:
+                    levels = quant.quant_rdoq(
+                        coef, qp, log2nn, bd,
+                        psy_scale=cfg.psy_rdoq if luma else 0.0, xp=jnp)
             else:
                 levels, du = quant.quant(coef, qp, log2nn, bd, True, xp=jnp)
                 if cfg.sbh:
@@ -840,6 +848,7 @@ class IntraFrameEncoder:
 
             # K9 contexts frozen at I-slice init (x265 enum: 2 = I)
             states = BC.init_states_dev(2, qp_sig[0], xp=jnp)
+            _rdoq_states[0] = states
             leaf = {}
             for nn in sizes:
                 qpy_blk = jnp.take(qp_y_cu, CTU_OF[nn])
@@ -939,7 +948,7 @@ class IntraFrameEncoder:
                 outs = (jnp.concatenate([head8, levels8]),) + \
                     tuple(p.astype(pdt_o) for p in out3)
                 if sao_arrs is not None:
-                    outs = outs + tuple(sao_arrs)
+                    outs = outs + (FD.pack_sao_params(sao_arrs),)
                 return outs
             if not with_recon:
                 return jnp.concatenate([head8, levels8])

@@ -443,3 +443,19 @@ def sao_dev(rec3, src3, n, bit_depth, lam):
     ov = _apply_sao_dev(rv, t_c, aux_cr, off_cr, nc, bit_depth)
     return (oy, ou, ov), (t_y, aux_y, off_y, t_c, aux_cb, aux_cr,
                           off_cb, off_cr)
+
+
+def pack_sao_params(sao_arrs):
+    """Pack the 8 per-CTU SAO decision grids into ONE [ncu, 18] int32
+    device array (the native serializer's layout). One output = one host
+    fetch: each fetch through the device tunnel costs ~23 ms of round-trip
+    latency, so eight separate arrays cost ~190 ms/frame of pure latency
+    (round-5 measurement)."""
+    import jax.numpy as jnp
+    t_y, aux_y, off_y, t_c, acb, acr, ocb, ocr = sao_arrs
+    g = lambda a: a.reshape(-1, 1).astype(jnp.int32)
+    g4 = lambda a: a.reshape(-1, 4).astype(jnp.int32)
+    return jnp.concatenate([
+        g(t_y), g(aux_y), g4(off_y),
+        g(t_c), g(acb), g4(ocb),
+        g(t_c), g(acr), g4(ocr)], axis=1)

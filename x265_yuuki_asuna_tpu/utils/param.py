@@ -794,8 +794,8 @@ def _build_option_table():
     opt("multi-pass-opt-rps", ignored)
     opt("qblur", setrc("qblur", _atof))
     opt("cplxblur", setrc("complexity_blur", _atof))
-    opt("zonefile", ignored)
-    opt("zones", ignored)
+    opt("zonefile", lambda p, v: _parse_zonefile(p, v))
+    opt("zones", lambda p, v: _parse_zones(p, v))
 
     # VUI
     opt("sar", lambda p, v: _parse_sar(p, v))
@@ -849,6 +849,64 @@ def _set_cqp(p: Param, qp: int):
 def _set_crf(p: Param, crf: float):
     p.rc.rf_constant = crf
     p.rc.rate_control_mode = RC_CRF
+
+
+def _parse_zones(p: Param, spec: str):
+    """--zones start,end,q=N|b=F[/...] (param.cpp:1078): later zones take
+    precedence (session applies first-match, so store reversed)."""
+    zones = []
+    for part in str(spec).split("/"):
+        s_, e_, opt_ = part.split(",", 2)
+        k, _, val = opt_.partition("=")
+        z = Zone(start_frame=int(s_), end_frame=int(e_))
+        if k == "q":
+            z.b_force_qp = 1
+            z.qp = int(val)
+        elif k == "b":
+            z.b_force_qp = 0
+            z.bitrate_factor = float(val)
+        else:
+            raise ParamError(f"bad zone option '{opt_}'")
+        zones.append(z)
+    p.rc.zones = list(reversed(zones))        # later-in-list wins
+    p.rc.zone_count = len(zones)
+
+
+def _parse_zonefile(p: Param, path: str):
+    """--zonefile: each line '<frame> <cli options...>'; the options form a
+    param CLONE applied from that frame until the next zone starts (the
+    reference's zones-as-param-clones, x265cli.cpp:960 parseZoneFile +
+    encoder.cpp:2467 reconfig whitelist)."""
+    starts = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            tok = line.split()
+            starts.append((int(tok[0]), tok[1:]))
+    starts.sort(key=lambda t: t[0])
+    zones = []
+    for i, (sf, opts) in enumerate(starts):
+        zp = p.copy()
+        zp.rc.zones = []
+        zp.rc.zone_count = zp.rc.zonefile_count = 0
+        j = 0
+        while j < len(opts):
+            name = opts[j].lstrip("-")
+            val = None
+            if "=" in name:
+                name, val = name.split("=", 1)
+            elif j + 1 < len(opts) and not opts[j + 1].startswith("--"):
+                j += 1
+                val = opts[j]
+            param_parse(zp, name, val)
+            j += 1
+        end = (starts[i + 1][0] - 1) if i + 1 < len(starts) else (1 << 30)
+        zones.append(Zone(start_frame=sf, end_frame=end, zone_param=zp))
+    p.rc.zones = zones
+    p.rc.zonefile_count = len(zones)
+    p.rc.zone_count = 0
 
 
 def _set_pass(p: Param, n: int):
