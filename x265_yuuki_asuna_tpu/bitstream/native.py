@@ -78,6 +78,18 @@ def load():
         except AttributeError:
             pass
         try:
+            lib.asuna_encode_slice_qt64.restype = ctypes.c_int
+            lib.asuna_encode_slice_qt64.argtypes = (
+                [ctypes.c_int]                       # sliceType
+                + [ctypes.c_void_p] * 6              # split64 + motion64
+                + [ctypes.c_void_p] * 26             # qt2 arrays
+                + [ctypes.c_int] * 8                 # geom/qp/poc...
+                + _extras
+                + [ctypes.c_void_p, ctypes.c_int]    # tuSplit32, maxTt
+                + _out)
+        except AttributeError:
+            pass    # stale .so without the qt64 inter entry
+        try:
             lib.asuna_encode_p_slice_qt.restype = ctypes.c_int
             lib.asuna_encode_p_slice_qt.argtypes = (
                 [ctypes.c_void_p] * 12
@@ -409,6 +421,81 @@ def encode_slice_qt2(slice_type: int, max_depth: int, out: dict, qp: int,
         x321, y321, ui4, m4, pd4, x4, y4, x41, y41,
         ui8, m8, pd8, x8, y8, x81, y81,
         ly, lcb, lcr, rows, cols, qp, max_merge,
+        1 if sign_hiding else 0, poc, poc_l0, poc_l1, sao_p, qp_p, bd,
+        ts32, max_tt,
+        buf.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
+    if nbytes < 0:
+        return None
+    return bytes(buf[:nbytes]), int(tail.value), int(tail_bits.value)
+
+
+def encode_slice_qt64(slice_type: int, out: dict, split64, mot64,
+                      rows64: int, cols64: int, qp: int,
+                      max_merge: int = 3, sign_hiding: bool = False,
+                      poc: int = 0, poc_l0: int = 0, poc_l1: int = 0,
+                      sao=None, qp_map=None, bit_depth: int = 8,
+                      max_tt: int = 0):
+    """CTU64 P/B slice CABAC (round 5): split64 [rows64*cols64] selects
+    per CTU64 between ONE CU64 (motion from mot64 = (pdir, mv0x, mv0y,
+    mv1x, mv1y) arrays, TU32 levels from the 4 quadrant CTU32 slots) and
+    the 4 constituent CTU32 trees from the qt2 decision dict. sao/qp_map
+    are per CTU64. Returns (payload, tail, tail_bits) or None."""
+    lib = load()
+    if lib is None or not hasattr(lib, "asuna_encode_slice_qt64"):
+        return None
+    split = out["split"]
+    rows, cols = split.shape
+    assert rows == 2 * rows64 and cols == 2 * cols64
+    keep = []
+
+    def ptr(a, dt):
+        if a is None:
+            return None
+        a = np.ascontiguousarray(a, dt)
+        keep.append(a)
+        return a.ctypes.data
+
+    p64 = ptr(split64, np.uint8)
+    pd64 = ptr(mot64[0], np.int32)
+    x64, y64 = ptr(mot64[1], np.int32), ptr(mot64[2], np.int32)
+    x641, y641 = ptr(mot64[3], np.int32), ptr(mot64[4], np.int32)
+    sp = ptr(split, np.uint8)
+    sp16 = ptr(out.get("split16"), np.uint8)
+    ui32 = ptr(out.get("use_intra"), np.uint8)
+    m32 = ptr(out["modes"], np.int32)
+    pd32 = ptr(out.get("pdir"), np.int32)
+    x32, y32 = ptr(out.get("mvx"), np.int32), ptr(out.get("mvy"), np.int32)
+    x321 = ptr(out.get("mv1x"), np.int32)
+    y321 = ptr(out.get("mv1y"), np.int32)
+    ui4 = ptr(out.get("use_intra4"), np.uint8)
+    m4 = ptr(out["modes4"], np.int32)
+    pd4 = ptr(out.get("pdir4"), np.int32)
+    x4, y4 = ptr(out.get("mv4x"), np.int32), ptr(out.get("mv4y"), np.int32)
+    x41 = ptr(out.get("mv41x"), np.int32)
+    y41 = ptr(out.get("mv41y"), np.int32)
+    ui8 = ptr(out.get("use_intra8"), np.uint8)
+    m8 = ptr(out.get("modes8"), np.int32)
+    pd8 = ptr(out.get("pdir8"), np.int32)
+    x8 = ptr(out.get("mv8x"), np.int32)
+    y8 = ptr(out.get("mv8y"), np.int32)
+    x81 = ptr(out.get("mv81x"), np.int32)
+    y81 = ptr(out.get("mv81y"), np.int32)
+    ly = ptr(out["levels_y"], np.int32)
+    lcb = ptr(out["levels_cb"], np.int32)
+    lcr = ptr(out["levels_cr"], np.int32)
+    cap = int(rows * cols * (32 * 32 + 2 * 16 * 16) * 4 + 65536)
+    buf = np.empty(cap, np.uint8)
+    tail = ctypes.c_uint32()
+    tail_bits = ctypes.c_int()
+    sao_p, qp_p, bd = _sao_qp_args(sao, qp_map, rows64, cols64, bit_depth,
+                                   keep)
+    ts32 = ptr(out.get("tu_split32"), np.uint8) if max_tt >= 1 else None
+    nbytes = lib.asuna_encode_slice_qt64(
+        slice_type, p64, pd64, x64, y64, x641, y641,
+        sp, sp16, ui32, m32, pd32, x32, y32,
+        x321, y321, ui4, m4, pd4, x4, y4, x41, y41,
+        ui8, m8, pd8, x8, y8, x81, y81,
+        ly, lcb, lcr, rows64, cols64, qp, max_merge,
         1 if sign_hiding else 0, poc, poc_l0, poc_l1, sao_p, qp_p, bd,
         ts32, max_tt,
         buf.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_bits))
