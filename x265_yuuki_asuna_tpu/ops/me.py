@@ -186,9 +186,12 @@ def _sad_sweep_mxu(ref_plane, src_plane, sizes, R: int, lambda_bits: int,
                sad[OFF[i]:OFF[i + 1]])
            for i, n in enumerate(sizes)}
     if return_surface:
-        surface = {"ys": ys.reshape(D * D, NBT),
-                   "off": {n: int(OFF[i]) for i, n in enumerate(sizes)},
-                   "nb": {n: int(NB[i]) for i, n in enumerate(sizes)},
+        # per-size views sliced ONCE here: surface_query must not carve a
+        # [D^2, NB] copy out of the concatenated tensor per candidate (36
+        # queries/frame at 1080p would copy gigabytes)
+        ysf = ys.reshape(D * D, NBT)
+        surface = {"ys": {n: ysf[:, int(OFF[i]):int(OFF[i + 1])]
+                          for i, n in enumerate(sizes)},
                    "R": R}
         return out, surface
     return out
@@ -206,8 +209,7 @@ def surface_query(surface, n: int, cx, cy):
 
     R = surface["R"]
     D = 2 * R + 1
-    off, nb = surface["off"][n], surface["nb"][n]
-    ysn = jax.lax.slice(surface["ys"], (0, off), (D * D, off + nb))
+    ysn = surface["ys"][n]
     inr = (jnp.abs(cx) <= R) & (jnp.abs(cy) <= R)
     idx = ((jnp.clip(cy, -R, R) + R) * D + (jnp.clip(cx, -R, R) + R))
     sad = jnp.take_along_axis(ysn, idx[None, :], axis=0)[0]
