@@ -178,13 +178,20 @@ def subpel_refine_win(win, src_blocks, n: int, bit_depth: int = 8, xp=np,
     dxq = xp.concatenate([bx + dd for dd, _ in NBR])     # [8*B]
     dyq = xp.concatenate([by + dd for _, dd in NBR])
     winq = xp.concatenate([win.astype(xp.int16)] * len(NBR), axis=0)
-    ar7 = xp.arange(n + 7)
     oyq = xp.right_shift(dyq, 2)
     oxq = xp.right_shift(dxq, 2)
-    t = xp.take_along_axis(winq, (oyq[:, None] + 1 + ar7[None])[:, :, None],
-                           axis=1)
-    sub_q = xp.take_along_axis(
-        t, (oxq[:, None] + 1 + ar7[None])[:, None, :], axis=2)
+    # quarter-pel integer offsets are only ever -1 or 0 (half-pel winner
+    # in [-2,2] +/- 1 quarter): the window extraction is a 4-way SELECT of
+    # static slices, not a gather — per-element gathers at [8B, n+7, n+7]
+    # were the single largest gather family in the device profile
+    oy_m = (oyq < 0)[:, None, None]
+    ox_m = (oxq < 0)[:, None, None]
+    w00 = winq[:, 0:n + 7, 0:n + 7]      # oy=-1, ox=-1
+    w01 = winq[:, 0:n + 7, 1:n + 8]      # oy=-1, ox=0
+    w10 = winq[:, 1:n + 8, 0:n + 7]      # oy=0,  ox=-1
+    w11 = winq[:, 1:n + 8, 1:n + 8]      # oy=0,  ox=0
+    sub_q = xp.where(oy_m, xp.where(ox_m, w00, w01),
+                     xp.where(ox_m, w10, w11))
     src_q = xp.broadcast_to(src[None], (len(NBR), B, n, n)
                             ).reshape(len(NBR) * B, n, n)
     c_q = satd_fn(src_q, filt(sub_q, filters[dxq & 3], filters[dyq & 3])
