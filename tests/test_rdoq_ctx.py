@@ -21,7 +21,7 @@ def test_rdoq_ctx_beats_plain_quant(log2n, is_luma):
     res = rng.normal(0, 10, (B, n, n)).astype(np.int32)
     coef = TR.forward_transform(res, 8, xp=np)
     qp = 32
-    lam2 = 9.728 * 2.0 ** ((qp - 12) / 3.0)
+    lam2 = 0.85 * 2.0 ** ((qp - 12) / 3.0)
 
     def rd(lv):
         dq = Q.dequant(lv, qp, log2n, 8, xp=np)

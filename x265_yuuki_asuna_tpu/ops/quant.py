@@ -485,7 +485,10 @@ def quant_rdoq_ctx(coef, qp, log2_tr_size: int, bit_depth: int,
         scale = int(QUANT_SCALES[rem])
         iscale = int(INV_QUANT_SCALES[rem]) << per
         qbits = 14 + per + tshift
-        lam2 = 9.728 * float(2.0 ** ((qp - 12) / 3.0)) * lambda_scale
+        # the mode-RD lambda2 (x265_lambda2_tab shape, rdcost.h): the
+        # first ctx-RDOQ cut used 9.728x this value and over-zeroed ~3 dB
+        # below the encoder's own RD curve (round-5 BDRATE probe)
+        lam2 = 0.85 * float(2.0 ** ((qp - 12) / 3.0)) * lambda_scale
     else:
         qpv = qp.astype(xp.int32)
         if qpv.ndim == 1:
@@ -495,7 +498,7 @@ def quant_rdoq_ctx(coef, qp, log2_tr_size: int, bit_depth: int,
         iscale = xp.left_shift(xp.take(xp.asarray(INV_QUANT_SCALES), rem),
                                per)
         qbits = 14 + per + tshift
-        lam2 = (9.728 * xp.exp2((qpv - 12).astype(xp.float32) / 3.0)
+        lam2 = (0.85 * xp.exp2((qpv - 12).astype(xp.float32) / 3.0)
                 * lambda_scale)
     dqshift = 20 - 14 - tshift
     dqadd = 1 << (dqshift - 1)
@@ -613,9 +616,9 @@ def quant_rdoq_ctx(coef, qp, log2_tr_size: int, bit_depth: int,
         ac[0] = 0.0                                 # scan slot 0 == DC
         ac_mask = xp.asarray(ac)[None] if xp is not np else ac[None]
         if isinstance(lam2, float):
-            lam1 = (lam2 / (9.728 * lambda_scale)) ** 0.5
+            lam1 = (lam2 / (0.85 * lambda_scale)) ** 0.5
         else:
-            lam1 = (lam2b / (9.728 * lambda_scale)) ** 0.5
+            lam1 = (lam2b / (0.85 * lambda_scale)) ** 0.5
         psy_w = psy_scale * lam1 * np.float32(2.0 ** (-(2 * tshift + 1)))
 
     def cost(l):
