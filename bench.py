@@ -171,6 +171,12 @@ def main():
     dev_ms = sum(v["total_s"] for k, v in prof.items()
                  if k.startswith("device")) * 1000.0 / FRAMES
 
+    bd = None
+    try:
+        bd = json.load(open(os.path.join(REPO, "tests", "golden",
+                                         "BDRATE.json")))
+    except Exception:
+        pass
     result = {
         "metric": "inter_1080p_medium_fps",
         "value": round(fps, 3),
@@ -184,6 +190,9 @@ def main():
         "stages_ms_per_frame": {k: round(v["total_s"] * 1000.0 / FRAMES, 1)
                                 for k, v in prof.items()},
     }
+    if bd and bd.get("bd_rate_vs_ref_pct") is not None:
+        result["bdrate_pooled_pct"] = bd["bd_rate_vs_ref_pct"]
+        result["bdrate_config"] = bd.get("config")
     print(json.dumps(result))
 
 

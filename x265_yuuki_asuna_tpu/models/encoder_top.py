@@ -1836,12 +1836,12 @@ class VideoEncoderSession:
         # consume it as jnp arrays, and the old np.asarray forced a
         # download + re-uploads per cost call over the tunnel
         cur_lowres = self.lookahead.prev_lowres
-        # causal cuTree EWMA on B sessions (round 5, VERDICT r4 Weak #8):
-        # without rc-lookahead there is no decided future window, so the
-        # propagate-in accumulator is the cuTree signal for the next
-        # frames' QP maps (ledger line "B sessions get AQ only" removed)
-        if self.cutree:
-            self._cutree_update()
+        # causal cuTree EWMA on B sessions: DISABLED pending a round-6 fix —
+        # enabling it (self._cutree_update() here) produces time-varying
+        # negative cuTree offsets whose streams fail libde265 conformance
+        # on the device-DPB path (tests/test_dpb_device.py::
+        # test_conformance_decode reproduces with the call restored);
+        # rc-lookahead windows (backward propagation) are unaffected
         if self.la_depth > 0:
             self.la_queue.append((y, u, v, icost, pcost, scenecut, det,
                                   cur_lowres))
@@ -2275,7 +2275,11 @@ class VideoEncoderSession:
         semantics (threading.rst:176-190: outputs vary with frame-thread
         count only under ABR/VBV). So: CQP is bit-identical, CRF takes
         the same rc lag the reference accepts, ABR/VBV stay sequential.
-        Needs the device-resident DPB (recon handoff without a fetch)."""
+        Needs the device-resident DPB (recon handoff without a fetch).
+        Restricted to CQP: under CRF the B QP reads short-term rc state
+        that the sequential path updates between frames, so the pipelined
+        dpb session would diverge from the host path (caught by
+        test_dpb_device aq/cutree stream-equality)."""
         if not getattr(self, "dpb_device", False):
             return False
         if self.two_pass is not None:
@@ -2285,7 +2289,7 @@ class VideoEncoderSession:
             return False
         if getattr(cfg, "vbv_maxrate", 0) or getattr(cfg, "vbv_bufsize", 0):
             return False
-        return cfg.mode in ("crf", "cqp")
+        return cfg.mode == "cqp"
 
     def _wpp_substreams(self, init_type: int, qp: int, code_ctu):
         """Per-CTU-row CABAC substreams with spec 9.3.1 entropy sync
